@@ -1,0 +1,108 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Randomized properties generalizing the reference round-trip test
+  * (aggregator_test.go:118-138): for arbitrary record sets,
+  * deaggregate(aggregate(xs)) == xs in order, and size/slot invariants hold.
+  * (Seeded loops rather than ScalaCheck: the scalatest/scalacheck bridge
+  * artifact isn't in the offline cache.)
+  */
+class KplRoundTripProps extends AnyFunSuite {
+
+  private def trials[A](n: Int)(mk: Random => A)(check: A => Unit): Unit =
+    (0 until n).foreach { i => check(mk(new Random(1000 + i))) }
+
+  private def genRecords(r: Random, n: Int, maxLen: Int = 2000): Vector[(Array[Byte], String)] =
+    Vector.fill(n) {
+      val b = new Array[Byte](r.nextInt(maxLen + 1)); r.nextBytes(b)
+      val key = r.nextInt(3) match {
+        case 0 => ""
+        case 1 => "k"
+        case _ => r.alphanumeric.take(1 + r.nextInt(20)).mkString
+      }
+      (b, key)
+    }
+
+  test("deaggregate(aggregate(xs)) == xs, in order, across all entries") {
+    trials(25)(r => genRecords(r, 50)) { recs =>
+      val packer = new KplPacker
+      recs.foreach { case (b, k) => packer.put(b, k) }
+      val entries = packer.drain()
+      val back = entries.flatMap { e =>
+        if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+        else Vector(e.data)
+      }
+      assert(back.length === recs.length)
+      back.zip(recs).foreach { case (got, (want, _)) =>
+        assert(java.util.Arrays.equals(got, want))
+      }
+    }
+  }
+
+  test("oversize records interleave with aggregates and round-trip as a multiset") {
+    // NOTE: global record order is NOT preserved across the oversize-bypass
+    // path — a standalone entry is appended to `completed` before the still-
+    // open aggregate holding earlier records is closed (reference behavior:
+    // aggregator.go:135-142 vs :148-159). Only within-aggregate order holds.
+    trials(10) { r =>
+      Vector.fill(30) {
+        val n = if (r.nextInt(4) == 0) 25001 + r.nextInt(2000) else r.nextInt(2000)
+        val b = new Array[Byte](n); r.nextBytes(b); (b, "k")
+      }
+    } { recs =>
+      val packer = new KplPacker
+      recs.foreach { case (b, k) => packer.put(b, k) }
+      val back = packer.drain().flatMap { e =>
+        if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+        else Vector(e.data)
+      }
+      assert(back.length === recs.length)
+      def canon(xs: Seq[Array[Byte]]) = xs.map(_.toSeq).sortBy(_.hashCode())
+      assert(canon(back) === canon(recs.map(_._1)))
+      // small records only => order preserved within the aggregate stream
+      val smallIn = recs.map(_._1).filter(_.length <= 25000).map(_.toSeq)
+      val smallOut = packer.drain() // empty; order checked via fresh packer below
+      val p2 = new KplPacker
+      recs.filter(_._1.length <= 25000).foreach { case (b, k) => p2.put(b, k) }
+      val backSmall = p2.drain().flatMap(e => KplProtobuf.deframe(e.data).records.map(_.data.toSeq))
+      assert(backSmall === smallIn)
+      assert(smallOut.isEmpty)
+    }
+  }
+
+  test("slots returned by put are valid, monotone entry indices (aggregate path)") {
+    trials(25)(r => genRecords(r, 40).map { case (b, _) => (b, "k") }) { recs =>
+      val packer = new KplPacker
+      val slots = recs.map { case (b, k) => packer.put(b, k) }
+      val entries = packer.drain()
+      assert(slots.forall(s => s >= 0 && s < entries.length))
+      assert(slots === slots.sorted)
+    }
+  }
+
+  test("every framed entry obeys magic+md5; key indices address the key table") {
+    trials(25)(r => genRecords(r, 60)) { recs =>
+      val packer = new KplPacker
+      recs.foreach { case (b, k) => packer.put(b, k) }
+      packer.drain().foreach { e =>
+        if (KplProtobuf.isAggregated(e.data)) {
+          val agg = KplProtobuf.deframe(e.data)
+          assert(agg.records.nonEmpty)
+          assert(agg.records.forall(_.partitionKeyIndex < agg.partitionKeys.length))
+        }
+      }
+    }
+  }
+
+  test("dedup: any key tested, then trimmed twice, is always forgotten") {
+    trials(25)(r => genRecords(r, 30)) { recs =>
+      recs.foreach { case (b, _) =>
+        val d = new Deduper
+        d.test(b); d.trim(); d.trim()
+        assert(!d.test(b))
+      }
+    }
+  }
+}
