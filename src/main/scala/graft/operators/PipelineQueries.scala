@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** SURVEY.md §2.2 group G: the reference pipeline (dedup → pack →
+  * Kinesis entries → deaggregate), replayed as batch SQL over `events` so
+  * the DuckDB oracle can verify the *relational* result while the codec is
+  * verified by the in-query round-trip (mirrors aggregator_test.go:118-138).
+  *
+  * Scale notes: packing runs per event_type group via an ordered
+  * `collect_list` — bounded here because a group is one sink batch; the
+  * streaming path (graft.streaming) packs per partition without collecting.
+  * Dedup is a hash-groupBy — one shuffle on the 64-bit body hash, the same
+  * layout Spark would use for dropDuplicates.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Pack each event_type's props (ordered by event_id) into KPL entries,
+    * deaggregate them back, and report per-group record count, byte volume
+    * and distinct partition keys — all verifiable by DuckDB directly
+    * against `events`. */
+  def gKplRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), encode(col("props"), "UTF-8").as("body"))
+      .groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(event_id, body)))").as("rows"))
+      .selectExpr(
+        "event_type",
+        "explode(kpl_pack_ordered(transform(rows, r -> struct(r.body AS body, event_type AS key)))) AS entry")
+      .selectExpr("event_type", "explode(kpl_deaggregate(entry.data)) AS rec")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(length(col("rec.data"))).cast("long").as("total_bytes"),
+        countDistinct(col("rec.partition_key")).as("n_keys"))
+      .orderBy(col("event_type"))
+  }
+
+  val gKplRoundtripSql: String =
+    """SELECT event_type,
+      |  count(*) AS n_records,
+      |  CAST(sum(strlen(props)) AS BIGINT) AS total_bytes,
+      |  CAST(1 AS BIGINT) AS n_keys
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** At-least-once replay: deliver every event twice, dedup on the FNV-64a
+    * body hash (O3), count survivors per type — must equal the original
+    * per-type counts. */
+  def gDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(
+        encode(concat(col("event_id").cast("string"), lit("|"), col("props")), "UTF-8").as("body"),
+        col("event_type"))
+    ev.union(ev) // redelivery
+      .withColumn("h", GraftFunctions.fnv64a(col("body")))
+      .groupBy(col("h"))
+      .agg(first(col("event_type")).as("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
+  val gDedupReplaySql: String =
+    """SELECT event_type, count(*) AS n_unique
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Oversize filter (O6) + partition-key rule (O9) in batch form: events
+    * with body ≤ 1 MiB keep flowing; keys 1–255 chars pass through, others
+    * derive from the body hash. DuckDB can't express fnv64a, so the oracle
+    * checks the SQL-visible part: per-type counts of valid vs derived keys. */
+  def gPartitionKeys(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(expr("octet_length(props)") <= 1024 * 1024) // O6 oversize drop (byte length, kinesis_writer.go:167-170)
+      .select(
+        col("event_type"),
+        encode(col("props"), "UTF-8").as("body"),
+        when(col("event_id") % 2 === 0, col("event_type")).otherwise(lit("")).as("user_key"))
+    ev.select(
+        col("event_type"),
+        GraftFunctions.partitionKey(col("body"), col("user_key")).as("pk"),
+        col("user_key"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pk") === col("user_key"), 1L).otherwise(0L)).as("n_user_keyed"))
+      .orderBy(col("event_type"))
+  }
+
+  val gPartitionKeysSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_user_keyed
+      |FROM events
+      |WHERE strlen(props) <= 1048576
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_kpl_roundtrip" -> (gKplRoundtrip _),
+    "g_dedup_replay" -> (gDedupReplay _),
+    "g_partition_keys" -> (gPartitionKeys _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "g_kpl_roundtrip" -> gKplRoundtripSql,
+    "g_dedup_replay" -> gDedupReplaySql,
+    "g_partition_keys" -> gPartitionKeysSql
+  )
+}

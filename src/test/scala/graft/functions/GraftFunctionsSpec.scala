@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkSuite}
+import graft.kernel.{Fnv64a, KplPacker, KplProtobuf}
+
+class GraftFunctionsSpec extends SparkSuite {
+  import GraftFunctions._
+
+  test("fnv64a expression matches the kernel on binary and string input") {
+    import spark.implicits._
+    val df = Seq("hello", "world", "", "a").toDF("s")
+      .withColumn("b", encode(col("s"), "UTF-8"))
+      .select(col("s"), fnv64a(col("s")).as("hs"), fnv64a(col("b")).as("hb"))
+    df.collect().foreach { case Row(s: String, hs: Long, hb: Long) =>
+      assert(hs === Fnv64a.hash(s))
+      assert(hb === Fnv64a.hash(s))
+    }
+  }
+
+  test("fnv64a is SQL-callable and null-safe") {
+    val rows = spark.sql("SELECT fnv64a(CAST(NULL AS STRING)) n, fnv64a('hello') h").collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(0).getLong(1) === Fnv64a.hash("hello"))
+  }
+
+  test("fnv64a stays inside whole-stage codegen") {
+    // a Seq-backed DF folds to LocalTableScan, so use range() for a real scan
+    val df = spark.range(100).select(fnv64a(col("id").cast("string")).as("h"))
+    // "*(1) Project [fnv64a(...)]" — the star marks a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*"), plan)
+    assert(df.selectExpr("count(distinct h)").collect().head.getLong(0) === 100L)
+  }
+
+  test("fnv64aHex matches Go %x rendering") {
+    import spark.implicits._
+    val hexes = Seq("hello", "a").toDF("s").select(fnv64aHex(col("s"))).as[String].collect()
+    assert(hexes(0) === "a430d84680aabd0b")
+    assert(hexes(1) === java.lang.Long.toHexString(Fnv64a.hash("a")))
+  }
+
+  test("kpl_pack_ordered + kpl_deaggregate round-trip in SQL") {
+    import spark.implicits._
+    Seq(("r1", "k"), ("r2", "k"), ("r3", "j")).toDF("s", "k")
+      .createOrReplaceTempView("recs")
+    val out = spark.sql(
+      """WITH packed AS (
+        |  SELECT kpl_pack_ordered(sort_array(collect_list(struct(encode(s,'UTF-8') AS body, k AS key)))) AS entries
+        |  FROM recs),
+        |entryx AS (SELECT explode(entries) AS e FROM packed),
+        |recsx AS (SELECT explode(kpl_deaggregate(e.data)) AS r FROM entryx)
+        |SELECT decode(r.data, 'UTF-8') AS s, r.partition_key FROM recsx ORDER BY s
+        |""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("r1", "k"), ("r2", "k"), ("r3", "j")))
+  }
+
+  test("kpl_aggregate UDAF packs per group; entries deaggregate to group rows") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"group${i % 2}", s"body-$i" * 10)).toDF("g", "s")
+    df.createOrReplaceTempView("gr")
+    val out = spark.sql(
+      """SELECT g, kpl_aggregate(encode(s, 'UTF-8'), g) AS entries FROM gr GROUP BY g""")
+      .selectExpr("g", "explode(entries) AS e")
+      .selectExpr("g", "explode(kpl_deaggregate(e.data)) AS r")
+      .selectExpr("g", "decode(r.data, 'UTF-8') AS s", "r.partition_key AS pk")
+      .collect()
+    assert(out.length === 200)
+    assert(out.forall(r => r.getString(2) === r.getString(0)))
+  }
+
+  test("partitionKey falls back to body hash for invalid keys") {
+    import spark.implicits._
+    val df = Seq(("hello", "good"), ("hello", ""), ("hello", "x" * 256))
+      .toDF("s", "k")
+      .select(partitionKey(encode(col("s"), "UTF-8"), col("k")).as("pk"))
+    assert(df.as[String].collect().toSeq ===
+      Seq("good", "a430d84680aabd0b", "a430d84680aabd0b"))
+  }
+}
