@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** SURVEY.md §2.2 groups A–F: the relational surface.
+/** SURVEY.md §2.2 groups A–F2: the relational surface.
   *
-  * Everything here is declarative DataFrame code — no UDFs, no RDDs — so
+  * Everything here is declarative DataFrame/SQL code — no UDFs, no RDDs — so
   * Catalyst gets full freedom: predicate pushdown into the parquet scan,
   * column pruning, join reordering, broadcast selection, AQE re-planning.
   * Each query has a DuckDB-equivalent oracle in [[oracle]].
@@ -17,6 +17,11 @@ import graft.Tables
   * Spark and DuckDB produce bit-identical results regardless of float
   * summation order; int aggregates are cast to BIGINT to match DuckDB's
   * natural result types.
+  *
+  * Scale posture (100 TB): dimension joins (region/nation/supplier) are
+  * explicit `broadcast()`; fact-fact joins shuffle on their keys and rely on
+  * AQE; every aggregation is partial-agg friendly (no high-cardinality
+  * collect); window functions partition on bounded keys.
   */
 object RelationalQueries {
 
@@ -25,8 +30,9 @@ object RelationalQueries {
 
   /** Exact money arithmetic: decimal in, double out (identical on both engines). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  // ---------------------------------------------------------------- A + B
+  // ================================================================ A + B
 
   /** TPC-H Q1 shape: scan → filter → project → agg → sort. */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
@@ -36,8 +42,7 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
         avg(col("l_quantity")).cast("double").as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -55,11 +60,602 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** B: CASE / IN / BETWEEN / LIKE / IS NULL predicates and projection. */
+  def bFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size").between(1, 30) &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_name").like("%a%") &&
+        col("p_type").isNotNull)
+      .select(
+        col("p_partkey"),
+        when(col("p_size") < 10, lit("small"))
+          .when(col("p_size") < 20, lit("medium"))
+          .otherwise(lit("large")).as("size_class"),
+        dec(col("p_retailprice")).as("price"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("size_class"))
+
+  val bFilterProjectSql: String =
+    """SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 20 THEN 'medium' ELSE 'large' END AS size_class,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |WHERE p_size BETWEEN 1 AND 30
+      |  AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+      |  AND p_name LIKE '%a%'
+      |  AND p_type IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY size_class""".stripMargin
+
+  // ================================================================ C joins
+
+  /** C: 4-way inner join with broadcast dims: revenue per nation (TPC-H Q5 shape). */
+  def cJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val cJoinInnerSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** C: left outer join keeping order-less customers (count = 0). */
+  def cJoinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orderless_rows"))
+      .orderBy(col("c_mktsegment"))
+
+  val cJoinLeftSql: String =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT c_custkey) AS n_customers,
+      |  count(o_orderkey) AS n_orders,
+      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless_rows
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** C: full outer join over per-nation customer/supplier counts. */
+  def cJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val custN = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppN = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    custN.join(suppN, col("nk") === col("nk2"), "full")
+      .select(
+        coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val cJoinFullSql: String =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT COALESCE(nk, nk2) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust,
+      |  COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON nk = nk2
+      |ORDER BY nationkey""".stripMargin
+
+  /** C: left-semi and left-anti joins — customers with/without open orders. */
+  def cJoinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    val withOpen = cust.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_open"))
+    val noOpen = cust.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_open"))
+    withOpen.join(noOpen, Seq("c_mktsegment"), "full")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_open"), lit(0L)).as("n_with_open"),
+        coalesce(col("n_without_open"), lit(0L)).as("n_without_open"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val cJoinSemiAntiSql: String =
+    """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     w AS (SELECT c_mktsegment, count(*) AS n_with_open FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o) GROUP BY 1),
+      |     wo AS (SELECT c_mktsegment, count(*) AS n_without_open FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o) GROUP BY 1)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |  COALESCE(n_with_open, 0) AS n_with_open,
+      |  COALESCE(n_without_open, 0) AS n_without_open
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** C: broadcast range (theta) join — account-balance tiers. The tier table
+    * is tiny and broadcast ⇒ BroadcastNestedLoopJoin, the right physical
+    * plan for a non-equi join at any scale. */
+  def cJoinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = broadcast(Seq(
+      ("low", Double.NegativeInfinity, 1000.0),
+      ("mid", 1000.0, 5000.0),
+      ("high", 5000.0, Double.PositiveInfinity)).toDF("tier", "lo", "hi"))
+    t(s, dir, "customer")
+      .join(tiers, col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("tier"))
+  }
+
+  val cJoinRangeSql: String =
+    """WITH tiers AS (
+      |  SELECT 'low' AS tier, CAST('-infinity' AS DOUBLE) AS lo, 1000.0 AS hi
+      |  UNION ALL SELECT 'mid', 1000.0, 5000.0
+      |  UNION ALL SELECT 'high', 5000.0, CAST('infinity' AS DOUBLE))
+      |SELECT tier, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN tiers ON c_acctbal >= lo AND c_acctbal < hi
+      |GROUP BY tier
+      |ORDER BY tier""".stripMargin
+
+  /** C: cross join — region × order status grid with per-cell counts. */
+  def cJoinCross(s: SparkSession, dir: String): DataFrame = {
+    val statuses = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+    t(s, dir, "region").crossJoin(statuses)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  val cJoinCrossSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  // ================================================================ D aggregation
+
+  /** D: multi-aggregate with HAVING. */
+  def dAggHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"),
+        // decimal-exact sum ÷ count in double: Spark's avg(DECIMAL) truncates
+        // at 6 dp (DECIMAL(22,6)) while DuckDB's keeps full double precision
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+      .filter(col("n") > 10)
+      .orderBy(col("o_orderpriority"))
+
+  val dAggHavingSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |HAVING count(*) > 10
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** D: distinct aggregation (exact; the HLL variant is h_approx_distinct). */
+  def dAggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val dAggDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** D: ROLLUP with grouping() flags. */
+  def dRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val dRollupSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** D: CUBE. */
+  def dCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n"))
+      .orderBy(col("nation"), col("segment"))
+
+  val dCubeSql: String =
+    """SELECT COALESCE(n_name, 'ALL') AS nation,
+      |  COALESCE(c_mktsegment, 'ALL') AS segment,
+      |  count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  /** D: explicit GROUPING SETS via SQL. */
+  def dGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val dGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // ================================================================ E windows
+
+  /** E: top-3 parts by retail price per brand (dense_rank; rank+row_number too). */
+  def eWindowRank(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rnk
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin)
+  }
+
+  val eWindowRankSql: String =
+    """SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rnk
+      |FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |  FROM part)
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk, p_partkey""".stripMargin
+
+  /** E: lag/lead — order-to-order price delta per customer. */
+  def eWindowLag(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS delta_prev,
+        |  CAST(lead(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS next_price
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val eWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS delta_prev,
+      |  CAST(lead(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS next_price
+      |FROM orders
+      |WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** E: running-sum frame (ROWS UNBOUNDED PRECEDING). */
+  def eWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val eWindowFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |FROM orders
+      |WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** E: RANGE frame — count of same-size parts within ±2 size units. */
+  def eWindowRange(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey, p_size,
+        |  count(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
+        |FROM part
+        |WHERE p_partkey <= 100
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  val eWindowRangeSql: String =
+    """SELECT p_partkey, p_size,
+      |  count(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near
+      |FROM part
+      |WHERE p_partkey <= 100
+      |ORDER BY p_partkey""".stripMargin
+
+  // ================================================================ F sort/limit/set
+
+  /** F: multi-key sort with NULLS FIRST/LAST + LIMIT. Balances ≤ 100 are
+    * nulled to exercise null ordering deterministically. */
+  def fSortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") <= 100, lit(null)).otherwise(dec(col("c_acctbal")))
+          .cast("double").as("bal"),
+        col("c_mktsegment"))
+      .orderBy(col("bal").desc_nulls_last, col("c_custkey").asc)
+      .limit(100)
+
+  val fSortLimitSql: String =
+    """SELECT c_custkey,
+      |  CAST(CASE WHEN c_acctbal <= 100 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS bal,
+      |  c_mktsegment
+      |FROM customer
+      |ORDER BY bal DESC NULLS LAST, c_custkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** F: UNION / INTERSECT / EXCEPT (+ALL) cardinalities in one row. */
+  def fSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val a = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val unionD = a.union(b).distinct().count()
+    val unionAll = a.union(b).count()
+    val inter = a.intersect(b).count()
+    val exc = a.distinct().except(b).count()
+    import s.implicits._
+    Seq((unionD, unionAll, inter, exc)).toDF("n_union", "n_union_all", "n_intersect", "n_except")
+  }
+
+  val fSetOpsSql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS n_union,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b)) AS n_union_all,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS n_except""".stripMargin
+
+  // ================================================================ F2 scalar functions
+
+  /** F2: string functions — substr/upper/concat/split/regexp_extract. */
+  def f2String(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 3)).as("prefix"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))
+      .filter(col("p_partkey") <= 100)
+      .orderBy(col("p_partkey"))
+
+  val f2StringSql: String =
+    """SELECT p_partkey,
+      |  upper(substring(p_name, 1, 3)) AS prefix,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  COALESCE(regexp_extract(p_brand, 'Brand#(\d+)', 1), '') AS brand_num
+      |FROM part
+      |WHERE p_partkey <= 100
+      |ORDER BY p_partkey""".stripMargin
+
+  /** F2: date functions — year/quarter/date_trunc/datediff. */
+  def f2Date(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("mo"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long").as("age_days"))
+      .groupBy(col("yr"), col("qtr"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("mo")).as("n_months"),
+        min(col("age_days")).as("min_age"), max(col("age_days")).as("max_age"))
+      .orderBy(col("yr"), col("qtr"))
+
+  val f2DateSql: String =
+    """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  count(*) AS n,
+      |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+      |  min(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS min_age,
+      |  max(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS max_age
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY yr, qtr""".stripMargin
+
+  /** F2: math functions — round/abs/ln/sqrt/pow over prices (rounded for
+    * cross-engine float determinism). */
+  def f2Math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 0).cast("long").as("price_r0"),
+        abs(col("l_discount") - 0.05).cast("decimal(10,2)").cast("double").as("disc_dev"),
+        round(log(col("l_extendedprice") + 1), 6).as("ln_price"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val f2MathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_extendedprice, 0) AS BIGINT) AS price_r0,
+      |  CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(10,2)) AS DOUBLE) AS disc_dev,
+      |  round(ln(l_extendedprice + 1), 6) AS ln_price,
+      |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+      |  round(pow(l_tax + 1, 2), 6) AS tax_sq
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F2: array functions over embeddings — size/element_at/slice/aggregate. */
+  def f2Array(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") <= 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(slice(col("embedding"), 1, 4),
+          lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("sum_first4"))
+      .orderBy(col("vec_id"))
+
+  val f2ArraySql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+      |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS sum_first4
+      |FROM embeddings
+      |WHERE vec_id <= 100
+      |ORDER BY vec_id""".stripMargin
+
+  /** F2: JSON extraction over events.props. */
+  def f2Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  val f2JsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** F2: map functions — build a map, read it back via map_keys/element_at. */
+  def f2Map(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        map(lit("status"), col("o_orderstatus"), lit("prio"), col("o_orderpriority")).as("m"))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+      .filter(col("o_orderkey") <= 200)
+      .orderBy(col("o_orderkey"))
+
+  val f2MapSql: String =
+    """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+      |  CAST(2 AS BIGINT) AS n_keys
+      |FROM orders
+      |WHERE o_orderkey <= 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ registry
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> (q1Pricing _)
+    "q1_pricing" -> (q1Pricing _),
+    "b_filter_project" -> (bFilterProject _),
+    "c_join_inner" -> (cJoinInner _),
+    "c_join_left" -> (cJoinLeft _),
+    "c_join_full" -> (cJoinFull _),
+    "c_join_semi_anti" -> (cJoinSemiAnti _),
+    "c_join_range" -> (cJoinRange _),
+    "c_join_cross" -> (cJoinCross _),
+    "d_agg_having" -> (dAggHaving _),
+    "d_agg_distinct" -> (dAggDistinct _),
+    "d_rollup" -> (dRollup _),
+    "d_cube" -> (dCube _),
+    "d_grouping_sets" -> (dGroupingSets _),
+    "e_window_rank" -> (eWindowRank _),
+    "e_window_lag" -> (eWindowLag _),
+    "e_window_frame" -> (eWindowFrame _),
+    "e_window_range" -> (eWindowRange _),
+    "f_sort_limit" -> (fSortLimit _),
+    "f_set_ops" -> (fSetOps _),
+    "f2_string" -> (f2String _),
+    "f2_date" -> (f2Date _),
+    "f2_math" -> (f2Math _),
+    "f2_array" -> (f2Array _),
+    "f2_json" -> (f2Json _),
+    "f2_map" -> (f2Map _)
   )
 
   def oracle: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql
+    "q1_pricing" -> q1PricingSql,
+    "b_filter_project" -> bFilterProjectSql,
+    "c_join_inner" -> cJoinInnerSql,
+    "c_join_left" -> cJoinLeftSql,
+    "c_join_full" -> cJoinFullSql,
+    "c_join_semi_anti" -> cJoinSemiAntiSql,
+    "c_join_range" -> cJoinRangeSql,
+    "c_join_cross" -> cJoinCrossSql,
+    "d_agg_having" -> dAggHavingSql,
+    "d_agg_distinct" -> dAggDistinctSql,
+    "d_rollup" -> dRollupSql,
+    "d_cube" -> dCubeSql,
+    "d_grouping_sets" -> dGroupingSetsSql,
+    "e_window_rank" -> eWindowRankSql,
+    "e_window_lag" -> eWindowLagSql,
+    "e_window_frame" -> eWindowFrameSql,
+    "e_window_range" -> eWindowRangeSql,
+    "f_sort_limit" -> fSortLimitSql,
+    "f_set_ops" -> fSetOpsSql,
+    "f2_string" -> f2StringSql,
+    "f2_date" -> f2DateSql,
+    "f2_math" -> f2MathSql,
+    "f2_array" -> f2ArraySql,
+    "f2_json" -> f2JsonSql,
+    "f2_map" -> f2MapSql
   )
 }

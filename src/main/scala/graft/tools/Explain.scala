@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: `sbt "runMain graft.tools.Explain <query|ALL> [sfDir]"`
+  * prints explain("formatted") for SparkEntry queries — the loop used to
+  * iterate on physical plans (broadcasts, pushed filters, codegen spans)
+  * before accepting an operator as scale-ready.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("ALL")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = if (name == "ALL") graft.SparkEntry.queries
+             else graft.SparkEntry.queries.filter(_._1 == name)
+    qs.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      println(s"\n===== $n =====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}
