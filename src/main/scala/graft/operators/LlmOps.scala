@@ -1,0 +1,462 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** SURVEY.md §2.2 group H: the LLM-training-data operations — dedup
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), and text analysis
+  * (lang heuristic, quality stats, token counts, fingerprinting).
+  *
+  * The source tables have no planted duplicates, so the dedup queries build
+  * their corpora deterministically in-query: exact replay (`UNION ALL` of
+  * the table with itself) for exact/simhash dedup, drop-first-word mutation
+  * for near-dup text, and a ±2 % per-dimension perturbation for embedding
+  * near-dup. The DuckDB oracle reconstructs the identical corpus, so every
+  * pair produced is independently checkable.
+  *
+  * Scale posture (100 TB):
+  *  - MinHash/LSH: signatures are per-row map work (no shuffle); the only
+  *    shuffle is the band-bucket self-join, which scales as the number of
+  *    colliding candidates, not n² — the standard shingle→minhash→band
+  *    design. Exact Jaccard runs only on candidates.
+  *  - Embedding near-dup keeps a brute verify here (the oracle needs exact
+  *    results); the bucketed path is [[hAnnLsh]], whose hyperplane buckets
+  *    cut the candidate space before any pairwise work.
+  *  - All text stats are scan-local aggregations (partial agg before one
+  *    exchange).
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+  }
+
+  private def embeds(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+  }
+
+  // ================================================================ dedup
+
+  /** Exact dedup: replay-doubled corpus, `dropDuplicates` on the FNV-64a
+    * text hash (the reference's dedup key, deduper.go:26-29). */
+  def hDedupExact(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val d = Tables.load(s, dir, "documents")
+    d.union(d) // at-least-once replay
+      .withColumn("h", GraftFunctions.fnv64a(col("text")))
+      .dropDuplicates("h")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  val hDedupExactSql: String =
+    """SELECT lang, count(*) AS n_unique
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** SimHash dedup. SimHash is deliberately collision-friendly for similar
+    * docs (on this low-entropy corpus some distinct texts legitimately share
+    * a fingerprint), so the cross-engine check verifies the invariants that
+    * must hold exactly: replay-doubling the corpus leaves the fingerprint
+    * count unchanged (exact dupes collapse), and fingerprints never exceed
+    * distinct texts. */
+  def hSimhashDedup(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH corpus AS (
+        |  SELECT * FROM documents UNION ALL SELECT * FROM documents),
+        |fp1 AS (
+        |  SELECT lang, count(DISTINCT simhash64(split(text, ' '))) AS f,
+        |    count(DISTINCT text) AS t
+        |  FROM documents GROUP BY lang),
+        |fp2 AS (
+        |  SELECT lang, count(DISTINCT simhash64(split(text, ' '))) AS f, count(*) AS n
+        |  FROM corpus GROUP BY lang)
+        |SELECT fp1.lang, fp2.n AS n_rows,
+        |  (fp2.f = fp1.f) AS fp_stable,
+        |  (fp2.f <= fp1.t) AS fp_le_text
+        |FROM fp1 JOIN fp2 ON fp1.lang = fp2.lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hSimhashDedupSql: String =
+    """SELECT lang, 2 * count(*) AS n_rows, true AS fp_stable, true AS fp_le_text
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Near-dup text dedup via word-3-gram shingles → 64-perm MinHash →
+    * 16×4 LSH banding → exact-Jaccard verify (≥ 0.6) on candidates only.
+    * The corpus plants one near-dup per doc (first word dropped, J ≈ 0.95+);
+    * at that similarity the 16-band detection probability is 1-4e-8, so the
+    * LSH result equals the oracle's brute-force pairs. */
+  def hNeardupMinhash(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+        |tok AS (SELECT doc_id, split(text, ' ') AS tokens FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
+        |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
+        |  FROM tok WHERE size(tokens) >= 3),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    transform(sequence(0, 63), k -> array_min(transform(shingles,
+        |      x -> fnv64a(concat(cast(k AS string), ':', x))))) AS signature
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b.band, b.bh
+        |  FROM sig LATERAL VIEW explode(transform(sequence(0, 15),
+        |    b -> struct(b AS band, hash(slice(signature, b * 4 + 1, 4)) AS bh))) t AS b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id,
+        |    size(array_intersect(sa.shingles, sb.shingles)) AS ni,
+        |    size(array_union(sa.shingles, sb.shingles)) AS nu
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, round(ni / nu, 4) AS jaccard
+        |FROM pairs
+        |WHERE nu > 0 AND round(ni / nu, 4) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
+
+  val hNeardupMinhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM tok WHERE len(tokens) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.shingles, b.shingles)) AS ni,
+      |    len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS nu
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, round(ni / nu, 4) AS jaccard
+      |FROM pairs
+      |WHERE nu > 0 AND round(ni / nu, 4) >= 0.6
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Brute n-gram Jaccard: each doc's most-similar neighbor within a
+    * 50-doc subset (the all-pairs baseline the LSH query avoids). */
+  def hJaccardSim(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, split(text, ' ') AS tokens FROM documents WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
+        |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
+        |  FROM tok WHERE size(tokens) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(size(array_intersect(a.shingles, b.shingles)) /
+        |          size(array_union(a.shingles, b.shingles)), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, jaccard,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY jaccard DESC, b_id) AS rn
+        |  FROM pairs)
+        |SELECT a_id, b_id AS nearest_id, jaccard
+        |FROM ranked WHERE rn = 1
+        |ORDER BY a_id""".stripMargin)
+  }
+
+  val hJaccardSimSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM tok WHERE len(tokens) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    round(len(list_intersect(a.shingles, b.shingles)) /
+      |          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id),
+      |ranked AS (
+      |  SELECT a_id, b_id, jaccard,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY jaccard DESC, b_id) AS rn
+      |  FROM pairs)
+      |SELECT a_id, b_id AS nearest_id, jaccard
+      |FROM ranked WHERE rn = 1
+      |ORDER BY a_id""".stripMargin
+
+  /** Embedding near-dup: ±2 % perturbed copies must pair with their
+    * originals at cosine ≥ 0.9 (random pairs sit near 0). Exact pairwise
+    * here (oracle needs exactness); [[hAnnLsh]] is the bucketed scale path. */
+  def hNeardupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
+        |  FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |      / (a.nrm * b.nrm), 4) AS cosine
+        |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cosine
+        |FROM pairs
+        |WHERE cosine >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
+
+  val hNeardupEmbeddingSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, range(1, len(v) + 1)),
+      |      p -> p[1] * CASE WHEN p[2] % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
+      |  FROM base),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |normed AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+      |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, cosine
+      |FROM pairs
+      |WHERE cosine >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ================================================================ similarity search
+
+  /** Brute-force cosine top-5 for the first 10 query vectors — the exact
+    * baseline every ANN variant is judged against. Query side is tiny ⇒
+    * broadcast; per-partition ranking, one final shuffle for the window. */
+  def hAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v, sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |  FROM base),
+        |q AS (SELECT * FROM normed WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(aggregate(zip_with(q.v, n.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |      / (q.nrm * n.nrm), 4) AS cosine
+        |  FROM q JOIN normed n ON q.vec_id <> n.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, n_id, cosine, rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  val hAnnBruteSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |q AS (SELECT * FROM normed WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
+      |  FROM q JOIN normed n ON q.vec_id <> n.vec_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, n_id, cosine, rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** LSH-bucketed ANN (the 100 TB path): 8 deterministic ±1 hyperplanes →
+    * 256 sign buckets; per-bucket brute ranking only. No DuckDB oracle
+    * (rows-only check): bucket recall is probabilistic by design. */
+  def hAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v, sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |  FROM base),
+        |-- deterministic ±1 hyperplanes from fnv64a(plane:dim)
+        |bucketed AS (
+        |  SELECT vec_id, v, nrm,
+        |    aggregate(sequence(0, 7), 0,
+        |      (acc, p) -> acc * 2 + CASE WHEN
+        |        aggregate(zip_with(v, transform(sequence(0, 63),
+        |          i -> CAST(pmod(fnv64a(concat(cast(p AS string), ':', cast(i AS string))), 2) * 2 - 1 AS DOUBLE)),
+        |          (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc2, x) -> acc2 + x) > 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM normed),
+        |q AS (SELECT * FROM bucketed WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(aggregate(zip_with(q.v, n.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |      / (q.nrm * n.nrm), 4) AS cosine
+        |  FROM q JOIN bucketed n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, n_id, cosine, rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  // ================================================================ text analysis
+
+  /** Quality/stats profile per language: token counts (whitespace), byte
+    * and char counts, stopword + punctuation ratios, stored-n_chars check. */
+  def hTextStats(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT lang, n_chars, text, split(text, ' ') AS tokens FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  sum(size(tokens)) AS total_tokens,
+        |  round(sum(size(tokens)) / count(*), 4) AS avg_tokens,
+        |  sum(length(text)) AS total_chars,
+        |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok,
+        |  round(sum(size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) / sum(size(tokens)), 4) AS stopword_ratio
+        |FROM tok
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hTextStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, n_chars, text, string_split(text, ' ') AS tokens FROM documents)
+      |SELECT lang,
+      |  count(*) AS n_docs,
+      |  sum(len(tokens)) AS total_tokens,
+      |  round(sum(len(tokens)) / count(*), 4) AS avg_tokens,
+      |  sum(length(text)) AS total_chars,
+      |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok,
+      |  round(sum(len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) / sum(len(tokens)), 4) AS stopword_ratio
+      |FROM tok
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** N-gram/stopword language heuristic: function-word density classifies
+    * docs; output is the (actual lang × predicted class) confusion grid.
+    * (The synthetic corpus draws every lang from one vocab, so the value
+    * verified is the heuristic's arithmetic, not linguistic accuracy.) */
+  def hLangHeuristic(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH scored AS (
+        |  SELECT lang,
+        |    size(filter(split(text, ' '), t -> t IN ('the', 'a'))) / size(split(text, ' ')) AS fw_density
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN fw_density >= 0.08 THEN 'function-word-rich'
+        |       WHEN fw_density >= 0.03 THEN 'mixed'
+        |       ELSE 'content-heavy' END AS predicted,
+        |  count(*) AS n,
+        |  round(avg(fw_density), 4) AS avg_density
+        |FROM scored
+        |GROUP BY 1, 2
+        |ORDER BY lang, predicted""".stripMargin)
+  }
+
+  val hLangHeuristicSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / len(string_split(text, ' ')) AS fw_density
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN fw_density >= 0.08 THEN 'function-word-rich'
+      |       WHEN fw_density >= 0.03 THEN 'mixed'
+      |       ELSE 'content-heavy' END AS predicted,
+      |  count(*) AS n,
+      |  round(avg(fw_density), 4) AS avg_density
+      |FROM scored
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin
+
+  /** Document fingerprinting: md5 over sliding 8-grams, mod-16 sampled
+    * (keep grams whose first md5 hex digit is '0') — winnowing-style
+    * shared-substring fingerprints, cross-engine checkable because both
+    * engines agree on md5. */
+  def hFingerprint(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)) AS gs
+        |  FROM documents
+        |  WHERE doc_id < 100 AND length(text) >= 8)
+        |SELECT doc_id,
+        |  size(gs) AS n_grams,
+        |  size(array_distinct(filter(transform(gs, g -> md5(g)), h -> substring(h, 1, 1) = '0'))) AS n_fingerprints
+        |FROM grams
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val hFingerprintSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    list_transform(range(strlen(text) - 7), i -> substr(text, i + 1, 8)) AS gs
+      |  FROM documents
+      |  WHERE doc_id < 100 AND strlen(text) >= 8)
+      |SELECT doc_id,
+      |  len(gs) AS n_grams,
+      |  len(list_distinct(list_filter(list_transform(gs, g -> md5(g)), h -> substr(h, 1, 1) = '0'))) AS n_fingerprints
+      |FROM grams
+      |ORDER BY doc_id""".stripMargin
+
+  // ================================================================ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_dedup_exact" -> (hDedupExact _),
+    "h_simhash_dedup" -> (hSimhashDedup _),
+    "h_neardup_minhash" -> (hNeardupMinhash _),
+    "h_jaccard_sim" -> (hJaccardSim _),
+    "h_neardup_embedding" -> (hNeardupEmbedding _),
+    "h_ann_brute" -> (hAnnBrute _),
+    "h_ann_lsh" -> (hAnnLsh _),
+    "h_text_stats" -> (hTextStats _),
+    "h_lang_heuristic" -> (hLangHeuristic _),
+    "h_fingerprint" -> (hFingerprint _)
+  )
+
+  /** h_ann_lsh omitted: bucket recall is probabilistic ⇒ rows-only check. */
+  def oracle: Map[String, String] = Map(
+    "h_dedup_exact" -> hDedupExactSql,
+    "h_simhash_dedup" -> hSimhashDedupSql,
+    "h_neardup_minhash" -> hNeardupMinhashSql,
+    "h_jaccard_sim" -> hJaccardSimSql,
+    "h_neardup_embedding" -> hNeardupEmbeddingSql,
+    "h_ann_brute" -> hAnnBruteSql,
+    "h_text_stats" -> hTextStatsSql,
+    "h_lang_heuristic" -> hLangHeuristicSql,
+    "h_fingerprint" -> hFingerprintSql
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `BINARY` columns with typed metadata structs; decode / feature-extract /
+  * frame-sample run as per-partition batch transforms (`mapPartitions` —
+  * the JVM analogue of an Arrow-batched pandas UDF: one iterator per
+  * partition, records processed in-stream, no per-row driver round-trip).
+  *
+  * The actual codecs are STUBS — this container has no image/audio
+  * libraries — but deterministic ones, so the Spark-side plumbing (schema,
+  * partitioning, batch shape) is real and the results are independently
+  * checkable: payload bytes here are UTF-8 text, so the oracle can recompute
+  * the same byte arithmetic from the text column.
+  *
+  * Scale posture: decode is scan-local map work (codegen'd projection +
+  * one mapPartitions pass, no shuffle); the only exchange is the final
+  * aggregation. Feature vectors feed the [[LlmOps]] ANN path unchanged.
+  */
+object Multimodal {
+
+  /** Typed media-envelope row produced by the stub decoder. */
+  final case class MediaRecord(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** STUB image decode: parses a fake header out of the first bytes.
+    * Deterministic stand-in for an image library (`???` in spirit) — byte k
+    * is `text[k]` since payloads are UTF-8 here. */
+  def decodeStub(id: Long, content: Array[Byte]): MediaRecord = {
+    def b(i: Int): Int = if (content.length > i) content(i) & 0xff else 0
+    val fmt = (b(3) % 3) match {
+      case 0 => "png"
+      case 1 => "jpg"
+      case _ => "webp"
+    }
+    val feats = new Array[Float](16)
+    var i = 0
+    while (i < 16) { feats(i) = b(i) / 255.0f; i += 1 }
+    MediaRecord(
+      media_id = id,
+      format = fmt,
+      width = (b(0) * 7) % 512 + 1,
+      height = (b(1) * 13) % 512 + 1,
+      channels = b(2) % 3 + 1,
+      n_bytes = content.length.toLong,
+      features = feats)
+  }
+
+  /** STUB frame sampler: every `stride`-th 16-byte window as a "frame". */
+  def frameSampleStub(content: Array[Byte], stride: Int): Seq[Array[Byte]] =
+    (0 until content.length by (stride max 1))
+      .map(off => java.util.Arrays.copyOfRange(content, off, math.min(off + 16, content.length)))
+
+  /** The decode pass: binary payloads → typed media records, one partition
+    * iterator at a time. */
+  def decodeAll(s: SparkSession, payloads: DataFrame): Dataset[MediaRecord] = {
+    import s.implicits._
+    payloads
+      .select(col("media_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, content) => decodeStub(id, content) })
+  }
+
+  /** Driver-surface query: synthesize payloads from documents (UTF-8 bytes
+    * as the opaque "image"), decode, profile by format. The DuckDB oracle
+    * replays the identical header arithmetic from the text column. */
+  def hMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+    decodeAll(s, payloads)
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("width")).cast("long").as("sum_width"),
+        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("channels")).cast("long").as("sum_channels"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(sum(element_at(col("features"), 1)).cast("double"), 4).as("sum_f0"))
+      .orderBy(col("format"))
+  }
+
+  val hMultimodalDecodeSql: String =
+    """WITH hdr AS (
+      |  SELECT doc_id,
+      |    unicode(substr(text, 1, 1)) AS b0,
+      |    unicode(substr(text, 2, 1)) AS b1,
+      |    unicode(substr(text, 3, 1)) AS b2,
+      |    unicode(substr(text, 4, 1)) AS b3,
+      |    strlen(text) AS n_bytes
+      |  FROM documents)
+      |SELECT CASE b3 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+      |  count(*) AS n,
+      |  sum((b0 * 7) % 512 + 1) AS sum_width,
+      |  sum((b1 * 13) % 512 + 1) AS sum_height,
+      |  sum(b2 % 3 + 1) AS sum_channels,
+      |  sum(n_bytes) AS total_bytes,
+      |  round(sum(CAST(CAST(b0 / 255.0 AS FLOAT) AS DOUBLE)), 4) AS sum_f0
+      |FROM hdr
+      |GROUP BY 1
+      |ORDER BY format""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_multimodal_decode" -> (hMultimodalDecode _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "h_multimodal_decode" -> hMultimodalDecodeSql
+  )
+}
