@@ -1,0 +1,70 @@
+package graft.sources.nsq
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.util.concurrent.atomic.AtomicBoolean
+
+import NsqProtocol._
+
+/** Minimal blocking NSQ consumer: connect, IDENTIFY, SUB, RDY; a reader
+  * thread dispatches messages to `onMessage` and answers heartbeats with
+  * NOP. `fin`/`requeue` provide the per-message ack surface the pipeline's
+  * commit path uses (reference semantics: handler.go:19, kinesis_writer.go:
+  * 114-127). Tuning mirrors main.go:62-68 (maxInFlight etc.).
+  */
+final class NsqClient(
+    host: String,
+    port: Int,
+    topic: String,
+    channel: String,
+    maxInFlight: Int = 1000,
+    onMessage: NsqMessage => Unit) {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val out = new DataOutputStream(socket.getOutputStream)
+  private val in = new DataInputStream(socket.getInputStream)
+  private val running = new AtomicBoolean(true)
+  private val writeLock = new Object
+
+  writeMagic(out)
+  writeIdentify(out, s"""{"client_id":"graft","msg_timeout":10000,"output_buffer_timeout":50}""")
+  writeCommand(out, s"SUB $topic $channel")
+  writeCommand(out, s"RDY $maxInFlight")
+
+  private val reader = new Thread(() => {
+    try {
+      while (running.get()) {
+        val frame = readFrame(in)
+        frame.frameType match {
+          case FrameResponse =>
+            if (new String(frame.data, "UTF-8") == "_heartbeat_")
+              writeLock.synchronized(writeCommand(out, "NOP"))
+          case FrameMessage =>
+            onMessage(decodeMessage(frame.data))
+          case FrameError =>
+            throw new java.io.IOException(s"nsq error: ${new String(frame.data, "UTF-8")}")
+          case other =>
+            throw new java.io.IOException(s"unknown frame type $other")
+        }
+      }
+    } catch {
+      case _: Throwable if !running.get() => // closed
+      case e: Throwable => if (running.get()) e.printStackTrace()
+    }
+  }, s"nsq-reader-$topic")
+  reader.setDaemon(true)
+  reader.start()
+
+  def fin(messageId: String): Unit =
+    writeLock.synchronized(writeCommand(out, s"FIN $messageId"))
+
+  def requeue(messageId: String, delayMs: Long = 1000): Unit =
+    writeLock.synchronized(writeCommand(out, s"REQ $messageId $delayMs"))
+
+  def close(): Unit = {
+    running.set(false)
+    try writeLock.synchronized(writeCommand(out, "CLS")) catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.sources.nsq
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NSQ Structured Streaming source (DSv2): `spark.readStream.format("nsq")
+  * .option("host", …).option("port", …).option("topic", …).option("channel", …)`.
+  *
+  * NSQ is a push, non-replayable broker with per-message acks — no seek, no
+  * stable offsets (SURVEY §7 hard-part 1). The connector therefore:
+  *
+  *  1. runs ONE consumer on the driver, buffering messages into an ordered
+  *     in-memory log; synthetic offsets are positions in that log;
+  *  2. ships each micro-batch's slice to executors inside the
+  *     InputPartition (batches are bounded by `maxPerTrigger`, default
+  *     1000 = the reference's MaxInFlight, main.go:62);
+  *  3. acks (FIN) messages only in `commit(offset)` — i.e. after the sink
+  *     epoch is durable, mapping the reference's disable-auto-response +
+  *     Finish-after-PutRecords protocol (handler.go:19, kinesis_writer.go:
+  *     114-127). Un-acked messages redeliver after nsqd's msg_timeout,
+  *     replacing Requeue — at-least-once end to end.
+  *
+  * Schema: id STRING, ts TIMESTAMP, attempts INT, body BINARY (FIXTURES A4).
+  *
+  * Scale: one consumer per source instance matches NSQ's channel semantics
+  * (nsqd load-balances a channel across consumers); horizontal scale-out is
+  * more source instances (union of streams), while everything downstream of
+  * the source is fully distributed.
+  */
+class NsqSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nsq"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = NsqSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NsqTable(new CaseInsensitiveStringMap(properties))
+}
+
+object NsqSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("ts", TimestampType),
+    StructField("attempts", IntegerType),
+    StructField("body", BinaryType)))
+}
+
+class NsqTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"nsq:${options.get("topic")}"
+  override def schema(): StructType = NsqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = NsqSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new NsqMicroBatchStream(options)
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException("nsq source is streaming-only")
+      }
+    }
+}
+
+/** Offset = count of messages appended to the driver-side log. */
+case class NsqOffset(position: Long) extends Offset {
+  override def json(): String = s"""{"position":$position}"""
+}
+
+class NsqMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val host = Option(options.get("host")).getOrElse("127.0.0.1")
+  private val port = Option(options.get("port")).map(_.toInt).getOrElse(4150)
+  private val topic = Option(options.get("topic")).getOrElse("events")
+  private val channel = Option(options.get("channel")).getOrElse("graft")
+  private val maxPerTrigger =
+    Option(options.get("maxPerTrigger")).map(_.toLong).getOrElse(1000L)
+
+  // ordered driver-side log of (offset -> message); grows at the head,
+  // trimmed at commit. Guarded by `log`.
+  private val log = mutable.ArrayDeque.empty[NsqProtocol.NsqMessage]
+  private var logBase = 0L // offset of log.head
+  private var client: NsqClient = _
+
+  private def ensureClient(): Unit = synchronized {
+    if (client == null) {
+      client = new NsqClient(host, port, topic, channel,
+        maxInFlight = maxPerTrigger.toInt,
+        onMessage = m => log.synchronized { log.append(m) })
+    }
+  }
+
+  override def initialOffset(): Offset = NsqOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = {
+    val pos = """"position"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    NsqOffset(pos)
+  }
+
+  override def latestOffset(): Offset = {
+    ensureClient()
+    log.synchronized {
+      val available = logBase + log.size
+      NsqOffset(available)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NsqOffset].position
+    val e = end.asInstanceOf[NsqOffset].position
+    val slice = log.synchronized {
+      val from = math.max(0L, s - logBase).toInt
+      val until = math.max(0L, e - logBase).toInt
+      log.slice(from, until).toArray
+    }
+    Array(NsqInputPartition(slice.map(m =>
+      NsqRowData(m.id, m.timestampNs, m.attempts, m.body))))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new NsqReaderFactory
+
+  /** The at-least-once pivot: FIN everything up to the committed offset and
+    * drop it from the log. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[NsqOffset].position
+    val toAck = log.synchronized {
+      val n = math.max(0L, math.min(e - logBase, log.size.toLong)).toInt
+      val acked = (0 until n).map(_ => log.removeHead())
+      logBase += n
+      acked
+    }
+    if (client != null) toAck.foreach(m => client.fin(m.id))
+  }
+
+  override def stop(): Unit = if (client != null) client.close()
+}
+
+final case class NsqRowData(id: String, tsNs: Long, attempts: Int, body: Array[Byte])
+final case class NsqInputPartition(rows: Array[NsqRowData]) extends InputPartition
+
+class NsqReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[NsqInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        InternalRow(
+          UTF8String.fromString(r.id),
+          r.tsNs / 1000L, // ns -> µs (Spark timestamp micros)
+          r.attempts,
+          r.body)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources.nsq
+
+import graft.SparkSuite
+import graft.streaming.{InMemoryTransport, StreamPipeline}
+import graft.kernel.KplProtobuf
+
+class NsqSourceSpec extends SparkSuite {
+
+  private def msgId(i: Int): String = f"$i%016d"
+
+  test("protocol codec round-trips messages") {
+    val m = NsqProtocol.NsqMessage(msgId(7), 123456789L, 3, "hello".getBytes)
+    val decoded = NsqProtocol.decodeMessage(NsqProtocol.encodeMessage(m))
+    assert(decoded.id === m.id)
+    assert(decoded.timestampNs === m.timestampNs)
+    assert(decoded.attempts === 3)
+    assert(new String(decoded.body) === "hello")
+  }
+
+  test("client consumes from mini server, answers heartbeats, FINs on demand") {
+    val server = new NsqMiniServer
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val client = new NsqClient("127.0.0.1", server.port, "t", "ch",
+      maxInFlight = 100, onMessage = m => got.add(new String(m.body)))
+    try {
+      server.awaitSubscribe()
+      (0 until 5).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      eventually() { assert(got.size === 5) }
+      server.sendHeartbeat() // must be answered with NOP, not break the stream
+      server.publish(msgId(5), "after-hb".getBytes)
+      eventually() { assert(got.size === 6) }
+      client.fin(msgId(0))
+      eventually() { assert(server.finned.contains(msgId(0))) }
+    } finally { client.close(); server.close() }
+  }
+
+  test("end-to-end: nsq source -> dedup/pack pipeline -> kinesis entries, FIN after commit") {
+    val server = new NsqMiniServer
+    InMemoryTransport.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nsq-ckpt").toString
+    val stream = spark.readStream
+      .format("nsq")
+      .option("host", "127.0.0.1")
+      .option("port", server.port.toString)
+      .option("topic", "t")
+      .option("channel", "ch")
+      .load()
+
+    val q = StreamPipeline.build(stream, new InMemoryTransport,
+      StreamPipeline.Options(streamName = "nsq-e2e", checkpoint = ckpt))
+      .start()
+    try {
+      server.awaitSubscribe()
+      (0 until 20).foreach(i => server.publish(msgId(i), s"payload-$i".getBytes))
+      (0 until 5).foreach(i => server.publish(msgId(100 + i), s"payload-$i".getBytes)) // dupes
+      var user = Vector.empty[String]
+      eventually(timeoutMs = 30000) {
+        q.processAllAvailable()
+        user ++= InMemoryTransport.drain().flatMap { case (_, e) =>
+          if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+          else Vector(e.data)
+        }.map(new String(_))
+        assert(user.toSet === (0 until 20).map(i => s"payload-$i").toSet)
+      }
+      // offsets commit after the sink epoch -> server must see FINs
+      eventually(timeoutMs = 30000) {
+        q.processAllAvailable()
+        assert(server.finned.size >= 20)
+      }
+    } finally { q.stop(); server.close() }
+  }
+
+  private def eventually(timeoutMs: Long = 10000)(check: => Unit): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try { check; return }
+      catch { case t: Throwable => last = t; Thread.sleep(100) }
+    }
+    throw last
+  }
+}
