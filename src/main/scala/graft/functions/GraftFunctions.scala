@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, Fnv64aExpr}
+import org.apache.spark.sql.graft.{ArrayDotProduct, Bridge, Fnv64aExpr, MinhashSignatureExpr}
 
 /** Column-API facade + SQL registration for the engine's custom functions.
   *
@@ -24,10 +24,23 @@ object GraftFunctions {
   def partitionKey(body: Column, key: Column): Column =
     when(key.isNotNull && length(key).between(1, 255), key).otherwise(fnv64aHex(body))
 
+  /** dot(a, b) over double arrays — codegen'd native expression. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** k-permutation MinHash signature over pre-hashed shingles. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    Bridge.column(MinhashSignatureExpr(Bridge.expression(hashes), k))
+
   def registerAll(spark: SparkSession): Unit = {
     // fnv64a as a real catalyst expression in SQL too
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64a", exprs => Fnv64aExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinhashSignatureExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.udf.register("kpl_aggregate", udaf(KplFunctions.KplAggregateAgg))
     spark.udf.register("kpl_pack_ordered",
       udf((rows: Seq[KplIn]) => KplFunctions.packOrdered(rows)))

@@ -112,8 +112,7 @@ object LlmOps {
         |  FROM tok WHERE size(tokens) >= 3),
         |sig AS (
         |  SELECT doc_id, shingles,
-        |    transform(sequence(0, 63), k -> array_min(transform(shingles,
-        |      x -> fnv64a(concat(cast(k AS string), ':', x))))) AS signature
+        |    minhash_signature(transform(shingles, s -> fnv64a(s)), 64) AS signature
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, b.band, b.bh
@@ -214,13 +213,10 @@ object LlmOps {
         |  FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
         |normed AS (
-        |  SELECT vec_id, v,
-        |    sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
-        |  FROM corpus),
+        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM corpus),
         |pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-        |      / (a.nrm * b.nrm), 4) AS cosine
+        |    round(dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
         |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cosine
         |FROM pairs
@@ -259,13 +255,11 @@ object LlmOps {
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
-        |  SELECT vec_id, v, sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
-        |  FROM base),
+        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
         |q AS (SELECT * FROM normed WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    round(aggregate(zip_with(q.v, n.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-        |      / (q.nrm * n.nrm), 4) AS cosine
+        |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
         |  FROM q JOIN normed n ON q.vec_id <> n.vec_id),
         |ranked AS (
         |  SELECT q_id, n_id, cosine,
@@ -303,22 +297,20 @@ object LlmOps {
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
-        |  SELECT vec_id, v, sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
-        |  FROM base),
+        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
         |-- deterministic ±1 hyperplanes from fnv64a(plane:dim)
         |bucketed AS (
         |  SELECT vec_id, v, nrm,
         |    aggregate(sequence(0, 7), 0,
         |      (acc, p) -> acc * 2 + CASE WHEN
-        |        aggregate(zip_with(v, transform(sequence(0, 63),
-        |          i -> CAST(pmod(fnv64a(concat(cast(p AS string), ':', cast(i AS string))), 2) * 2 - 1 AS DOUBLE)),
-        |          (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc2, x) -> acc2 + x) > 0 THEN 1 ELSE 0 END) AS bucket
+        |        dot_product(v, transform(sequence(0, 63),
+        |          i -> CAST(pmod(fnv64a(concat(cast(p AS string), ':', cast(i AS string))), 2) * 2 - 1 AS DOUBLE)))
+        |        > 0 THEN 1 ELSE 0 END) AS bucket
         |  FROM normed),
         |q AS (SELECT * FROM bucketed WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    round(aggregate(zip_with(q.v, n.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-        |      / (q.nrm * n.nrm), 4) AS cosine
+        |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
         |  FROM q JOIN bucketed n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id),
         |ranked AS (
         |  SELECT q_id, n_id, cosine,
