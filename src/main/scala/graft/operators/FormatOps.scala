@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** SURVEY.md §2.2 group A beyond parquet scans: CSV and JSON read/write and
+  * parquet write, proven by round-trip — the engine writes a format, reads
+  * it back, and the aggregate of the round-tripped data must match the
+  * oracle's aggregate of the original table. Numeric fidelity notes: doubles
+  * survive CSV/JSON via Java's round-trippable rendering; sums go through
+  * DECIMAL to be order-independent.
+  */
+object FormatOps {
+
+  private def roundtripDir(sfDir: String, fmt: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft-roundtrip/$tag/$fmt"
+  }
+
+  private def eventsSubset(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 5000)
+
+  private def aggShape(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
+  private val aggShapeSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_id < 5000
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** CSV write → CSV read (explicit schema; headers on) → aggregate. */
+  def aCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "csv")
+    eventsSubset(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    aggShape(s.read.schema(schema).option("header", "true").csv(out))
+  }
+
+  /** JSON-lines write → read (schema inferred) → aggregate. */
+  def aJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "json")
+    eventsSubset(s, dir).write.mode("overwrite").json(out)
+    aggShape(s.read.json(out).select(
+      col("event_id").cast("long"), col("event_type"), col("value").cast("double")))
+  }
+
+  /** Parquet write → read → aggregate (the sink format of the testdata). */
+  def aParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "parquet")
+    eventsSubset(s, dir).write.mode("overwrite").parquet(out)
+    aggShape(s.read.parquet(out))
+  }
+
+  /** D: approx_count_distinct (HLL++). The estimate is engine-specific, so
+    * the cross-engine check asserts the tolerance contract instead: the
+    * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %). */
+  def dAggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("est"))
+      .select(
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("within_tolerance"))
+
+  val dAggApproxSql: String =
+    """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_tolerance
+      |FROM lineitem""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_csv_roundtrip" -> (aCsvRoundtrip _),
+    "a_json_roundtrip" -> (aJsonRoundtrip _),
+    "a_parquet_roundtrip" -> (aParquetRoundtrip _),
+    "d_agg_approx" -> (dAggApprox _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a_csv_roundtrip" -> aggShapeSql,
+    "a_json_roundtrip" -> aggShapeSql,
+    "a_parquet_roundtrip" -> aggShapeSql,
+    "d_agg_approx" -> dAggApproxSql
+  )
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.functions.GraftFunctions
+
+/** Exact two-generation dedup semantics on the state store — the precise
+  * reference behavior (pkg/deduper/deduper.go:17-47 + the 120 s rotation
+  * ticker, main.go:110-120), where `dropDuplicatesWithinWatermark` is only
+  * an approximation (SURVEY §7 hard-part 3):
+  *
+  *  - generation g = processingTime / rotationMs (the ticker);
+  *  - a key is a duplicate iff last seen in generation g or g-1
+  *    ("seen || lastgen", deduper.go:33);
+  *  - every test re-marks the key in the current generation, so a hot key
+  *    never expires (deduper.go:34);
+  *  - generation g-2 knowledge is dropped — here via state TTL of
+  *    2×rotation, the same retention bound as the map swap (deduper.go:42-47).
+  *
+  * Keys are hash-partitioned across executors, so state scales horizontally
+  * where the Go original was one mutex-guarded in-process map.
+  */
+object TwoGenDeduper {
+
+  final case class DedupRow(
+      id: String, ts: java.sql.Timestamp, attempts: Int, body: Array[Byte], body_hash: Long)
+
+  class Processor(rotationMs: Long)
+      extends StatefulProcessor[Long, DedupRow, DedupRow] {
+
+    @transient private var lastSeenGen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeenGen = getHandle.getValueState[Long](
+        "lastSeenGen", Encoders.scalaLong, TTLConfig(Duration.ofMillis(rotationMs * 2)))
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[DedupRow], timerValues: TimerValues): Iterator[DedupRow] = {
+      val gen = timerValues.getCurrentProcessingTimeInMs() / rotationMs
+      val seenBefore = lastSeenGen.exists() && lastSeenGen.get() >= gen - 1
+      lastSeenGen.update(gen)
+      if (seenBefore) Iterator.empty
+      else if (rows.hasNext) Iterator.single(rows.next()) // first occurrence only
+      else Iterator.empty
+    }
+  }
+
+  /** Exact-dedup stage: expects id/ts/attempts/body columns, emits the
+    * deduplicated envelope (same schema + body_hash). Drop-in replacement
+    * for the watermark dedup in [[StreamPipeline.transform]]. */
+  def apply(stream: DataFrame, rotationMs: Long = 120000L): Dataset[DedupRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    // transformWithState requires the RocksDB provider (multiple column
+    // families); the default HDFS-backed store cannot run it
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    stream
+      .withColumn("body_hash", GraftFunctions.fnv64a(col("body")))
+      .select(col("id"), col("ts"), col("attempts"), col("body"), col("body_hash"))
+      .as[DedupRow]
+      .groupByKey(_.body_hash)
+      .transformWithState(new Processor(rotationMs), TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}
