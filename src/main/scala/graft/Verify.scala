@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark won't read
       // natively; surface it as BIGINT nanos (queries convert as needed)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

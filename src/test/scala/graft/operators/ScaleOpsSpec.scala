@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkSuite}
+
+class ScaleOpsSpec extends SparkSuite {
+
+  test("bucketed join plan has no Exchange feeding the join (co-located buckets)") {
+    // at tiny SF the optimizer broadcasts instead (also shuffle-free);
+    // disable broadcast to expose the bucket co-location property itself
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = ScaleOps.cJoinBucketed(spark, SparkSpec.sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // in tree text the join's children print BELOW it: no shuffle may
+      // appear after the join line (exchanges above belong to agg/sort)
+      val joinSubtree = plan.linesIterator.dropWhile(l => !l.contains("Join"))
+        .drop(1).mkString("\n")
+      assert(!joinSubtree.contains("Exchange"),
+        s"join subtree must read buckets without a shuffle:\n$plan")
+      assert(df.collect().map(_.getLong(1)).sum > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join equals the plain join result") {
+    import org.apache.spark.sql.functions._
+    val plain = graft.Tables.load(spark, SparkSpec.sf0001, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      .join(graft.Tables.load(spark, SparkSpec.sf0001, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus")), "k")
+      .groupBy(col("o_orderstatus")).count().orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = ScaleOps.cJoinSalted(spark, SparkSpec.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted === plain)
+  }
+}
