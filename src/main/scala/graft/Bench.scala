@@ -21,11 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: session, codegen, parquet footers
-    try {
-      SparkEntry.queries("q1_pricing")(spark, sfDir).count()
-      SparkEntry.queries("h_ann_brute")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    // warm-up: one full pass absorbs JVM/codegen/footer costs and one-time
+    // side effects (bucketed-table writes, roundtrip dirs) so the timed pass
+    // measures steady state
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
