@@ -550,14 +550,16 @@ object RelationalQueries {
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
         round(aggregate(slice(col("embedding"), 1, 4),
-          lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("sum_first4"))
+          lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("sum_first4"),
+        array_contains(transform(col("embedding"), x => x > 0.5f), true).as("has_large"))
       .orderBy(col("vec_id"))
 
   val f2ArraySql: String =
     """SELECT vec_id,
       |  CAST(len(embedding) AS BIGINT) AS dim,
       |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-      |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS sum_first4
+      |  round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS sum_first4,
+      |  list_contains(list_transform(embedding, x -> x > CAST(0.5 AS FLOAT)), true) AS has_large
       |FROM embeddings
       |WHERE vec_id <= 100
       |ORDER BY vec_id""".stripMargin
