@@ -321,6 +321,55 @@ object LlmOps {
         |ORDER BY q_id, rnk""".stripMargin)
   }
 
+  /** IVF-style ANN (the other classic scale path next to [[hAnnLsh]]): a
+    * coarse quantizer (here the first 16 vectors as fixed centroids —
+    * deterministic; a k-means refinement drops in without changing the
+    * query shape) assigns every vector to its nearest centroid's inverted
+    * list; queries probe their nprobe=2 closest lists and rank only those
+    * candidates. At 100 TB the candidate set shrinks by ~n/centroids per
+    * probe and the assignment is scan-local map work. Rows-only check
+    * (recall is probabilistic; measured against brute force in the spec). */
+  def hAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM normed WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, c_id, rn FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+        |    FROM normed n CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_id, rn FROM (
+        |    SELECT n.vec_id, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+        |    FROM normed n CROSS JOIN cent c
+        |    WHERE n.vec_id < 10)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+        |  WHERE a.vec_id <> p.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.n_id,
+        |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
+        |  FROM cand c
+        |  JOIN normed q ON q.vec_id = c.q_id
+        |  JOIN normed n ON n.vec_id = c.n_id)
+        |SELECT q_id, n_id, cosine, rnk FROM (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
   // ================================================================ text analysis
 
   /** Quality/stats profile per language: token counts (whitespace), byte
@@ -393,6 +442,59 @@ object LlmOps {
       |GROUP BY 1, 2
       |ORDER BY lang, predicted""".stripMargin
 
+  /** Token counting (whitespace + BPE-ish regex over word/number/symbol
+    * runs) and a composite quality score (length band + stopword density),
+    * the standard pre-training corpus filters. Identical arithmetic on both
+    * engines. */
+  def hTokenQuality(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT lang, n_chars,
+        |    size(split(text, ' ')) AS ws_tokens,
+        |    size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens,
+        |    octet_length(text) AS n_bytes,
+        |    size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_tokens
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang, ws_tokens, re_tokens, n_bytes,
+        |    CAST(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens) AS DOUBLE) AS quality
+        |  FROM tok)
+        |SELECT lang,
+        |  sum(ws_tokens) AS total_ws_tokens,
+        |  sum(re_tokens) AS total_re_tokens,
+        |  round(sum(n_bytes) / sum(ws_tokens), 4) AS avg_bytes_per_token,
+        |  sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM scored
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hTokenQualitySql: String =
+    """WITH tok AS (
+      |  SELECT lang, n_chars,
+      |    len(string_split(text, ' ')) AS ws_tokens,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens,
+      |    strlen(text) AS n_bytes,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS stop_tokens
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang, ws_tokens, re_tokens, n_bytes,
+      |    (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
+      |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens)) AS quality
+      |  FROM tok)
+      |SELECT lang,
+      |  sum(ws_tokens) AS total_ws_tokens,
+      |  sum(re_tokens) AS total_re_tokens,
+      |  round(sum(n_bytes) / sum(ws_tokens), 4) AS avg_bytes_per_token,
+      |  sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality,
+      |  round(avg(quality), 4) AS avg_quality
+      |FROM scored
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Document fingerprinting: md5 over sliding 8-grams, mod-16 sampled
     * (keep grams whose first md5 hex digit is '0') — winnowing-style
     * shared-substring fingerprints, cross-engine checkable because both
@@ -434,13 +536,16 @@ object LlmOps {
     "h_neardup_embedding" -> (hNeardupEmbedding _),
     "h_ann_brute" -> (hAnnBrute _),
     "h_ann_lsh" -> (hAnnLsh _),
+    "h_ann_ivf" -> (hAnnIvf _),
+    "h_token_quality" -> (hTokenQuality _),
     "h_text_stats" -> (hTextStats _),
     "h_lang_heuristic" -> (hLangHeuristic _),
     "h_fingerprint" -> (hFingerprint _)
   )
 
-  /** h_ann_lsh omitted: bucket recall is probabilistic ⇒ rows-only check. */
+  /** h_ann_lsh / h_ann_ivf omitted: recall is probabilistic ⇒ rows-only. */
   def oracle: Map[String, String] = Map(
+    "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
     "h_simhash_dedup" -> hSimhashDedupSql,
     "h_neardup_minhash" -> hNeardupMinhashSql,

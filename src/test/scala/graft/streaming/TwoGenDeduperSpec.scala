@@ -30,7 +30,10 @@ class TwoGenDeduperSpec extends SparkSuite {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Msg]
-    val deduped = TwoGenDeduper(input.toDF(), rotationMs = 2000L)
+    // generous rotation: under full-suite load a batch can take >1 s to
+    // schedule, and a rotation crossing mid-phase breaks the scenario
+    val rotationMs = 6000L
+    val deduped = TwoGenDeduper(input.toDF(), rotationMs = rotationMs)
     val q = deduped.writeStream
       .format("memory").queryName("twogen")
       .outputMode(OutputMode.Append())
@@ -45,11 +48,11 @@ class TwoGenDeduperSpec extends SparkSuite {
 
       // immediate redelivery: still within generation -> dropped ("aa")
       input.addData(Seq(msg(4, "a")))
-      Thread.sleep(1500L)
+      Thread.sleep(1200L)
       assert(spark.table("twogen").count() === 2L)
 
       // wait 2 full rotations without re-seeing 'a' -> "a##a" readmits
-      Thread.sleep(4500L)
+      Thread.sleep(2 * rotationMs + 1500L)
       input.addData(Seq(msg(5, "a")))
       assert(awaitCount(3) === 3L, "key must age out after 2 rotations")
     } finally q.stop()
