@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ArrayDotProduct, Bridge, Fnv64aExpr, MinhashSignatureExpr}
+import org.apache.spark.sql.graft.{ArrayDotProduct, Bridge, Fnv64aExpr, KplDeaggregateExpr, MinhashSignatureExpr}
 
 /** Column-API facade + SQL registration for the engine's custom functions.
   *
@@ -32,6 +32,11 @@ object GraftFunctions {
   def minhashSignature(hashes: Column, k: Int): Column =
     Bridge.column(MinhashSignatureExpr(Bridge.expression(hashes), k))
 
+  /** Cosine similarity over double arrays, composed from the codegen'd
+    * dot product (the SURVEY §7 `cosine_sim` surface). */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+
   def registerAll(spark: SparkSession): Unit = {
     // fnv64a as a real catalyst expression in SQL too
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -41,6 +46,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", exprs => MinhashSignatureExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kpl_deaggregate_rows", exprs => KplDeaggregateExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(ArrayDotProduct(a, b),
+          Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
+      }, "scala_udf")
     spark.udf.register("kpl_aggregate", udaf(KplFunctions.KplAggregateAgg))
     spark.udf.register("kpl_pack_ordered",
       udf((rows: Seq[KplIn]) => KplFunctions.packOrdered(rows)))

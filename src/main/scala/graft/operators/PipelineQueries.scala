@@ -35,12 +35,13 @@ object PipelineQueries {
       .selectExpr(
         "event_type",
         "explode(kpl_pack_ordered(transform(rows, r -> struct(r.body AS body, event_type AS key)))) AS entry")
-      .selectExpr("event_type", "explode(kpl_deaggregate(entry.data)) AS rec")
+      // native Generator: one framed aggregate explodes straight to rows
+      .selectExpr("event_type", "kpl_deaggregate_rows(entry.data)")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(length(col("rec.data"))).cast("long").as("total_bytes"),
-        countDistinct(col("rec.partition_key")).as("n_keys"))
+        sum(length(col("data"))).cast("long").as("total_bytes"),
+        countDistinct(col("partition_key")).as("n_keys"))
       .orderBy(col("event_type"))
   }
 

@@ -72,6 +72,33 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(out.forall(r => r.getString(2) === r.getString(0)))
   }
 
+  test("kpl_deaggregate_rows generator explodes aggregates; null and raw payloads behave") {
+    import spark.implicits._
+    Seq(("a", "k"), ("b", "k"), ("c", "j")).toDF("s", "k").createOrReplaceTempView("genrecs")
+    val out = spark.sql(
+      """WITH packed AS (
+        |  SELECT kpl_pack_ordered(sort_array(collect_list(struct(encode(s,'UTF-8') AS body, k AS key)))) AS entries
+        |  FROM genrecs),
+        |e AS (SELECT explode(entries) AS entry FROM packed)
+        |SELECT decode(data, 'UTF-8') AS s, partition_key
+        |FROM e, LATERAL (SELECT kpl_deaggregate_rows(entry.data))
+        |ORDER BY s""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "k"), ("b", "k"), ("c", "j")))
+    // null input -> zero rows; raw (non-KPL) payload -> one row, null key
+    assert(spark.sql("SELECT kpl_deaggregate_rows(CAST(NULL AS BINARY))").count() === 0L)
+    val raw = spark.sql("SELECT kpl_deaggregate_rows(encode('plain', 'UTF-8'))").collect()
+    assert(raw.length === 1 && raw(0).isNullAt(1))
+  }
+
+  test("cosine_sim composes from dot_product and is SQL-callable") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +
+      "round(cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS orth").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 0.0)
+  }
+
   test("partitionKey falls back to body hash for invalid keys") {
     import spark.implicits._
     val df = Seq(("hello", "good"), ("hello", ""), ("hello", "x" * 256))
