@@ -293,19 +293,23 @@ object LlmOps {
     * (rows-only check): bucket recall is probabilistic by design. */
   def hAnnLsh(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    // deterministic ±1 hyperplanes from fnv64a(plane:dim), precomputed once
+    // here and inlined as literals — constants must not be re-derived per row
+    val planeSql = (0 until 8).map { p =>
+      val arr = (0 until 64).map { i =>
+        val bit = (graft.kernel.Fnv64a.hash(s"$p:$i") % 2 + 2) % 2
+        if (bit == 1) "1.0D" else "-1.0D"
+      }.mkString("array(", ",", ")")
+      val weight = 1 << (7 - p)
+      s"CASE WHEN dot_product(v, $arr) > 0 THEN $weight ELSE 0 END"
+    }.mkString(" + ")
     s.sql(
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-        |-- deterministic ±1 hyperplanes from fnv64a(plane:dim)
         |bucketed AS (
-        |  SELECT vec_id, v, nrm,
-        |    aggregate(sequence(0, 7), 0,
-        |      (acc, p) -> acc * 2 + CASE WHEN
-        |        dot_product(v, transform(sequence(0, 63),
-        |          i -> CAST(pmod(fnv64a(concat(cast(p AS string), ':', cast(i AS string))), 2) * 2 - 1 AS DOUBLE)))
-        |        > 0 THEN 1 ELSE 0 END) AS bucket
+        |  SELECT vec_id, v, nrm, ($planeSql) AS bucket
         |  FROM normed),
         |q AS (SELECT * FROM bucketed WHERE vec_id < 10),
         |scored AS (
