@@ -38,23 +38,11 @@ object GraftFunctions {
     dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
   def registerAll(spark: SparkSession): Unit = {
-    // fnv64a as a real catalyst expression in SQL too
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv64a", exprs => Fnv64aExpr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinhashSignatureExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kpl_deaggregate_rows", exprs => KplDeaggregateExpr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => {
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
-        val (a, b) = (exprs(0), exprs(1))
-        Divide(ArrayDotProduct(a, b),
-          Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
-      }, "scala_udf")
+    // native expressions: same builders the GraftExtensions entry point uses
+    org.apache.spark.sql.graft.GraftBuilders.all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
     spark.udf.register("kpl_aggregate", udaf(KplFunctions.KplAggregateAgg))
     spark.udf.register("kpl_pack_ordered",
       udf((rows: Seq[KplIn]) => KplFunctions.packOrdered(rows)))

@@ -34,7 +34,7 @@ object KplFunctions {
     * (the raw entry carries its key out-of-band). */
   def deaggregate(data: Array[Byte]): Seq[KplUserRecord] =
     if (data != null && KplProtobuf.isAggregated(data)) {
-      val agg = KplProtobuf.deframe(data)
+      val agg = KplProtobuf.decodeFramed(data) // isAggregated already verified MD5
       agg.records.map(r => KplUserRecord(r.data, agg.partitionKeys(r.partitionKeyIndex.toInt)))
     } else if (data == null) Seq.empty
     else Seq(KplUserRecord(data, null))

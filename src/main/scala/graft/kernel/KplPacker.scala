@@ -20,9 +20,9 @@ final case class KinesisEntry(data: Array[Byte], partitionKey: String)
   *    key (aggregator.go:58);
   *  - `put` returns the slot index the record's output entry will occupy in
   *    the `drain()` result, so callers can route per-entry failures back to
-  *    source records (kinesis_writer.go:69-73). The oversize path returns
-  *    `completed.length` *after* appending — one past the entry's actual
-  *    index — mirroring the reference exactly (aggregator.go:142).
+  *    source records (kinesis_writer.go:69-73); unlike the Go original's
+  *    oversize path (aggregator.go:142, off by one, untested there), the
+  *    returned slot is always the entry's actual index.
   *
   * In the Spark engine this runs strictly per-partition (a fold over a
   * partition iterator or an Aggregator buffer) — no cross-partition state, so
@@ -59,7 +59,12 @@ final class KplPacker(
       completed += KinesisEntry(body, partKey)
       nbyte += body.length + partKey.length
       nrec += 1
-      return completed.length // reference quirk: one past the entry's index
+      // NOTE: deliberate deviation — the Go original returns
+      // len(completedRecs) here (one past the entry's index,
+      // aggregator.go:142), which its own tests never pin and which would
+      // misroute per-entry ack/requeue in BatchWriter.slotSources. Return
+      // the entry's actual slot.
+      return completed.length - 1
     }
 
     if (records.nonEmpty && curSize + body.length + partKey.length > targetSize)

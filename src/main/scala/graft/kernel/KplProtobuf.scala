@@ -158,6 +158,12 @@ object KplProtobuf {
     * round-trips against (aggregator_test.go:118-138). */
   def deframe(framed: Array[Byte]): Aggregated = {
     require(isAggregated(framed), "not a KPL aggregated record (bad magic or MD5)")
-    decode(java.util.Arrays.copyOfRange(framed, 4, framed.length - 16))
+    decodeFramed(framed)
   }
+
+  /** Unframe without re-verifying — for callers that already checked
+    * [[isAggregated]] (the check costs a full MD5 over the payload; doing
+    * it twice doubles the hash work on the deaggregation scan path). */
+  def decodeFramed(framed: Array[Byte]): Aggregated =
+    decode(java.util.Arrays.copyOfRange(framed, 4, framed.length - 16))
 }

@@ -43,7 +43,13 @@ final class NsqClient(
           case FrameMessage =>
             onMessage(decodeMessage(frame.data))
           case FrameError =>
-            throw new java.io.IOException(s"nsq error: ${new String(frame.data, "UTF-8")}")
+            // Error frames are mostly non-fatal per the NSQ protocol
+            // (E_FIN_FAILED, E_REQ_FAILED, ...): log and keep consuming.
+            // Only E_INVALID/E_BAD_* indicate a broken session worth dying on.
+            val msg = new String(frame.data, "UTF-8")
+            if (msg.startsWith("E_INVALID") || msg.startsWith("E_BAD"))
+              throw new java.io.IOException(s"nsq fatal error: $msg")
+            else System.err.println(s"[nsq] non-fatal error frame: $msg")
           case other =>
             throw new java.io.IOException(s"unknown frame type $other")
         }

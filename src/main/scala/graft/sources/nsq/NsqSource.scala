@@ -89,6 +89,12 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchS
   // trimmed at commit. Guarded by `log`.
   private val log = mutable.ArrayDeque.empty[NsqProtocol.NsqMessage]
   private var logBase = 0L // offset of log.head
+  // After a restart the checkpoint's offsets are positions in the PREVIOUS
+  // run's log, while this log restarts at 0 with nsqd's redeliveries. The
+  // first planned batch aligns logBase to its start offset so the replayed
+  // range maps onto the redelivered messages (at-least-once), and commit
+  // can never ack messages that were not planned (data-loss guard).
+  private var aligned = false
   private var client: NsqClient = _
 
   private def ensureClient(): Unit = synchronized {
@@ -119,6 +125,10 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchS
     val s = start.asInstanceOf[NsqOffset].position
     val e = end.asInstanceOf[NsqOffset].position
     val slice = log.synchronized {
+      if (!aligned) {
+        if (s > logBase) logBase = s // restart: re-anchor synthetic offsets
+        aligned = true
+      }
       val from = math.max(0L, s - logBase).toInt
       val until = math.max(0L, e - logBase).toInt
       log.slice(from, until).toArray
@@ -134,10 +144,18 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchS
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[NsqOffset].position
     val toAck = log.synchronized {
-      val n = math.max(0L, math.min(e - logBase, log.size.toLong)).toInt
-      val acked = (0 until n).map(_ => log.removeHead())
-      logBase += n
-      acked
+      if (!aligned) {
+        // commit arriving before any planned batch (restart edge): nothing in
+        // this log was planned under these offsets — ack nothing, re-anchor
+        if (e > logBase) logBase = e
+        aligned = true
+        Seq.empty
+      } else {
+        val n = math.max(0L, math.min(e - logBase, log.size.toLong)).toInt
+        val acked = (0 until n).map(_ => log.removeHead())
+        logBase += n
+        acked
+      }
     }
     if (client != null) toAck.foreach(m => client.fin(m.id))
   }

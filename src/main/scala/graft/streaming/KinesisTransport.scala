@@ -85,11 +85,13 @@ class RetryingTransport(
     val ok = Array.fill(entries.size)(false)
     var pending = entries.indices.toVector
     var attempt = 0
-    val rnd = new scala.util.Random(stream.hashCode.toLong << 17 | entries.size)
+    // per-call randomness: a deterministic seed would synchronize the
+    // "jitter" across every task retrying the same stream (thundering herd)
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
     while (pending.nonEmpty && attempt <= maxRetries) {
       if (attempt > 0) {
         val cap = math.min(maxBackoffMs, baseBackoffMs << (attempt - 1))
-        sleeper(rnd.nextLong(cap + 1)) // AWS full-jitter: uniform [0, cap]
+        sleeper(rnd.nextLong(cap + 1L)) // AWS full-jitter: uniform [0, cap]
       }
       val res = inner.putRecords(stream, pending.map(entries))
       pending.zip(res).foreach { case (idx, succeeded) => if (succeeded) ok(idx) = true }

@@ -38,8 +38,9 @@ object StreamPipeline {
 
   /** Expects columns: id STRING, ts TIMESTAMP, attempts INT, body BINARY,
     * and optionally key STRING (invalid/missing keys fall back to the body
-    * hash, aggregator.go:124-130). */
-  def transform(stream: DataFrame): DataFrame = {
+    * hash, aggregator.go:124-130). `dedupWindow` is the dedup horizon
+    * (default = 2 × the reference's 120 s generation, main.go:113). */
+  def transform(stream: DataFrame, dedupWindow: String = "4 minutes"): DataFrame = {
     val spark = stream.sparkSession
     GraftFunctions.registerAll(spark)
     val keyed =
@@ -47,7 +48,7 @@ object StreamPipeline {
       else stream.withColumn("key", lit(null).cast("string"))
     keyed
       .withColumn("body_hash", GraftFunctions.fnv64a(col("body")))
-      .withWatermark("ts", "4 minutes")
+      .withWatermark("ts", dedupWindow)
       .dropDuplicatesWithinWatermark("body_hash")
       .filter(octet_length(col("body")) <= BatchWriter.MaxMessageSize)
       .withColumn("partition_key", GraftFunctions.partitionKey(col("body"), col("key")))
@@ -88,7 +89,7 @@ object StreamPipeline {
     * trigger. Caller starts the returned writer. */
   def build(stream: DataFrame, transport: KinesisTransport,
             opts: Options = Options()): DataStreamWriter[org.apache.spark.sql.Row] =
-    transform(stream).writeStream
+    transform(stream, opts.dedupWindow).writeStream
       .queryName(s"graft-${opts.streamName}")
       .trigger(Trigger.ProcessingTime(opts.triggerMs))
       .option("checkpointLocation", opts.checkpoint)

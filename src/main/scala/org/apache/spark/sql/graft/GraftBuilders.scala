@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Multiply, Sqrt}
+
+/** Single source of truth for the engine's expression builders — shared by
+  * the session-level registry (GraftFunctions.registerAll) and the
+  * cluster-level extension (graft.GraftExtensions), so both SQL entry
+  * points always resolve a name to the identical expression tree.
+  */
+object GraftBuilders {
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("fnv64a",
+      exprs => Fnv64aExpr(exprs.head),
+      "fnv64a(expr) - FNV-64a hash of a binary/string column."),
+    ("dot_product",
+      exprs => ArrayDotProduct(exprs(0), exprs(1)),
+      "dot_product(a, b) - inner product of double arrays."),
+    ("minhash_signature",
+      exprs => MinhashSignatureExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "minhash_signature(hashes, k) - k-permutation MinHash signature."),
+    ("kpl_deaggregate_rows",
+      exprs => KplDeaggregateExpr(exprs.head),
+      "kpl_deaggregate_rows(data) - explode a KPL aggregate into user records."),
+    ("cosine_sim",
+      exprs => {
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(ArrayDotProduct(a, b),
+          Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
+      },
+      "cosine_sim(a, b) - cosine similarity of double arrays."))
+}

@@ -31,7 +31,7 @@ case class KplDeaggregateExpr(child: Expression)
     val raw = child.eval(input).asInstanceOf[Array[Byte]]
     if (raw == null) Iterator.empty
     else if (KplProtobuf.isAggregated(raw)) {
-      val agg = KplProtobuf.deframe(raw)
+      val agg = KplProtobuf.decodeFramed(raw) // isAggregated already verified MD5
       agg.records.iterator.map { r =>
         InternalRow(r.data, UTF8String.fromString(agg.partitionKeys(r.partitionKeyIndex.toInt)))
       }

@@ -98,6 +98,15 @@ class KplPackerSpec extends AnyFunSuite {
     assert(agg.records.forall(_.partitionKeyIndex === 0L))
   }
 
+  test("oversize slot routing: standalone entries report their actual index") {
+    val a = new KplPacker
+    a.put("small".getBytes, "k")            // in-flight aggregate
+    val slot = a.put(rand(26000), "big")    // bypass -> completed(0)
+    assert(slot === 0, "oversize entry's actual index (deviates from Go's off-by-one)")
+    val entries = a.drain()
+    assert(entries(slot).partitionKey === "big")
+  }
+
   test("26000-byte record bypasses as standalone entry: +26003 bytes, +1 rec") {
     val a = new KplPacker
     val preSize = a.size; val preRecs = a.recs

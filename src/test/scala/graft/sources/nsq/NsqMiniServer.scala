@@ -35,6 +35,10 @@ final class NsqMiniServer {
     if (out != null) writeFrame(out, FrameResponse, "_heartbeat_".getBytes("UTF-8"))
   }
 
+  def sendError(msg: String): Unit = writeLock.synchronized {
+    if (out != null) writeFrame(out, FrameError, msg.getBytes("UTF-8"))
+  }
+
   private def maybeDeliver(): Unit = writeLock.synchronized {
     if (out == null) return
     while (ready > 0 && !pending.isEmpty) {
