@@ -101,7 +101,7 @@ object PipelineQueries {
 
   val gPartitionKeysSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_user_keyed
+      |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_user_keyed
       |FROM events
       |WHERE strlen(props) <= 1048576
       |GROUP BY event_type

@@ -137,7 +137,7 @@ object RelationalQueries {
     """SELECT c_mktsegment,
       |  count(DISTINCT c_custkey) AS n_customers,
       |  count(o_orderkey) AS n_orders,
-      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless_rows
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless_rows
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
@@ -366,8 +366,8 @@ object RelationalQueries {
     Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS delta_prev,
-        |  CAST(lead(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS next_price
+        |  o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta_prev,
+        |  lead(o_totalprice, 1, 0.0) OVER w AS next_price
         |FROM orders
         |WHERE o_custkey <= 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -376,8 +376,8 @@ object RelationalQueries {
 
   val eWindowLagSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  CAST(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS delta_prev,
-      |  CAST(lead(o_totalprice, 1, 0.0) OVER w AS DECIMAL(18,2)) AS next_price
+      |  o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta_prev,
+      |  lead(o_totalprice, 1, 0.0) OVER w AS next_price
       |FROM orders
       |WHERE o_custkey <= 50
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -577,7 +577,7 @@ object RelationalQueries {
 
   val f2JsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
       |FROM events
       |GROUP BY event_type
