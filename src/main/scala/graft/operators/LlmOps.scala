@@ -265,7 +265,7 @@ object LlmOps {
         |  SELECT q_id, n_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
         |  FROM scored)
-        |SELECT q_id, n_id, cosine, rnk
+        |SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin)
   }
@@ -377,7 +377,11 @@ object LlmOps {
   // ================================================================ text analysis
 
   /** Quality/stats profile per language: token counts (whitespace), byte
-    * and char counts, stopword + punctuation ratios, stored-n_chars check. */
+    * and char counts, stopword + punctuation ratios, stored-n_chars check.
+    * Cross-engine determinism: every aggregate is an exact integer (DuckDB
+    * integer sums are HUGEINT unless cast — cast them all to BIGINT), and
+    * ratios ship as integer-scaled BIGINTs (`round(1e4*a/b)`), never as
+    * `round(double, d)` whose tie handling differs across engines. */
   def hTextStats(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -386,10 +390,10 @@ object LlmOps {
         |SELECT lang,
         |  count(*) AS n_docs,
         |  sum(size(tokens)) AS total_tokens,
-        |  round(sum(size(tokens)) / count(*), 4) AS avg_tokens,
+        |  CAST(round(1e4 * sum(size(tokens)) / count(*)) AS BIGINT) AS avg_tokens_x1e4,
         |  sum(length(text)) AS total_chars,
         |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok,
-        |  round(sum(size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) / sum(size(tokens)), 4) AS stopword_ratio
+        |  CAST(round(1e6 * sum(size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) / sum(size(tokens))) AS BIGINT) AS stopword_x1e6
         |FROM tok
         |GROUP BY lang
         |ORDER BY lang""".stripMargin)
@@ -400,11 +404,11 @@ object LlmOps {
       |  SELECT lang, n_chars, text, string_split(text, ' ') AS tokens FROM documents)
       |SELECT lang,
       |  count(*) AS n_docs,
-      |  sum(len(tokens)) AS total_tokens,
-      |  round(sum(len(tokens)) / count(*), 4) AS avg_tokens,
-      |  sum(length(text)) AS total_chars,
-      |  sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_chars_ok,
-      |  round(sum(len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) / sum(len(tokens)), 4) AS stopword_ratio
+      |  CAST(sum(len(tokens)) AS BIGINT) AS total_tokens,
+      |  CAST(round(1e4 * CAST(sum(len(tokens)) AS BIGINT) / count(*)) AS BIGINT) AS avg_tokens_x1e4,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_ok,
+      |  CAST(round(1e6 * CAST(sum(len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))) AS BIGINT) / CAST(sum(len(tokens)) AS BIGINT)) AS BIGINT) AS stopword_x1e6
       |FROM tok
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -448,8 +452,11 @@ object LlmOps {
 
   /** Token counting (whitespace + BPE-ish regex over word/number/symbol
     * runs) and a composite quality score (length band + stopword density),
-    * the standard pre-training corpus filters. Identical arithmetic on both
-    * engines. */
+    * the standard pre-training corpus filters. Cross-engine determinism:
+    * the per-row quality score is rounded to integer millis (the per-row
+    * double is identical on both engines, so its rounding is too), making
+    * every aggregate an exact-integer sum — no order-dependent double
+    * summation, no HUGEINT drift (every DuckDB sum cast to BIGINT). */
   def hTokenQuality(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -462,15 +469,15 @@ object LlmOps {
         |  FROM documents),
         |scored AS (
         |  SELECT lang, ws_tokens, re_tokens, n_bytes,
-        |    CAST(CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
-        |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens) AS DOUBLE) AS quality
+        |    CAST(round(1e3 * (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens))) AS BIGINT) AS quality_milli
         |  FROM tok)
         |SELECT lang,
         |  sum(ws_tokens) AS total_ws_tokens,
         |  sum(re_tokens) AS total_re_tokens,
-        |  round(sum(n_bytes) / sum(ws_tokens), 4) AS avg_bytes_per_token,
-        |  sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality,
-        |  round(avg(quality), 4) AS avg_quality
+        |  CAST(round(1e4 * sum(n_bytes) / sum(ws_tokens)) AS BIGINT) AS bytes_per_token_x1e4,
+        |  sum(CASE WHEN quality_milli >= 600 THEN 1 ELSE 0 END) AS n_high_quality,
+        |  CAST(round(sum(quality_milli) / count(*)) AS BIGINT) AS avg_quality_milli
         |FROM scored
         |GROUP BY lang
         |ORDER BY lang""".stripMargin)
@@ -486,15 +493,15 @@ object LlmOps {
       |  FROM documents),
       |scored AS (
       |  SELECT lang, ws_tokens, re_tokens, n_bytes,
-      |    (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
-      |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens)) AS quality
+      |    CAST(round(1e3 * (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 0.5 ELSE 0.0 END +
+      |     LEAST(0.5, 2.0 * stop_tokens / ws_tokens))) AS BIGINT) AS quality_milli
       |  FROM tok)
       |SELECT lang,
-      |  sum(ws_tokens) AS total_ws_tokens,
-      |  sum(re_tokens) AS total_re_tokens,
-      |  round(sum(n_bytes) / sum(ws_tokens), 4) AS avg_bytes_per_token,
-      |  sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality,
-      |  round(avg(quality), 4) AS avg_quality
+      |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+      |  CAST(round(1e4 * CAST(sum(n_bytes) AS BIGINT) / CAST(sum(ws_tokens) AS BIGINT)) AS BIGINT) AS bytes_per_token_x1e4,
+      |  CAST(sum(CASE WHEN quality_milli >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+      |  CAST(round(CAST(sum(quality_milli) AS BIGINT) / count(*)) AS BIGINT) AS avg_quality_milli
       |FROM scored
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -512,8 +519,8 @@ object LlmOps {
         |  FROM documents
         |  WHERE doc_id < 100 AND length(text) >= 8)
         |SELECT doc_id,
-        |  size(gs) AS n_grams,
-        |  size(array_distinct(filter(transform(gs, g -> md5(g)), h -> substring(h, 1, 1) = '0'))) AS n_fingerprints
+        |  CAST(size(gs) AS BIGINT) AS n_grams,
+        |  CAST(size(array_distinct(filter(transform(gs, g -> md5(g)), h -> substring(h, 1, 1) = '0'))) AS BIGINT) AS n_fingerprints
         |FROM grams
         |ORDER BY doc_id""".stripMargin)
   }

@@ -73,7 +73,11 @@ object Multimodal {
 
   /** Driver-surface query: synthesize payloads from documents (UTF-8 bytes
     * as the opaque "image"), decode, profile by format. The DuckDB oracle
-    * replays the identical header arithmetic from the text column. */
+    * replays the identical header arithmetic from the text column.
+    * Cross-engine determinism: the feature aggregate recovers the exact
+    * source byte (`round(f0*255)` inverts the `b/255f` normalization, error
+    * < 2^-16) and sums integers — a float sum would be partition-order
+    * dependent; DuckDB integer sums are cast to BIGINT to avoid HUGEINT. */
   def hMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val payloads = Tables.load(s, dir, "documents")
       .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
@@ -85,7 +89,7 @@ object Multimodal {
         sum(col("height")).cast("long").as("sum_height"),
         sum(col("channels")).cast("long").as("sum_channels"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(sum(element_at(col("features"), 1)).cast("double"), 4).as("sum_f0"))
+        sum(round(element_at(col("features"), 1) * 255.0).cast("long")).as("sum_f0_x255"))
       .orderBy(col("format"))
   }
 
@@ -100,11 +104,11 @@ object Multimodal {
       |  FROM documents)
       |SELECT CASE b3 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
       |  count(*) AS n,
-      |  sum((b0 * 7) % 512 + 1) AS sum_width,
-      |  sum((b1 * 13) % 512 + 1) AS sum_height,
-      |  sum(b2 % 3 + 1) AS sum_channels,
-      |  sum(n_bytes) AS total_bytes,
-      |  round(sum(CAST(CAST(b0 / 255.0 AS FLOAT) AS DOUBLE)), 4) AS sum_f0
+      |  CAST(sum((b0 * 7) % 512 + 1) AS BIGINT) AS sum_width,
+      |  CAST(sum((b1 * 13) % 512 + 1) AS BIGINT) AS sum_height,
+      |  CAST(sum(b2 % 3 + 1) AS BIGINT) AS sum_channels,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(b0) AS BIGINT) AS sum_f0_x255
       |FROM hdr
       |GROUP BY 1
       |ORDER BY format""".stripMargin

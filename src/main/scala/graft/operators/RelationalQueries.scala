@@ -343,7 +343,7 @@ object RelationalQueries {
   def eWindowRank(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "part").createOrReplaceTempView("part")
     s.sql(
-      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rnk
+      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, CAST(rnk AS BIGINT) AS rnk
         |FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
@@ -497,8 +497,8 @@ object RelationalQueries {
   def f2Date(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(
-        year(col("o_orderdate")).as("yr"),
-        quarter(col("o_orderdate")).as("qtr"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
         date_trunc("month", col("o_orderdate")).as("mo"),
         datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long").as("age_days"))
       .groupBy(col("yr"), col("qtr"))

@@ -47,8 +47,14 @@ def canon(v):
 def table_rows(con, sql):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
-    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
+    # DuckDB-native types (BIGINT vs HUGEINT vs DOUBLE ...): python fetchall
+    # erases the distinction (everything becomes int/float) but the driver's
+    # comparator does not — an uncast DuckDB sum() is HUGEINT and hash-fails
+    # against Spark's BIGINT even when every value is equal. DESCRIBE keeps
+    # that signal.
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    types = [r[1] for r in desc]
     return cols, types, rows
 
 
@@ -103,7 +109,10 @@ def main():
             for c in sorted(set(scols) & set(ocols))
             if tmap_s.get(c) != tmap_o.get(c)
         ]
-        verdict = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        # type drift counts as FAIL: the driver's hash sees HUGEINT/DECIMAL
+        # vs BIGINT/DOUBLE even when python-level values compare equal
+        verdict = "PASS" if (rows_ok and schema_ok and hash_ok
+                             and not type_notes) else "FAIL"
         if verdict == "FAIL":
             failures += 1
         note = f"  types[{' '.join(type_notes)}]" if type_notes else ""
