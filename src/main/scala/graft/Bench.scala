@@ -3,9 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times every SparkEntry query at the driver-provided
-  * scale factor and prints ONE JSON line. A warm-up pass (q1 + one LLM-op)
-  * absorbs JVM/codegen/first-scan costs so per-query numbers reflect steady
-  * state; queries run in name order for run-to-run comparability.
+  * scale factor and prints ONE JSON line. A full warm-up pass absorbs
+  * JVM/codegen/first-scan costs so per-query numbers reflect steady state;
+  * queries run in name order for run-to-run comparability.
+  *
+  * Each query is materialized through a `noop`-format write, not `count()`:
+  * under a count Catalyst prunes every unreferenced projection and sort, so
+  * scalar-heavy queries would time scan+filter instead of the declared work.
+  * The noop sink consumes every row of every column with zero sink cost —
+  * the closest local analogue to "produce the full result".
+  *
+  * A query that throws is reported in a `failed` list (and its timing is
+  * excluded from the total) instead of being silently swallowed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,22 +30,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     // warm-up: one full pass absorbs JVM/codegen/footer costs and one-time
     // side effects (bucketed-table writes, roundtrip dirs) so the timed pass
     // measures steady state
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try materialize(fn) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(fn)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          None
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
