@@ -75,3 +75,60 @@ case class MinhashSignatureExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
     copy(child = newChild)
 }
+
+/** `hyperplane_bands(array<double>, nBands, bandBits) -> array<long>` —
+  * banded sign-projection LSH keys (graft.kernel.HyperplaneLsh): `nBands`
+  * keys of `bandBits` sign bits each, band index packed in the high bits.
+  * Explode + equi-join on the key turns an O(n²) similarity join into a
+  * collision-sized candidate join.
+  */
+case class HyperplaneBandsExpr(child: Expression, nBands: Int, bandBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.kernel.HyperplaneLsh.bands(
+        input.asInstanceOf[ArrayData].toDoubleArray(), nBands, bandBits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.kernel.HyperplaneLsh.bands($a.toDoubleArray(), $nBands, $bandBits));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandsExpr =
+    copy(child = newChild)
+}
+
+/** `hyperplane_probes(array<double>, bandBits, nProbes) -> array<long>` —
+  * multi-probe bucket list for a single-band LSH table: home bucket plus
+  * the `nProbes-1` lowest-margin single-plane flips (the query-side recall
+  * booster for ANN; the base side keeps one bucket per vector).
+  */
+case class HyperplaneProbesExpr(child: Expression, bandBits: Int, nProbes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_probes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.kernel.HyperplaneLsh.probes(
+        input.asInstanceOf[ArrayData].toDoubleArray(), bandBits, nProbes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.kernel.HyperplaneLsh.probes($a.toDoubleArray(), $bandBits, $nProbes));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbesExpr =
+    copy(child = newChild)
+}

@@ -22,6 +22,14 @@ object GraftBuilders {
     ("kpl_deaggregate_rows",
       exprs => KplDeaggregateExpr(exprs.head),
       "kpl_deaggregate_rows(data) - explode a KPL aggregate into user records."),
+    ("hyperplane_bands",
+      exprs => HyperplaneBandsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "hyperplane_bands(v, nBands, bandBits) - banded sign-LSH keys."),
+    ("hyperplane_probes",
+      exprs => HyperplaneProbesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "hyperplane_probes(v, bandBits, nProbes) - multi-probe LSH buckets."),
     ("cosine_sim",
       exprs => {
         val (a, b) = (exprs(0), exprs(1))
