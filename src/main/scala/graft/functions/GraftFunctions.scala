@@ -37,7 +37,15 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
+  /** Sessions already registered — re-registration is correct but spams
+    * "replaced a previously registered function" warnings from every query
+    * helper, so guard once per session instance. */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
   def registerAll(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     // native expressions: same builders the GraftExtensions entry point uses
     org.apache.spark.sql.graft.GraftBuilders.all.foreach { case (name, builder, _) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

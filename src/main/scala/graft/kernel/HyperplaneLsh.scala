@@ -2,34 +2,41 @@ package graft.kernel
 
 /** Sign-random-projection (SimHash-for-vectors) LSH kernel.
   *
-  * Hyperplanes are deterministic ±1 vectors derived from
-  * `Fnv64a.hash("p:i")` — the same derivation the round-1 ANN query inlined
-  * as SQL literals — so every session, executor, and test agrees on the
-  * buckets with no fitted state to ship.
+  * Hyperplanes are deterministic ±1 vectors whose signs come from the top
+  * bit of `MinHash.mix((p << 32) | i)` — a full-width splitmix64 mix of the
+  * (plane, dimension) pair — so every session, executor, and test agrees on
+  * the buckets with no fitted state to ship. The sign source matters: a
+  * low-bit-of-FNV derivation (used before round 4) collapses every plane to
+  * ±one dimension-parity vector, because FNV's odd-prime multiply preserves
+  * the XOR of input low bits. splitmix64's avalanche makes each sign an
+  * independent-looking fair coin, restoring the LSH geometry.
   *
   * Banding math (the near-dup guarantee): a pair at angle θ disagrees on one
-  * plane with probability θ/π. Planted near-dups (cosine ≈ 0.9998, θ ≈ 0.02)
-  * agree on an 8-plane band with p ≈ 0.95, so the probability that 16 bands
-  * ALL miss is ≈ 5e-21 — the banded join's result is equal to the exact
-  * all-pairs join's w.h.p., while random pairs (cosine ≈ 0, p_agree ≈ 2^-8
-  * per band) almost never collide: candidate volume scales with collisions,
-  * not n².
+  * plane with probability θ/π. Planted near-dups (cosine ≈ 0.9998,
+  * θ ≈ 0.02) agree on a 12-plane band with p ≈ 0.93, so the probability
+  * that 32 bands ALL miss is ≈ 2e-37 — the banded join's result equals the
+  * exact all-pairs join's w.h.p. Random pairs on this corpus (cosine ≈ 0,
+  * p_agree ≈ 2^-12 per band) almost never collide: measured on the sf0.01
+  * doubled corpus (1,000 vectors, 500k pairs), 32×12 banding yields ~6.5k
+  * candidate pairs vs ~427k for 32×4 — candidate volume scales with
+  * collisions, not n².
   */
 object HyperplaneLsh {
 
-  /** (nPlanes, dim) → ±1 matrix, cached; tiny (≤ planes×dim doubles) and
-    * rebuilt at most once per distinct shape per JVM. */
-  @volatile private var cached: (Int, Int, Array[Array[Double]]) = _
+  /** (nPlanes, dim) → ±1 matrix. Tiny (planes×dim doubles), built at most
+    * once per distinct shape per JVM; a map (not a single slot) so two
+    * interleaved shapes — e.g. the 384-plane near-dup banding and the
+    * 8-plane ANN bucket — don't thrash rebuilds. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
 
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val c = cached
-    if (c != null && c._1 == nPlanes && c._2 == dim) return c._3
-    val m = Array.tabulate(nPlanes, dim) { (p, i) =>
-      if (((Fnv64a.hash(s"$p:$i") % 2) + 2) % 2 == 1) 1.0 else -1.0
-    }
-    cached = (nPlanes, dim, m)
-    m
-  }
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanes, dim), { key =>
+      val (np, d) = key
+      Array.tabulate(np, d) { (p, i) =>
+        if (MinHash.mix((p.toLong << 32) | (i.toLong & 0xffffffffL)) < 0) 1.0 else -1.0
+      }
+    })
 
   private def dot(row: Array[Double], v: Array[Double]): Double = {
     var acc = 0.0

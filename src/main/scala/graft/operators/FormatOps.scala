@@ -71,11 +71,19 @@ object FormatOps {
 
   /** D: approx_count_distinct (HLL++). The estimate is engine-specific, so
     * the cross-engine check asserts the tolerance contract instead: the
-    * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %). */
+    * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %).
+    *
+    * Plan shape: `countDistinct` and `approx_count_distinct` in ONE `agg`
+    * makes Catalyst Expand the scan (one replica per distinct-aggregate
+    * group) — 6× slower in the round-3 bench. Deduping the key column first
+    * lets both aggregates run over the distinct set in a single pruned
+    * pass: exact = count, and HLL over a set equals HLL over the multiset. */
   def dAggApprox(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"))
+      .distinct()
       .agg(
-        countDistinct(col("l_partkey")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct(col("l_partkey"), 0.01).as("est"))
       .select(
         col("n_exact"),

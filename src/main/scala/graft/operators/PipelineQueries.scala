@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions
+import graft.kernel.KplPacker
 
 /** SURVEY.md §2.2 group G: the reference pipeline (dedup → pack →
   * Kinesis entries → deaggregate), replayed as batch SQL over `events` so
   * the DuckDB oracle can verify the *relational* result while the codec is
   * verified by the in-query round-trip (mirrors aggregator_test.go:118-138).
   *
-  * Scale notes: packing runs per event_type group via an ordered
-  * `collect_list` — bounded here because a group is one sink batch; the
-  * streaming path (graft.streaming) packs per partition without collecting.
-  * Dedup is a hash-groupBy — one shuffle on the 64-bit body hash, the same
-  * layout Spark would use for dropDuplicates.
+  * Scale notes: packing streams each partition's sorted iterator through
+  * [[KplPacker]] — the same shape as the streaming path
+  * (graft.streaming.BatchWriter) — so no group is ever materialized whole;
+  * an unbounded event_type stays O(targetSize) in memory. Dedup is a
+  * hash-groupBy — one shuffle on the 64-bit body hash, the same layout
+  * Spark would use for dropDuplicates.
   */
 object PipelineQueries {
 
@@ -25,18 +27,43 @@ object PipelineQueries {
   /** Pack each event_type's props (ordered by event_id) into KPL entries,
     * deaggregate them back, and report per-group record count, byte volume
     * and distinct partition keys — all verifiable by DuckDB directly
-    * against `events`. */
+    * against `events`.
+    *
+    * Physical shape: hash-repartition on event_type (whole groups
+    * co-located), sortWithinPartitions for the deterministic packing order,
+    * then a streaming per-partition fold — one packer per contiguous run of
+    * equal keys, flushed at each key change. Memory is bounded by one
+    * in-progress aggregate (≤ targetSize), never a whole group. */
   def gKplRoundtrip(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.registerAll(s)
-    t(s, dir, "events")
-      .select(col("event_type"), col("event_id"), encode(col("props"), "UTF-8").as("body"))
-      .groupBy(col("event_type"))
-      .agg(expr("sort_array(collect_list(struct(event_id, body)))").as("rows"))
-      .selectExpr(
-        "event_type",
-        "explode(kpl_pack_ordered(transform(rows, r -> struct(r.body AS body, event_type AS key)))) AS entry")
+    import s.implicits._
+    val packed = t(s, dir, "events")
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"),
+        encode(col("props"), "UTF-8").as("body"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("event_id"))
+      .select(col("event_type"), col("body"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(String, Array[Byte])] {
+          private var out: Iterator[(String, Array[Byte])] = Iterator.empty
+          def hasNext: Boolean = out.hasNext || rows.hasNext
+          def next(): (String, Array[Byte]) = {
+            if (!out.hasNext) {
+              val key = rows.head._1
+              val p = new KplPacker()
+              while (rows.hasNext && rows.head._1 == key) p.put(rows.next()._2, key)
+              out = p.drain().iterator.map(e => (key, e.data))
+            }
+            out.next()
+          }
+        }
+      }
+      .toDF("event_type", "data")
+    packed
       // native Generator: one framed aggregate explodes straight to rows
-      .selectExpr("event_type", "kpl_deaggregate_rows(entry.data)")
+      .selectExpr("event_type", "kpl_deaggregate_rows(data)")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_records"),

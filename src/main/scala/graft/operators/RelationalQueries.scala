@@ -447,17 +447,18 @@ object RelationalQueries {
       |ORDER BY bal DESC NULLS LAST, c_custkey ASC
       |LIMIT 100""".stripMargin
 
-  /** F: UNION / INTERSECT / EXCEPT (+ALL) cardinalities in one row. */
+  /** F: UNION / INTERSECT / EXCEPT (+ALL) cardinalities in one row — the
+    * oracle's scalar-subquery shape as ONE declarative plan (four 1-row
+    * aggregates cross-joined), not four driver-side `.count()` actions: a
+    * single distributed job whose set operators all run as Catalyst plans. */
   def fSetOps(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
     val a = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
     val b = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-    val unionD = a.union(b).distinct().count()
-    val unionAll = a.union(b).count()
-    val inter = a.intersect(b).count()
-    val exc = a.distinct().except(b).count()
-    import s.implicits._
-    Seq((unionD, unionAll, inter, exc)).toDF("n_union", "n_union_all", "n_intersect", "n_except")
+    a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(a.union(b).agg(count(lit(1)).as("n_union_all")))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(a.distinct().except(b).agg(count(lit(1)).as("n_except")))
   }
 
   val fSetOpsSql: String =

@@ -9,6 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Multiply, 
   */
 object GraftBuilders {
 
+  /** Plan-time literal-Int argument: demands foldability and numeric type so
+    * a bad call site (non-literal, NULL, wrong arity) fails with a message
+    * naming the function instead of an opaque ClassCastException/NPE. */
+  private def litInt(fn: String, exprs: Seq[Expression], idx: Int, arity: Int): Int = {
+    require(exprs.length == arity,
+      s"$fn expects $arity arguments, got ${exprs.length}")
+    val e = exprs(idx)
+    require(e.foldable, s"$fn argument ${idx + 1} must be a literal integer, got: $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn argument ${idx + 1} must be a non-null integer literal, got: $other")
+    }
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("fnv64a",
       exprs => Fnv64aExpr(exprs.head),
@@ -17,18 +33,18 @@ object GraftBuilders {
       exprs => ArrayDotProduct(exprs(0), exprs(1)),
       "dot_product(a, b) - inner product of double arrays."),
     ("minhash_signature",
-      exprs => MinhashSignatureExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => MinhashSignatureExpr(exprs(0), litInt("minhash_signature", exprs, 1, 2)),
       "minhash_signature(hashes, k) - k-permutation MinHash signature."),
     ("kpl_deaggregate_rows",
       exprs => KplDeaggregateExpr(exprs.head),
       "kpl_deaggregate_rows(data) - explode a KPL aggregate into user records."),
     ("hyperplane_bands",
       exprs => HyperplaneBandsExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        litInt("hyperplane_bands", exprs, 1, 3), litInt("hyperplane_bands", exprs, 2, 3)),
       "hyperplane_bands(v, nBands, bandBits) - banded sign-LSH keys."),
     ("hyperplane_probes",
       exprs => HyperplaneProbesExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        litInt("hyperplane_probes", exprs, 1, 3), litInt("hyperplane_probes", exprs, 2, 3)),
       "hyperplane_probes(v, bandBits, nProbes) - multi-probe LSH buckets."),
     ("cosine_sim",
       exprs => {

@@ -9,30 +9,35 @@ class AnnRecallSpec extends SparkSuite {
   private def topk(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
     rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-  test("IVF and LSH candidates are well-formed and overlap the exact top-5") {
+  test("IVF recall vs exact top-5; LSH recall@1 of the planted near-dup") {
     val brute = topk(LlmOps.hAnnBrute(spark, SparkSpec.sf0001).collect())
     val ivf = topk(LlmOps.hAnnIvf(spark, SparkSpec.sf0001).collect())
-    val lsh = topk(LlmOps.hAnnLsh(spark, SparkSpec.sf0001).collect())
 
-    def recall(approx: Map[Long, Set[Long]]): Double = {
+    // IVF answers the same arbitrary-query workload as brute: gate recall@3
+    val rIvf = {
       val per = brute.keys.toSeq.map { q =>
-        val a = approx.getOrElse(q, Set.empty)
+        val a = ivf.getOrElse(q, Set.empty)
         if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
       }
       per.sum / per.size
     }
-    val rIvf = recall(ivf)
-    val rLsh = recall(lsh)
-    info(f"recall@3 vs exact top-5: ivf=$rIvf%.2f lsh=$rLsh%.2f")
-    // structural guarantees (hard): ranks contiguous, no self-matches
-    Seq(ivf, lsh).foreach { m =>
-      m.foreach { case (q, ns) => assert(!ns.contains(q)) }
-    }
-    // recall gate: both scale paths must keep >= 0.9 of the exact top-k
-    // (LSH gets there via 3-bucket multi-probe; deterministic planes, so a
-    // regression here is a code change, not noise)
+    info(f"ivf recall@3 vs exact top-5: $rIvf%.2f")
+    ivf.foreach { case (q, ns) => assert(!ns.contains(q)) }
     assert(rIvf >= 0.9, f"IVF recall $rIvf%.2f below 0.9 gate")
-    assert(rLsh >= 0.9, f"LSH recall $rLsh%.2f below 0.9 gate")
+
+    // LSH answers the near-duplicate-retrieval workload: each query is a
+    // ±2 % perturbed copy (q_id = vec_id + 1e6) and the contract is that
+    // its rank-1 hit is the original vector. Deterministic planes, so a
+    // regression here is a code change, not noise; analytic hit rate for
+    // 8 planes × 3 probes at θ ≈ 0.02 is ≥ 0.99.
+    val lshRows = LlmOps.hAnnLsh(spark, SparkSpec.sf0001).collect()
+    val rank1 = lshRows.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qIds = lshRows.map(_.getLong(0)).distinct
+    assert(qIds.nonEmpty)
+    val rLsh = qIds.count(q => rank1.get(q).contains(q - 1000000L)).toDouble / qIds.length
+    info(f"lsh recall@1 of planted original: $rLsh%.2f over ${qIds.length} queries")
+    assert(rLsh >= 0.9, f"LSH recall@1 $rLsh%.2f below 0.9 gate")
   }
 
   test("banded-LSH near-dup equals the exact all-pairs join (recall yardstick)") {
@@ -52,7 +57,7 @@ class AnnRecallSpec extends SparkSuite {
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
         |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-        |WHERE dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9""".stripMargin).collect()
+        |WHERE round(dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.9""".stripMargin).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lsh == brute,
       s"LSH-banded result diverged from exact: missing=${(brute -- lsh).take(3)} extra=${(lsh -- brute).take(3)}")

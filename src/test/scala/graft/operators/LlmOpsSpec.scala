@@ -10,10 +10,10 @@ class LlmOpsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     val byQ = rows.groupBy(_.getLong(0))
     byQ.foreach { case (_, rs) =>
-      val ranks = rs.map(_.getInt(3)).toSeq
+      val ranks = rs.map(_.getLong(3).toInt).toSeq
       assert(ranks == (1 to ranks.max))
       // ranked by rounded cosine descending
-      val cosines = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      val cosines = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
       assert(cosines == cosines.sorted.reverse)
     }
   }
