@@ -27,8 +27,21 @@ object KplProtobuf {
 
   val Magic: Array[Byte] = Array(0xf3, 0x89, 0x9a, 0xc2).map(_.toByte)
 
-  final case class UserRecord(partitionKeyIndex: Long, data: Array[Byte])
-  final case class Aggregated(partitionKeys: Seq[String], records: Seq[UserRecord])
+  /** `Tag { required key = 1; optional value = 2 }`
+    * (proto/aggregation.proto:12-15). `value = None` encodes as key-only —
+    * distinct on the wire from `Some("")`, so both must round-trip. */
+  final case class Tag(key: String, value: Option[String] = None)
+
+  final case class UserRecord(
+      partitionKeyIndex: Long,
+      data: Array[Byte],
+      explicitHashKeyIndex: Option[Long] = None,
+      tags: Seq[Tag] = Nil)
+
+  final case class Aggregated(
+      partitionKeys: Seq[String],
+      records: Seq[UserRecord],
+      explicitHashKeys: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- encode
 
@@ -52,10 +65,19 @@ object KplProtobuf {
     writeVarint(out, v)
   }
 
+  private def encodeTag(t: Tag): Array[Byte] = {
+    val out = new ByteArrayOutputStream(32)
+    writeBytesField(out, 1, t.key.getBytes("UTF-8"))
+    t.value.foreach(v => writeBytesField(out, 2, v.getBytes("UTF-8")))
+    out.toByteArray
+  }
+
   private def encodeRecord(r: UserRecord): Array[Byte] = {
     val out = new ByteArrayOutputStream(r.data.length + 10)
     writeVarintField(out, 1, r.partitionKeyIndex)
+    r.explicitHashKeyIndex.foreach(writeVarintField(out, 2, _))
     writeBytesField(out, 3, r.data)
+    r.tags.foreach(t => writeBytesField(out, 4, encodeTag(t)))
     out.toByteArray
   }
 
@@ -63,6 +85,7 @@ object KplProtobuf {
   def encode(agg: Aggregated): Array[Byte] = {
     val out = new ByteArrayOutputStream(1024)
     agg.partitionKeys.foreach(k => writeBytesField(out, 1, k.getBytes("UTF-8")))
+    agg.explicitHashKeys.foreach(k => writeBytesField(out, 2, k.getBytes("UTF-8")))
     agg.records.foreach(r => writeBytesField(out, 3, encodeRecord(r)))
     out.toByteArray
   }
@@ -109,27 +132,47 @@ object KplProtobuf {
     }
   }
 
+  private def decodeTag(b: Array[Byte]): Tag = {
+    val r = new Reader(b, 0, b.length)
+    var key = ""
+    var value: Option[String] = None
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => key = new String(r.readBytes(), "UTF-8")
+        case (2, 2) => value = Some(new String(r.readBytes(), "UTF-8"))
+        case (_, w) => r.skip(w)
+      }
+    }
+    Tag(key, value)
+  }
+
   private def decodeRecord(b: Array[Byte]): UserRecord = {
     val r = new Reader(b, 0, b.length)
     var keyIdx = 0L
+    var ehkIdx: Option[Long] = None
     var data: Array[Byte] = Array.emptyByteArray
+    val tags = Seq.newBuilder[Tag]
     while (r.hasMore) {
       val tag = r.readVarint()
       val field = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       (field, wire) match {
         case (1, 0) => keyIdx = r.readVarint()
+        case (2, 0) => ehkIdx = Some(r.readVarint())
         case (3, 2) => data = r.readBytes()
+        case (4, 2) => tags += decodeTag(r.readBytes())
         case _      => r.skip(wire)
       }
     }
-    UserRecord(keyIdx, data)
+    UserRecord(keyIdx, data, ehkIdx, tags.result())
   }
 
   /** Decode a bare protobuf AggregatedRecord body. */
   def decode(raw: Array[Byte]): Aggregated = {
     val r = new Reader(raw, 0, raw.length)
     val keys = Seq.newBuilder[String]
+    val ehks = Seq.newBuilder[String]
     val recs = Seq.newBuilder[UserRecord]
     while (r.hasMore) {
       val tag = r.readVarint()
@@ -137,11 +180,12 @@ object KplProtobuf {
       val wire = (tag & 7).toInt
       (field, wire) match {
         case (1, 2) => keys += new String(r.readBytes(), "UTF-8")
+        case (2, 2) => ehks += new String(r.readBytes(), "UTF-8")
         case (3, 2) => recs += decodeRecord(r.readBytes())
         case _      => r.skip(wire)
       }
     }
-    Aggregated(keys.result(), recs.result())
+    Aggregated(keys.result(), recs.result(), ehks.result())
   }
 
   /** True iff the buffer carries the KPL magic + valid MD5 trailer. */

@@ -18,6 +18,8 @@ final class NsqClient(
     topic: String,
     channel: String,
     maxInFlight: Int = 1000,
+    msgTimeoutMs: Long = 10000,
+    outputBufferTimeoutMs: Long = 50,
     onMessage: NsqMessage => Unit) {
 
   private val socket = new Socket(host, port)
@@ -28,7 +30,8 @@ final class NsqClient(
   private val writeLock = new Object
 
   writeMagic(out)
-  writeIdentify(out, s"""{"client_id":"graft","msg_timeout":10000,"output_buffer_timeout":50}""")
+  writeIdentify(out,
+    s"""{"client_id":"graft","msg_timeout":$msgTimeoutMs,"output_buffer_timeout":$outputBufferTimeoutMs}""")
   writeCommand(out, s"SUB $topic $channel")
   writeCommand(out, s"RDY $maxInFlight")
 

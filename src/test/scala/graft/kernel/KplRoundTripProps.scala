@@ -96,6 +96,45 @@ class KplRoundTripProps extends AnyFunSuite {
     }
   }
 
+  test("full envelope round-trips: explicit hash keys and tags survive encode/decode") {
+    // proto/aggregation.proto:8,12-22 — the fields the Go aggregator never
+    // sets but real KCL deaggregators produce/consume; a key-only Tag
+    // (value=None) must stay distinct from an empty-valued one (Some("")).
+    trials(25) { r =>
+      def str(max: Int) = r.alphanumeric.take(r.nextInt(max + 1)).mkString
+      val pkeys = Vector.fill(1 + r.nextInt(4))(str(12))
+      val ehks = Vector.fill(r.nextInt(4))(BigInt(127, new Random(r.nextLong())).toString)
+      val recs = Vector.fill(1 + r.nextInt(20)) {
+        val b = new Array[Byte](r.nextInt(500)); r.nextBytes(b)
+        val tags = Vector.fill(r.nextInt(3)) {
+          KplProtobuf.Tag(str(8), r.nextInt(3) match {
+            case 0 => None
+            case 1 => Some("")
+            case _ => Some(str(16))
+          })
+        }
+        KplProtobuf.UserRecord(
+          partitionKeyIndex = r.nextInt(pkeys.length).toLong,
+          data = b,
+          explicitHashKeyIndex =
+            if (ehks.nonEmpty && r.nextBoolean()) Some(r.nextInt(ehks.length).toLong) else None,
+          tags = tags)
+      }
+      KplProtobuf.Aggregated(pkeys, recs, ehks)
+    } { agg =>
+      val back = KplProtobuf.deframe(KplProtobuf.frame(agg))
+      assert(back.partitionKeys === agg.partitionKeys)
+      assert(back.explicitHashKeys === agg.explicitHashKeys)
+      assert(back.records.length === agg.records.length)
+      back.records.zip(agg.records).foreach { case (g, w) =>
+        assert(g.partitionKeyIndex === w.partitionKeyIndex)
+        assert(g.explicitHashKeyIndex === w.explicitHashKeyIndex)
+        assert(java.util.Arrays.equals(g.data, w.data))
+        assert(g.tags === w.tags)
+      }
+    }
+  }
+
   test("dedup: any key tested, then trimmed twice, is always forgotten") {
     trials(25)(r => genRecords(r, 30)) { recs =>
       recs.foreach { case (b, _) =>

@@ -70,6 +70,69 @@ class NsqSourceSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("micro-batch slices split into multiple InputPartitions (pre-shuffle parallelism)") {
+    val server = new NsqMiniServer
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "127.0.0.1")
+    opts.put("port", server.port.toString)
+    opts.put("topic", "t")
+    opts.put("channel", "ch")
+    opts.put("numPartitions", "3")
+    val stream = new NsqMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    try {
+      stream.latestOffset() // connects the consumer
+      server.awaitSubscribe()
+      (0 until 10).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      eventually() {
+        assert(stream.latestOffset().asInstanceOf[NsqOffset].position === 10L)
+      }
+      val parts = stream.planInputPartitions(NsqOffset(0), NsqOffset(10))
+      assert(parts.length === 3, "slice must split across partitions")
+      val rows = parts.flatMap(_.asInstanceOf[NsqInputPartition].rows)
+      assert(rows.length === 10)
+      assert(rows.map(_.id).toSeq === (0 until 10).map(msgId)) // order preserved across chunks
+    } finally { stream.stop(); server.close() }
+  }
+
+  test("two brokers: messages from both delivered, FINs routed to the right broker") {
+    val s1 = new NsqMiniServer
+    val s2 = new NsqMiniServer
+    InMemoryTransport.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nsq2-ckpt").toString
+    val stream = spark.readStream
+      .format("nsq")
+      .option("hosts", s"127.0.0.1:${s1.port},127.0.0.1:${s2.port}")
+      .option("topic", "t")
+      .option("channel", "ch")
+      .load()
+    val q = StreamPipeline.build(stream, new InMemoryTransport,
+      StreamPipeline.Options(streamName = "nsq-2b", checkpoint = ckpt))
+      .start()
+    try {
+      s1.awaitSubscribe(); s2.awaitSubscribe()
+      (0 until 10).foreach(i => s1.publish(msgId(i), s"b1-$i".getBytes))
+      (0 until 10).foreach(i => s2.publish(msgId(100 + i), s"b2-$i".getBytes))
+      var user = Vector.empty[String]
+      eventually(timeoutMs = 30000) {
+        q.processAllAvailable()
+        user ++= InMemoryTransport.drain().flatMap { case (_, e) =>
+          if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+          else Vector(e.data)
+        }.map(new String(_))
+        assert(user.toSet ===
+          ((0 until 10).map(i => s"b1-$i") ++ (0 until 10).map(i => s"b2-$i")).toSet)
+      }
+      // each broker must see FINs for exactly the ids it delivered
+      eventually(timeoutMs = 30000) {
+        q.processAllAvailable()
+        assert((0 until 10).forall(i => s1.finned.contains(msgId(i))))
+        assert((0 until 10).forall(i => s2.finned.contains(msgId(100 + i))))
+        assert(!s1.finned.contains(msgId(100)) && !s2.finned.contains(msgId(0)))
+      }
+    } finally { q.stop(); s1.close(); s2.close() }
+  }
+
   private def eventually(timeoutMs: Long = 10000)(check: => Unit): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var last: Throwable = null
