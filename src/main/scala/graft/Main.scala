@@ -27,6 +27,7 @@ object Main {
       |  --topic <t>                NSQ topic (required)
       |  --channel <c>              NSQ channel        [graft]
       |  --nsqd-tcp-address <h:p,>  nsqd endpoints     [localhost:4150]
+      |  --lookupd-http-address <h:p,>  discover nsqds from nsqlookupd instead
       |  --stream <s>               Kinesis stream     (required)
       |  --kinesis-endpoint <url>   Kinesis-API HTTP endpoint (kinesalite ok)
       |  --sink-dir <dir>           file-sink fallback [/tmp/graft-sink]
@@ -59,12 +60,14 @@ object Main {
         new FileTransport(opts.getOrElse("sink-dir", "/tmp/graft-sink"))
     }
 
-    val source = spark.readStream
+    val sourceBase = spark.readStream
       .format("nsq")
-      .option("hosts", opts.getOrElse("nsqd-tcp-address", "localhost:4150"))
       .option("topic", topic.get)
       .option("channel", opts.getOrElse("channel", "graft"))
-      .load()
+    val source = (opts.get("lookupd-http-address") match {
+      case Some(lk) => sourceBase.option("lookupd", lk)
+      case None => sourceBase.option("hosts", opts.getOrElse("nsqd-tcp-address", "localhost:4150"))
+    }).load()
 
     val query = StreamPipeline.build(
       source, transport,

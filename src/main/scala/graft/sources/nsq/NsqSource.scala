@@ -88,18 +88,26 @@ case class NsqOffset(position: Long) extends Offset {
 
 class NsqMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
 
-  private val hosts: Seq[(String, Int)] = {
+  private val topic = Option(options.get("topic")).getOrElse("events")
+
+  /** Broker resolution order: explicit `hosts` list → `lookupd` HTTP
+    * discovery (the production NSQ topology; the reference connects by
+    * static config, main.go:124, and leaves lookupd to ops) → single
+    * `host`/`port`. Resolved once at start: NSQ channels load-balance, so a
+    * broker added later is picked up on restart, like the reference. */
+  private lazy val hosts: Seq[(String, Int)] = {
     val defPort = Option(options.get("port")).map(_.toInt).getOrElse(4150)
-    Option(options.get("hosts")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .filter(_.nonEmpty)
-      .map(_.map(_.split(":") match {
+    def parseList(s: String): Seq[(String, Int)] =
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.split(":") match {
         case Array(h, p) => (h, p.toInt)
         case Array(h)    => (h, defPort)
         case other => throw new IllegalArgumentException(s"bad host '${other.mkString(":")}'")
-      }))
+      })
+    Option(options.get("hosts")).map(parseList).filter(_.nonEmpty)
+      .orElse(Option(options.get("lookupd")).map(ls =>
+        NsqLookupd.resolve(parseList(ls), topic)))
       .getOrElse(Seq(Option(options.get("host")).getOrElse("127.0.0.1") -> defPort))
   }
-  private val topic = Option(options.get("topic")).getOrElse("events")
   private val channel = Option(options.get("channel")).getOrElse("graft")
   private val maxPerTrigger =
     Option(options.get("maxPerTrigger")).map(_.toLong).getOrElse(1000L)

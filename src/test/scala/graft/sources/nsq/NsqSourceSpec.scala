@@ -133,6 +133,62 @@ class NsqSourceSpec extends SparkSuite {
     } finally { q.stop(); s1.close(); s2.close() }
   }
 
+  test("lookupd discovery: brokers resolved from the /lookup HTTP API, both consumed") {
+    val s1 = new NsqMiniServer
+    val s2 = new NsqMiniServer
+    // stub nsqlookupd advertising both mini-nsqds (modern response shape)
+    val lookupd = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    lookupd.createContext("/lookup", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body =
+        s"""{"producers":[
+           |{"broadcast_address":"127.0.0.1","tcp_port":${s1.port}},
+           |{"broadcast_address":"127.0.0.1","tcp_port":${s2.port}}]}""".stripMargin
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    lookupd.start()
+    try {
+      val resolved = NsqLookupd.resolve(
+        Seq(("127.0.0.1", lookupd.getAddress.getPort)), "t")
+      assert(resolved === Seq(("127.0.0.1", s1.port), ("127.0.0.1", s2.port)))
+
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("lookupd", s"127.0.0.1:${lookupd.getAddress.getPort}")
+      opts.put("topic", "t")
+      opts.put("channel", "ch")
+      val stream = new NsqMicroBatchStream(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      try {
+        stream.latestOffset() // connect consumers to every discovered broker
+        s1.awaitSubscribe(); s2.awaitSubscribe()
+        s1.publish(msgId(1), "from-1".getBytes)
+        s2.publish(msgId(2), "from-2".getBytes)
+        eventually() {
+          assert(stream.latestOffset().asInstanceOf[NsqOffset].position === 2L)
+        }
+      } finally stream.stop()
+    } finally { lookupd.stop(0); s1.close(); s2.close() }
+  }
+
+  test("lookupd resolve fails loudly when no producer advertises the topic") {
+    val empty = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    empty.createContext("/lookup", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"producers":[]}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    empty.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        NsqLookupd.resolve(Seq(("127.0.0.1", empty.getAddress.getPort)), "ghost")
+      }
+      assert(e.getMessage.contains("ghost"))
+    } finally empty.stop(0)
+  }
+
   private def eventually(timeoutMs: Long = 10000)(check: => Unit): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var last: Throwable = null
