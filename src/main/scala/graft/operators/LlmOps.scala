@@ -568,6 +568,95 @@ object LlmOps {
       |FROM grams
       |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary profiling — the corpus statistics pass that precedes
+    * tokenizer (BPE) training: top-10 tokens per language by frequency.
+    * Scale shape: explode → two-level hash agg (partial map-side combine
+    * absorbs the token skew) → per-lang top-k window over the already-tiny
+    * (lang, token) counts. */
+  def hVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT lang, explode(split(text, ' ')) AS token FROM documents),
+        |counts AS (
+        |  SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+        |ranked AS (
+        |  SELECT lang, token, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+        |  FROM counts)
+        |SELECT lang, token, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin)
+  }
+
+  val hVocabTopkSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (
+      |  SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+      |ranked AS (
+      |  SELECT lang, token, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      |  FROM counts)
+      |SELECT lang, token, n, rnk
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
+  /** Redaction accounting — the mechanics of a PII-scrub pass (pattern →
+    * replacement token), exercised on function words since the synthetic
+    * corpus plants no true PII: per lang, how many docs were touched and
+    * the net char delta. Scan-local regexp + exact-integer agg. */
+  def hScrubRedact(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH red AS (
+        |  SELECT lang, text,
+        |    regexp_replace(text, '\\b(the|a)\\b', '<t>') AS redacted
+        |  FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS n_redacted,
+        |  sum(length(redacted) - length(text)) AS delta_chars
+        |FROM red
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hScrubRedactSql: String =
+    """WITH red AS (
+      |  SELECT lang, text,
+      |    regexp_replace(text, '\b(the|a)\b', '<t>', 'g') AS redacted
+      |  FROM documents)
+      |SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+      |  CAST(sum(length(redacted) - length(text)) AS BIGINT) AS delta_chars
+      |FROM red
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Corpus length histogram (100-char buckets, top-coded at 900+) — the
+    * data-quality profile that drives min/max-length filters. One
+    * scan-local agg; bucket arithmetic in exact integers. */
+  def hLenHistogram(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """SELECT least(n_chars div 100, 9) AS bucket,
+        |  count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin)
+  }
+
+  val hLenHistogramSql: String =
+    """SELECT least(n_chars // 100, 9) AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -582,7 +671,10 @@ object LlmOps {
     "h_token_quality" -> (hTokenQuality _),
     "h_text_stats" -> (hTextStats _),
     "h_lang_heuristic" -> (hLangHeuristic _),
-    "h_fingerprint" -> (hFingerprint _)
+    "h_fingerprint" -> (hFingerprint _),
+    "h_vocab_topk" -> (hVocabTopk _),
+    "h_scrub_redact" -> (hScrubRedact _),
+    "h_len_histogram" -> (hLenHistogram _)
   )
 
   /** h_ann_lsh / h_ann_ivf omitted: recall is probabilistic ⇒ rows-only. */
@@ -596,6 +688,9 @@ object LlmOps {
     "h_ann_brute" -> hAnnBruteSql,
     "h_text_stats" -> hTextStatsSql,
     "h_lang_heuristic" -> hLangHeuristicSql,
-    "h_fingerprint" -> hFingerprintSql
+    "h_fingerprint" -> hFingerprintSql,
+    "h_vocab_topk" -> hVocabTopkSql,
+    "h_scrub_redact" -> hScrubRedactSql,
+    "h_len_histogram" -> hLenHistogramSql
   )
 }

@@ -277,6 +277,33 @@ object RelationalQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** D: exact interpolated percentiles per group (Spark `percentile` ↔
+    * DuckDB `quantile_cont`, both linear interpolation over the sorted
+    * values). Scaled to x1e4 BIGINTs so a 1-ulp interpolation difference
+    * can't flip the hash. One sort-based agg per group — the exact path;
+    * the sketch path at scale is `approx_percentile` (same shape as
+    * d_agg_approx's tolerance contract). */
+  def dPercentile(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(round(1e4 * percentile(l_quantity, 0.25)) AS BIGINT) AS p25_x1e4,
+        |  CAST(round(1e4 * percentile(l_quantity, 0.5)) AS BIGINT) AS p50_x1e4,
+        |  CAST(round(1e4 * percentile(l_quantity, 0.75)) AS BIGINT) AS p75_x1e4
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val dPercentileSql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(1e4 * quantile_cont(l_quantity, 0.25)) AS BIGINT) AS p25_x1e4,
+      |  CAST(round(1e4 * quantile_cont(l_quantity, 0.5)) AS BIGINT) AS p50_x1e4,
+      |  CAST(round(1e4 * quantile_cont(l_quantity, 0.75)) AS BIGINT) AS p75_x1e4
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** D: ROLLUP with grouping() flags. */
   def dRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -617,6 +644,7 @@ object RelationalQueries {
     "c_join_cross" -> (cJoinCross _),
     "d_agg_having" -> (dAggHaving _),
     "d_agg_distinct" -> (dAggDistinct _),
+    "d_percentile" -> (dPercentile _),
     "d_rollup" -> (dRollup _),
     "d_cube" -> (dCube _),
     "d_grouping_sets" -> (dGroupingSets _),
@@ -645,6 +673,7 @@ object RelationalQueries {
     "c_join_cross" -> cJoinCrossSql,
     "d_agg_having" -> dAggHavingSql,
     "d_agg_distinct" -> dAggDistinctSql,
+    "d_percentile" -> dPercentileSql,
     "d_rollup" -> dRollupSql,
     "d_cube" -> dCubeSql,
     "d_grouping_sets" -> dGroupingSetsSql,
