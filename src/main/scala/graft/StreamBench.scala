@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.kernel.{KinesisEntry, KplProtobuf}
+import graft.streaming.{KinesisTransport, StreamPipeline}
+
+/** Streaming throughput benchmark: N synthetic NSQ-envelope messages
+  * (1 kB bodies, 10 % duplicates) through the full pipeline — fnv64a →
+  * watermark dedup → oversize filter → per-partition KPL pack → chunked
+  * PutRecords against the in-memory transport — and reports end-to-end
+  * user-records/s plus packing stats. One JSON line, same contract as
+  * [[Bench]].
+  *
+  * Comparison point (BASELINE.md): the reference's sink-bound ceiling is
+  * ~500 user-rec/s and ~4.9 MB/s per pipeline instance (500-record
+  * requests at 1 req/s, kinesis_writer.go:57,42-44). This measures the
+  * engine's pre-sink capacity on one node: how fast the pipeline can
+  * produce correctly framed, deduplicated, packed entries when the sink
+  * isn't the bottleneck.
+  */
+object StreamBench {
+
+  final case class BenchMsg(id: String, ts: Timestamp, attempts: Int, body: Array[Byte])
+
+  /** Sink-unconstrained measurement transport: validates framing and counts
+    * entries / bytes / deaggregated user records without retaining payloads
+    * (retaining 200 MB of delivered entries in one JVM-wide queue, as the
+    * test transport does, turns the bench into a GC measurement). */
+  object CountingTransport {
+    val entries = new AtomicLong(0)
+    val bytes = new AtomicLong(0)
+    val userRecords = new AtomicLong(0)
+    def reset(): Unit = { entries.set(0); bytes.set(0); userRecords.set(0) }
+  }
+
+  final class CountingTransport extends KinesisTransport {
+    override def putRecords(stream: String, es: Seq[KinesisEntry]): Seq[Boolean] = {
+      es.foreach { e =>
+        CountingTransport.entries.incrementAndGet()
+        CountingTransport.bytes.addAndGet(e.data.length.toLong)
+        CountingTransport.userRecords.addAndGet(
+          if (KplProtobuf.isAggregated(e.data)) KplProtobuf.decodeFramed(e.data).records.length.toLong
+          else 1L)
+      }
+      Vector.fill(es.size)(true)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val filler = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILL", "970").toInt match { case k => "x" * k }
+    def msg(i: Int, dupOf: Int): BenchMsg =
+      BenchMsg(f"$i%016d", new Timestamp(1700000000000L + i), 1,
+        s"body-$dupOf-$filler".getBytes("UTF-8"))
+    // 10 % duplicates, interleaved — the dedup stage does real work
+    val msgs = (0 until n).map(i => if (i % 10 == 9) msg(i, i - 1) else msg(i, i))
+
+    CountingTransport.reset()
+    val input = MemoryStream[BenchMsg]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val query = StreamPipeline.build(
+      input.toDF(), new CountingTransport,
+      // 10 ms trigger: measure pipeline capacity, not trigger idle time
+      // (production keeps the reference's 1 s MaxDelay default)
+      StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L)).start()
+
+    // warm-up epoch: absorbs state-store/codegen init
+    input.addData(msgs.take(1000))
+    query.processAllAvailable()
+    CountingTransport.reset()
+
+    val work = msgs.drop(1000)
+    val t0 = System.nanoTime()
+    work.grouped(50000).foreach { chunk => input.addData(chunk) }
+    query.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    query.stop()
+
+    val userRecords = CountingTransport.userRecords.get()
+    val rate = userRecords / sec
+    println(
+      s"""{"metric":"stream_user_rec_per_sec","value":${rate.round},"unit":"rec/sec",""" +
+      s""""input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
+      s""""entries":${CountingTransport.entries.get()},"mb":${CountingTransport.bytes.get() / 1e6},"sec":$sec}""")
+    spark.stop()
+  }
+}
