@@ -56,13 +56,19 @@ object StreamBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE=rocksdb: the at-scale state store (off-heap, no
+    // per-batch JVM map copies) — the right provider for large dedup key
+    // cardinality; default HDFS-backed store for comparability
+    if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -77,11 +83,38 @@ object StreamBench {
     CountingTransport.reset()
     val input = MemoryStream[BenchMsg]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
-    val query = StreamPipeline.build(
-      input.toDF(), new CountingTransport,
-      // 10 ms trigger: measure pipeline capacity, not trigger idle time
-      // (production keeps the reference's 1 s MaxDelay default)
-      StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L)).start()
+    // SPARK_GRAFT_STREAM_STAGE: full (default) | nodedup (skip the stateful
+    // dedup — isolates state-store cost) | nosink (dedup but discard rows —
+    // isolates pack/deliver cost)
+    val stage = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGE", "full")
+    val query = (stage match {
+      case "nodedup" =>
+        import org.apache.spark.sql.functions._
+        val transformed = input.toDF()
+          .withColumn("body_hash", graft.functions.GraftFunctions.fnv64a(col("body")))
+          .filter(octet_length(col("body")) <= graft.streaming.BatchWriter.MaxMessageSize)
+          .withColumn("partition_key",
+            graft.functions.GraftFunctions.partitionKey(col("body"), lit(null).cast("string")))
+        transformed.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            StreamPipeline.deliverBatch(b, new CountingTransport, "bench")
+          }
+      case "nosink" =>
+        StreamPipeline.transform(input.toDF()).writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.format("noop").mode("overwrite").save()
+          }
+      case _ =>
+        StreamPipeline.build(
+          input.toDF(), new CountingTransport,
+          // 10 ms trigger: measure pipeline capacity, not trigger idle time
+          // (production keeps the reference's 1 s MaxDelay default)
+          StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L))
+    }).start()
 
     // warm-up epoch: absorbs state-store/codegen init
     input.addData(msgs.take(1000))
@@ -90,17 +123,31 @@ object StreamBench {
 
     val work = msgs.drop(1000)
     val t0 = System.nanoTime()
-    work.grouped(50000).foreach { chunk => input.addData(chunk) }
+    work.grouped(20000).foreach { chunk => input.addData(chunk) }
     query.processAllAvailable()
     val sec = (System.nanoTime() - t0) / 1e9
     query.stop()
 
     val userRecords = CountingTransport.userRecords.get()
     val rate = userRecords / sec
+    // duration breakdown of the last few batches (addBatch = sink work,
+    // stateManagement/commitOffsets = streaming machinery) for profiling
+    val prog = query.recentProgress.takeRight(4).map { p =>
+      val d = p.durationMs
+      val st = p.stateOperators.headOption.map { s =>
+        s""","state":{"rowsTotal":${s.numRowsTotal},"updated":${s.numRowsUpdated},""" +
+        s""""updateMs":${s.allUpdatesTimeMs},"removeMs":${s.allRemovalsTimeMs},""" +
+        s""""commitMs":${s.commitTimeMs},"memBytes":${s.memoryUsedBytes}}"""
+      }.getOrElse("")
+      s"""{"rows":${p.numInputRows},"addBatch":${d.getOrDefault("addBatch", -1L)},""" +
+      s""""getBatch":${d.getOrDefault("getBatch", -1L)},"commit":${d.getOrDefault("commitOffsets", -1L)},""" +
+      s""""total":${d.getOrDefault("triggerExecution", -1L)}$st}"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"metric":"stream_user_rec_per_sec","value":${rate.round},"unit":"rec/sec",""" +
       s""""input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
-      s""""entries":${CountingTransport.entries.get()},"mb":${CountingTransport.bytes.get() / 1e6},"sec":$sec}""")
+      s""""entries":${CountingTransport.entries.get()},"mb":${CountingTransport.bytes.get() / 1e6},""" +
+      s""""sec":$sec,"batches":$prog}""")
     spark.stop()
   }
 }
