@@ -113,11 +113,47 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY format""".stripMargin
 
+  /** Frame-sampling pass (the video path): every 32nd offset becomes a
+    * 16-byte "frame"; per media, the frame count and a first-byte checksum —
+    * the shape of sample-then-featurize over an opaque stream, with the
+    * same mapPartitions batching as the decode pass. The oracle replays the
+    * stride arithmetic on the text column (frame k's first byte is
+    * `text[k*32]`). */
+  def hMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, content) =>
+        val frames = frameSampleStub(content, 32)
+        val checksum = frames.iterator
+          .map(f => if (f.nonEmpty) (f(0) & 0xff).toLong else 0L).sum
+        (id, frames.length.toLong, checksum)
+      })
+      .toDF("media_id", "n_frames", "first_byte_sum")
+      .orderBy(col("media_id"))
+  }
+
+  val hMultimodalFramesSql: String =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, strlen(text), 32),
+      |      o -> unicode(substr(text, CAST(o AS INTEGER) + 1, 1))) AS firsts
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id AS media_id,
+      |  CAST(len(firsts) AS BIGINT) AS n_frames,
+      |  CAST(coalesce(list_sum(firsts), 0) AS BIGINT) AS first_byte_sum
+      |FROM fr
+      |ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "h_multimodal_decode" -> (hMultimodalDecode _)
+    "h_multimodal_decode" -> (hMultimodalDecode _),
+    "h_multimodal_frames" -> (hMultimodalFrames _)
   )
 
   def oracle: Map[String, String] = Map(
-    "h_multimodal_decode" -> hMultimodalDecodeSql
+    "h_multimodal_decode" -> hMultimodalDecodeSql,
+    "h_multimodal_frames" -> hMultimodalFramesSql
   )
 }
