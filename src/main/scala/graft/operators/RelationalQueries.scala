@@ -89,6 +89,38 @@ object RelationalQueries {
       |GROUP BY 1
       |ORDER BY size_class""".stripMargin
 
+  /** TPC-H Q3 shape — the composite the optimizer must nail end-to-end:
+    * selective dim filter → two fact joins → decimal agg → top-10 by an
+    * aggregated measure. Catalyst broadcast-joins the filtered customer
+    * side and plans the final top-k as TakeOrderedAndProject (per-partition
+    * heap + driver merge), so no full sort materializes at scale. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ================================================================ C joins
 
   /** C: 4-way inner join with broadcast dims: revenue per nation (TPC-H Q5 shape). */
@@ -635,6 +667,7 @@ object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
     "b_filter_project" -> (bFilterProject _),
     "c_join_inner" -> (cJoinInner _),
     "c_join_left" -> (cJoinLeft _),
@@ -664,6 +697,7 @@ object RelationalQueries {
 
   def oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
     "b_filter_project" -> bFilterProjectSql,
     "c_join_inner" -> cJoinInnerSql,
     "c_join_left" -> cJoinLeftSql,
