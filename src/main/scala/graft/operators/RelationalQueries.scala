@@ -396,7 +396,50 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  /** D: PIVOT — per-priority order counts/revenue spread across status
+    * columns, via the DataFrame `.pivot()` API (explicit value list, so the
+    * plan is a single pass of conditional aggregates — no distinct-value
+    * pre-scan). The oracle expresses the same result as CASE-WHEN
+    * conditional aggregation, which is also exactly the physical plan
+    * Spark lowers pivot to. */
+  def dPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+
+  val dPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ================================================================ E windows
+
+  /** E: NTILE — balance quartiles within each market segment (equi-depth
+    * bucketing, the window form of a percentile cut). */
+  def eWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin)
+  }
+
+  val eWindowNtileSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer
+      |WHERE c_custkey <= 200
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
   /** E: top-3 parts by retail price per brand (dense_rank; rank+row_number too). */
   def eWindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -678,6 +721,8 @@ object RelationalQueries {
     "d_agg_having" -> (dAggHaving _),
     "d_agg_distinct" -> (dAggDistinct _),
     "d_percentile" -> (dPercentile _),
+    "d_pivot" -> (dPivot _),
+    "e_window_ntile" -> (eWindowNtile _),
     "d_rollup" -> (dRollup _),
     "d_cube" -> (dCube _),
     "d_grouping_sets" -> (dGroupingSets _),
@@ -708,6 +753,8 @@ object RelationalQueries {
     "d_agg_having" -> dAggHavingSql,
     "d_agg_distinct" -> dAggDistinctSql,
     "d_percentile" -> dPercentileSql,
+    "d_pivot" -> dPivotSql,
+    "e_window_ntile" -> eWindowNtileSql,
     "d_rollup" -> dRollupSql,
     "d_cube" -> dCubeSql,
     "d_grouping_sets" -> dGroupingSetsSql,
