@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins — the stateful enrichment shape the reference's
+  * single-stream pipeline can't express (its only "join" is the dedup
+  * set-membership test). Spark buffers both sides in the state store; the
+  * watermarks + time-range condition bound how long a row waits for its
+  * match, which is what keeps state finite at 100 TB/day rates.
+  */
+object StreamJoins {
+
+  /** Inner-join `left` to `right` rows of the same `key` whose event times
+    * land within ±`window`. Both inputs need event-time columns named by
+    * `leftTs`/`rightTs`; each side gets a `lateness` watermark, and Spark
+    * derives the exact state-eviction bound (watermark + time range) from
+    * the join condition — a row's buffered state drops as soon as no
+    * in-window partner can still arrive.
+    *
+    * Output columns: the join key, both timestamps, and both payloads —
+    * callers project further. Append-mode friendly: a pair emits exactly
+    * once, when matched. */
+  def enrichWithin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"),
+      "inner")
+      .drop(r(key))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+
+case class Click(user: String, cts: Timestamp, page: String)
+case class Purchase(user: String, pts: Timestamp, amount: Double)
+
+class StreamJoinsSpec extends SparkSuite {
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+
+  test("stream-stream join matches keys within the time window, drops out-of-window pairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+
+    val joined = StreamJoins.enrichWithin(
+      clicks.toDF(), purchases.toDF(),
+      key = "user", leftTs = "cts", rightTs = "pts", window = "30 seconds")
+
+    val q = joined
+      .selectExpr("user", "page", "amount")
+      .writeStream.format("memory").queryName("sj_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click("alice", ts(0), "home"),
+        Click("bob", ts(10), "search"),
+        Click("carol", ts(20), "detail"))
+      purchases.addData(
+        Purchase("alice", ts(15), 9.99),   // within 30s of alice's click -> match
+        Purchase("bob", ts(55), 5.00),     // 45s after bob's click -> out of window
+        Purchase("dave", ts(20), 1.00))    // key never clicks -> no match
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize every pair
+      clicks.addData(Click("zz", ts(500), "x"))
+      purchases.addData(Purchase("zz2", ts(500), 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("sj_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows === Set(("alice", "home", 9.99)),
+        s"expected only the in-window alice pair, got $rows")
+    } finally q.stop()
+  }
+}
