@@ -39,10 +39,12 @@ object GraftFunctions {
 
   /** Sessions already registered — re-registration is correct but spams
     * "replaced a previously registered function" warnings from every query
-    * helper, so guard once per session instance. */
+    * helper, so guard once per session instance. Weak keys: the guard must
+    * not pin stopped sessions in memory. */
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
   def registerAll(spark: SparkSession): Unit = {
     if (!registered.add(spark)) return
