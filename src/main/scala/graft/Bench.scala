@@ -40,8 +40,13 @@ object Bench {
     // warm-up: one full pass absorbs JVM/codegen/footer costs and one-time
     // side effects (bucketed-table writes, roundtrip dirs) so the timed pass
     // measures steady state
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try materialize(fn) catch { case _: Throwable => () }
+    // a warm-up failure is logged (not fatal): a query that fails only once
+    // would otherwise silently shift its one-time cost into the timed pass
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try materialize(fn) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name threw: ${e.getMessage}")
+      }
     }
 
     var failed = List.empty[String]

@@ -81,6 +81,9 @@ object FormatOps {
   def dAggApprox(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select(col("l_partkey"))
+      // NULL keys would count as a distinct value under count(*)-over-distinct
+      // but are excluded by COUNT(DISTINCT) in the oracle — drop them first
+      .filter(col("l_partkey").isNotNull)
       .distinct()
       .agg(
         count(lit(1)).as("n_exact"),

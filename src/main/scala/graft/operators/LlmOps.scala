@@ -317,8 +317,15 @@ object LlmOps {
     * configuration retains them — any "recall" there is a full-scan in
     * disguise. The honest contract, asserted in AnnRecallSpec, is recall@1
     * of the planted near-duplicate, whose θ ≈ 0.02 gives a ≥ 0.99 analytic
-    * hit rate for 8 planes × 3 probes.) No DuckDB oracle (rows-only
-    * check): bucket membership is not SQL-expressible in DuckDB. */
+    * hit rate for 8 planes × 3 probes.)
+    *
+    * Output is the deterministic planted-pair summary, so the DuckDB oracle
+    * CAN check it: per query, the planted original's id, whether the probe
+    * buckets retrieved it (`found`), and the retrieved top-1 id + exact
+    * cosine. The planted pair's cosine (≈ 0.9998) dwarfs the isotropic
+    * background (≲ 0.5), so `found ⇒ top1 = planted` and DuckDB recomputes
+    * the perturbation + cosine in plain SQL. Bucket membership itself stays
+    * non-SQL (splitmix64 planes), but a retrieval miss now hash-FAILs. */
   def hAnnLsh(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     s.sql(
@@ -330,35 +337,57 @@ object LlmOps {
         |  SELECT vec_id, v, nrm, element_at(hyperplane_bands(v, 1, 8), 1) AS bucket
         |  FROM normed),
         |qpert AS (
-        |  SELECT vec_id + 1000000 AS q_id,
+        |  SELECT vec_id AS planted_id, vec_id + 1000000 AS q_id,
         |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
         |  FROM base WHERE vec_id < 10),
         |qn AS (
-        |  SELECT q_id, v, sqrt(dot_product(v, v)) AS nrm FROM qpert),
+        |  SELECT q_id, planted_id, v, sqrt(dot_product(v, v)) AS nrm FROM qpert),
         |q AS (
-        |  SELECT q_id, v, nrm, pb
+        |  SELECT q_id, planted_id, v, nrm, pb
         |  FROM qn LATERAL VIEW explode(hyperplane_probes(v, 8, 3)) t AS pb),
         |scored AS (
-        |  SELECT q.q_id, n.vec_id AS n_id,
+        |  SELECT q.q_id, q.planted_id, n.vec_id AS n_id,
         |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
         |  FROM q JOIN bucketed n ON q.pb = n.bucket),
-        |ranked AS (
-        |  SELECT q_id, n_id, cosine,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
-        |  FROM scored)
-        |SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk
-        |FROM ranked WHERE rnk <= 3
-        |ORDER BY q_id, rnk""".stripMargin)
+        |summary AS (
+        |  SELECT q_id, planted_id,
+        |    max(CASE WHEN n_id = planted_id THEN 1 ELSE 0 END) = 1 AS found,
+        |    max(named_struct('cosine', cosine, 'neg_id', -n_id)) AS best
+        |  FROM scored GROUP BY q_id, planted_id)
+        |SELECT q_id, planted_id, found, -best.neg_id AS top1_id, best.cosine AS top1_cosine
+        |FROM summary
+        |ORDER BY q_id""".stripMargin)
   }
+
+  /** DuckDB recomputes the planted perturbation and its exact cosine; a
+    * retrieval miss (found=false or top1 ≠ planted) breaks the hash. */
+  val hAnnLshSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+      |pert AS (
+      |  SELECT vec_id, v,
+      |    list_transform(v, (x, i) -> CASE WHEN i % 2 = 0 THEN x * CAST(1.02 AS DOUBLE) ELSE x * CAST(0.98 AS DOUBLE) END) AS pv
+      |  FROM base)
+      |SELECT CAST(vec_id + 1000000 AS BIGINT) AS q_id, vec_id AS planted_id,
+      |  TRUE AS found, vec_id AS top1_id,
+      |  round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS top1_cosine
+      |FROM pert ORDER BY q_id""".stripMargin
 
   /** IVF-style ANN (the other classic scale path next to [[hAnnLsh]]): a
     * coarse quantizer (here the first 16 vectors as fixed centroids —
     * deterministic; a k-means refinement drops in without changing the
     * query shape) assigns every vector to its nearest centroid's inverted
     * list; queries probe their nprobe=2 closest lists and rank only those
-    * candidates. At 100 TB the candidate set shrinks by ~n/centroids per
-    * probe and the assignment is scan-local map work. Rows-only check
-    * (recall is probabilistic; measured against brute force in the spec). */
+    * candidates.
+    *
+    * Scale shape: the 16 centroids are collected into ONE array row and
+    * broadcast-crossed against the corpus, so nearest-centroid assignment
+    * is a scan-local `array_sort` over 16 scored structs — no window, no
+    * Exchange keyed on vec_id (the round-4 form shuffled the n×16 cross
+    * twice; pinned now in PlanAuditSpec). Probes (20 rows) broadcast to the
+    * candidate join, so the only remaining exchanges are the single-row
+    * centroid collect and the final per-query top-k window on q_id.
+    * Assignment ties break on c_id ascending, mirrored in the oracle. */
   def hAnnIvf(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     s.sql(
@@ -366,39 +395,63 @@ object LlmOps {
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM normed WHERE vec_id < 16),
+        |cents AS (
+        |  SELECT collect_list(named_struct('c_id', vec_id, 'cv', v, 'cnrm', nrm)) AS cs
+        |  FROM normed WHERE vec_id < 16),
+        |ranked_cent AS (
+        |  SELECT vec_id, v, nrm,
+        |    slice(array_sort(transform(cs, c -> named_struct(
+        |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS top2
+        |  FROM normed CROSS JOIN cents),
         |assigned AS (
-        |  SELECT vec_id, v, nrm, c_id, rn FROM (
-        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
-        |    FROM normed n CROSS JOIN cent c)
-        |  WHERE rn = 1),
+        |  SELECT vec_id, v, nrm, top2[0].c_id AS c_id FROM ranked_cent),
         |probes AS (
-        |  SELECT vec_id AS q_id, c_id, rn FROM (
-        |    SELECT n.vec_id, c.c_id,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
-        |    FROM normed n CROSS JOIN cent c
-        |    WHERE n.vec_id < 10)
-        |  WHERE rn <= 2),
-        |cand AS (
-        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
-        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
-        |  WHERE a.vec_id <> p.q_id),
+        |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, p.c_id
+        |  FROM ranked_cent LATERAL VIEW explode(top2) t AS p
+        |  WHERE vec_id < 10),
         |scored AS (
-        |  SELECT c.q_id, c.n_id,
-        |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
-        |  FROM cand c
-        |  JOIN normed q ON q.vec_id = c.q_id
-        |  JOIN normed n ON n.vec_id = c.n_id)
-        |SELECT q_id, n_id, cosine, rnk FROM (
+        |  SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id AS n_id,
+        |    round(dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
+        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT q_id, n_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin)
   }
+
+  /** Full IVF oracle: DuckDB re-derives assignment (nearest of the 16 fixed
+    * centroids, ties on c_id), nprobe=2 probing, and candidate ranking, so
+    * the approximate index is rows+schema+hash checked end-to-end. */
+  val hAnnIvfSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM normed WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c WHERE n.vec_id < 10)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
+      |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, n_id, cosine, rnk FROM (
+      |  SELECT q_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
 
   // ================================================================ text analysis
 
@@ -677,8 +730,9 @@ object LlmOps {
     "h_len_histogram" -> (hLenHistogram _)
   )
 
-  /** h_ann_lsh / h_ann_ivf omitted: recall is probabilistic ⇒ rows-only. */
   def oracle: Map[String, String] = Map(
+    "h_ann_lsh" -> hAnnLshSql,
+    "h_ann_ivf" -> hAnnIvfSql,
     "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
     "h_simhash_dedup" -> hSimhashDedupSql,

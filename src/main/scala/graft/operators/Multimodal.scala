@@ -118,7 +118,11 @@ object Multimodal {
     * the shape of sample-then-featurize over an opaque stream, with the
     * same mapPartitions batching as the decode pass. The oracle replays the
     * stride arithmetic on the text column (frame k's first byte is
-    * `text[k*32]`). */
+    * `text[k*32]`).
+    *
+    * ASCII assumption (asserted in LlmOpsSpec): this side strides UTF-8
+    * BYTES while the oracle strides CHARACTERS (DuckDB 1.0 can't substring
+    * a BLOB) — equivalent only while the corpus is pure ASCII. */
   def hMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")

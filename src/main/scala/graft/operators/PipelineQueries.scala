@@ -134,15 +134,102 @@ object PipelineQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Batch replay of the streaming session window
+    * (graft.streaming.WindowedStats / SessionWindowSpec): gap-based
+    * sessionization per user — a new session starts after > 30 min of
+    * inactivity; emitted as (user, session_idx, count, start, end).
+    *
+    * The declarative islands form (lag → flag → running sum) shuffles once
+    * on user_id and reuses that partitioning for both windows and the final
+    * aggregate — the exact layout `session_window()` uses in streaming.
+    * Times stay in epoch micros (BIGINT) end-to-end: `events.ts` is raw
+    * nanos on the Spark side (nanosAsLong) and TIMESTAMP_NS in DuckDB, so
+    * integer micros are the cross-engine-stable representation. */
+  def gSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts div 1000 AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(tus) AS start_us, max(tus) AS end_us
+        |FROM sess
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+  }
+
+  val gSessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, tus,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(tus) AS start_us, max(tus) AS end_us
+      |FROM sess
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Batch replay of the stream-stream time-interval join
+    * (graft.streaming.StreamJoins): every click by the same user within
+    * 10 minutes AFTER an error event. Physically an equi-join on user_id
+    * with the interval as a residual range predicate — one co-partitioned
+    * shuffle, never a cross product; the same key layout the watermarked
+    * streaming join maintains in its state store. */
+  def gIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts div 1000 AS tus FROM events),
+        |err AS (SELECT * FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT err.event_id AS err_id, clk.event_id AS click_id, err.user_id,
+        |  clk.tus - err.tus AS gap_us
+        |FROM err JOIN clk
+        |  ON err.user_id = clk.user_id
+        | AND clk.tus >= err.tus AND clk.tus <= err.tus + 600000000
+        |ORDER BY err_id, click_id""".stripMargin)
+  }
+
+  val gIntervalJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |err AS (SELECT * FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT err.event_id AS err_id, clk.event_id AS click_id, err.user_id,
+      |  clk.tus - err.tus AS gap_us
+      |FROM err JOIN clk
+      |  ON err.user_id = clk.user_id
+      | AND clk.tus >= err.tus AND clk.tus <= err.tus + 600000000
+      |ORDER BY err_id, click_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_kpl_roundtrip" -> (gKplRoundtrip _),
     "g_dedup_replay" -> (gDedupReplay _),
-    "g_partition_keys" -> (gPartitionKeys _)
+    "g_partition_keys" -> (gPartitionKeys _),
+    "g_session_window" -> (gSessionWindow _),
+    "g_interval_join" -> (gIntervalJoin _)
   )
 
   def oracle: Map[String, String] = Map(
     "g_kpl_roundtrip" -> gKplRoundtripSql,
     "g_dedup_replay" -> gDedupReplaySql,
-    "g_partition_keys" -> gPartitionKeysSql
+    "g_partition_keys" -> gPartitionKeysSql,
+    "g_session_window" -> gSessionWindowSql,
+    "g_interval_join" -> gIntervalJoinSql
   )
 }

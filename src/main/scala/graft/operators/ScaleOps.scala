@@ -19,33 +19,35 @@ object ScaleOps {
     * tables: both sides pre-partitioned ⇒ SortMergeJoin with NO Exchange —
     * at 100 TB this is the difference between a full-fabric shuffle and a
     * local merge per bucket. Oracle: identical aggregate over a plain join. */
+  /** One-time per-session setup: (re)create the bucketed copies as
+    * EXTERNAL tables (explicit `path`). The in-memory catalog forgets
+    * tables across JVMs while warehouse dirs persist; managed-table CTAS
+    * refuses a pre-existing location, but overwriting an external location
+    * is the supported lifecycle — no hand-rolled directory deletion
+    * (round-4 review: filesystem surgery inside a query is a path bug away
+    * from disaster). */
+  private def ensureBucketedTables(s: SparkSession, dir: String, li: String, ord: String): Unit =
+    if (!s.catalog.tableExists(li)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      s.sql(s"DROP TABLE IF EXISTS $li")
+      s.sql(s"DROP TABLE IF EXISTS $ord")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").option("path", s"$wh/$li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").option("path", s"$wh/$ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ord)
+    }
+
   def cJoinBucketed(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val li = "graft_bl_" + tag
     val ord = "graft_bo_" + tag
-    if (!s.catalog.tableExists(li)) {
-      // the in-memory catalog forgets tables across JVMs while the warehouse
-      // dirs persist — clear stale locations or saveAsTable refuses
-      Seq(li, ord).foreach { t =>
-        val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), t)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(loc)
-        }
-      }
-      Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(li)
-      Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ord)
-    }
+    ensureBucketedTables(s, dir, li, ord)
     s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(

@@ -45,4 +45,30 @@ class PlanAuditSpec extends SparkSuite {
     // the candidate join must be a hash/merge equi-join on band keys
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("h_ann_ivf: centroid assignment is scan-local (no Exchange keyed on vec_id)") {
+    // round 4 assigned centroids via row_number() over the n×16 cross —
+    // two full exchanges keyed on vec_id; the array_sort form does it
+    // map-side. Only the 16-row centroid collect and the final per-query
+    // window may shuffle.
+    val plan = LlmOps.hAnnIvf(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"IVF assignment regressed to a vec_id-keyed shuffle:\n$plan")
+  }
+
+  test("q3_shipping: top-10 runs as TakeOrderedAndProject, not global sort") {
+    val plan = RelationalQueries.q3Shipping(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT 10 must plan per-partition top-k:\n$plan")
+  }
+
+  test("c_join_inner: both dimension tables broadcast") {
+    val plan = RelationalQueries.cJoinInner(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"expected ≥2 BroadcastHashJoin (customer, nation dims), got $broadcasts:\n$plan")
+  }
 }
