@@ -18,7 +18,11 @@ import graft.streaming.{FileTransport, HttpKinesisTransport, KinesisTransport, R
   * Wires `readStream.format("nsq")` → [[StreamPipeline]] (dedup → pack →
   * chunk) → HTTP Kinesis transport with retry/backoff. Without
   * `--kinesis-endpoint`, entries land in a local file sink (a dry-run
-  * stand-in — this build ships no AWS credential signer).
+  * stand-in). Requests are SigV4-signed when the standard AWS env vars
+  * (`AWS_ACCESS_KEY_ID`/`AWS_SECRET_ACCESS_KEY`, optional
+  * `AWS_SESSION_TOKEN`) are present — the same static-credential leg of
+  * the SDK default chain the reference relies on (main.go:77-97);
+  * unsigned otherwise (kinesalite dev mode).
   */
 object Main {
 
@@ -30,6 +34,7 @@ object Main {
       |  --lookupd-http-address <h:p,>  discover nsqds from nsqlookupd instead
       |  --stream <s>               Kinesis stream     (required)
       |  --kinesis-endpoint <url>   Kinesis-API HTTP endpoint (kinesalite ok)
+      |  --region <r>               SigV4 signing region [us-east-1]
       |  --sink-dir <dir>           file-sink fallback [/tmp/graft-sink]
       |  --checkpoint <dir>         checkpoint dir     [/tmp/graft-cli-ckpt]
       |  --test                     CreateStream before starting (main.go:88-96)
@@ -53,7 +58,12 @@ object Main {
 
     val transport: KinesisTransport = opts.get("kinesis-endpoint") match {
       case Some(endpoint) =>
-        val http = new HttpKinesisTransport(endpoint)
+        val creds = for {
+          id <- sys.env.get("AWS_ACCESS_KEY_ID")
+          secret <- sys.env.get("AWS_SECRET_ACCESS_KEY")
+        } yield graft.streaming.SigV4.Credentials(id, secret, sys.env.get("AWS_SESSION_TOKEN"))
+        val http = new HttpKinesisTransport(endpoint,
+          region = opts.getOrElse("region", "us-east-1"), credentials = creds)
         if (opts.contains("test")) http.createStream(stream.get)
         new RetryingTransport(http)
       case None =>

@@ -27,26 +27,58 @@ import graft.kernel.KinesisEntry
   * 5xx) fails the whole request; both shapes surface as `false` flags that
   * [[RetryingTransport]] retries with backoff.
   *
+  * With `credentials` set, every request carries an AWS [[SigV4]]
+  * `Authorization` header (+ `X-Amz-Date`, and `X-Amz-Security-Token` for
+  * STS) — the full credential path to real AWS, which the reference gets
+  * from the SDK's default chain (main.go:77-97). Unsigned mode remains for
+  * kinesalite-style local endpoints that ignore auth.
+  *
   * Executor-safe: the class ships to tasks by closure; the HttpClient is
   * `@transient lazy`, rebuilt per JVM after deserialization.
   */
 class HttpKinesisTransport(
     endpoint: String,
-    requestTimeoutMs: Long = 10000) extends KinesisTransport {
+    requestTimeoutMs: Long = 10000,
+    region: String = "us-east-1",
+    credentials: Option[SigV4.Credentials] = None,
+    clock: () => java.time.Instant = () => java.time.Instant.now()) extends KinesisTransport {
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofMillis(requestTimeoutMs)).build()
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  private val contentType = "application/x-amz-json-1.1"
+
   private def call(target: String, body: String): HttpResponse[String] = {
-    val req = HttpRequest.newBuilder(URI.create(endpoint))
-      .header("Content-Type", "application/x-amz-json-1.1")
-      .header("X-Amz-Target", s"Kinesis_20131202.$target")
+    val uri = URI.create(endpoint)
+    val amzTarget = s"Kinesis_20131202.$target"
+    val b = HttpRequest.newBuilder(uri)
+      .header("Content-Type", contentType)
+      .header("X-Amz-Target", amzTarget)
       .timeout(Duration.ofMillis(requestTimeoutMs))
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-      .build()
-    client.send(req, HttpResponse.BodyHandlers.ofString())
+    credentials.foreach { creds =>
+      val amzDate = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(clock())
+      // sign the Host header the client will actually send (host[:port])
+      val host = uri.getHost + (if (uri.getPort == -1) "" else s":${uri.getPort}")
+      val signedHeaders = Seq(
+        "content-type" -> contentType,
+        "host" -> host,
+        "x-amz-date" -> amzDate,
+        "x-amz-target" -> amzTarget) ++
+        creds.sessionToken.map("x-amz-security-token" -> _)
+      val auth = SigV4.authorization(
+        "POST", uri.getRawPath, Option(uri.getRawQuery).getOrElse(""),
+        signedHeaders, body.getBytes(StandardCharsets.UTF_8),
+        region, "kinesis", creds, amzDate)
+      b.header("X-Amz-Date", amzDate)
+      creds.sessionToken.foreach(t => b.header("X-Amz-Security-Token", t))
+      b.header("Authorization", auth)
+    }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
   /** Test-mode stream provisioning (main.go:88-96): idempotent — an

@@ -28,10 +28,24 @@ final class KinesisStubServer(failRecord: (Long, Int) => Boolean = (_, _) => fal
   private val seqNo = new AtomicLong(0)
   private val mapper = new ObjectMapper()
 
+  /** Last request seen, for auth-header assertions (SigV4 e2e). */
+  @volatile var lastHeaders: Map[String, String] = Map.empty
+  @volatile var lastBody: String = ""
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastBody = body
+      lastHeaders = {
+        val it = ex.getRequestHeaders.entrySet().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isEmpty) b += (e.getKey.toLowerCase -> e.getValue.get(0))
+        }
+        b.result()
+      }
       val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
       val (code, resp) = target.stripPrefix("Kinesis_20131202.") match {
         case "CreateStream" => createStream(body)
