@@ -31,6 +31,8 @@ object Main {
       |  --topic <t>                NSQ topic (required)
       |  --channel <c>              NSQ channel        [graft]
       |  --nsqd-tcp-address <h:p,>  nsqd endpoints     [localhost:4150]
+      |  --nsqd-http-address <h:p,> nsqd stats endpoints, aligned with
+      |                             --nsqd-tcp-address [tcp port + 1]
       |  --lookupd-http-address <h:p,>  discover nsqds from nsqlookupd instead
       |  --stream <s>               Kinesis stream     (required)
       |  --kinesis-endpoint <url>   Kinesis-API HTTP endpoint (kinesalite ok)
@@ -76,7 +78,9 @@ object Main {
       .option("channel", opts.getOrElse("channel", "graft"))
     val source = (opts.get("lookupd-http-address") match {
       case Some(lk) => sourceBase.option("lookupd", lk)
-      case None => sourceBase.option("hosts", opts.getOrElse("nsqd-tcp-address", "localhost:4150"))
+      case None =>
+        val base = sourceBase.option("hosts", opts.getOrElse("nsqd-tcp-address", "localhost:4150"))
+        opts.get("nsqd-http-address").fold(base)(base.option("statsEndpoints", _))
     }).load()
 
     val query = StreamPipeline.build(

@@ -17,6 +17,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object NsqLookupd {
 
+  /** One advertised nsqd: TCP for the consumer connection, HTTP for the
+    * stats-based admission control ([[NsqStats]]). nsqd defaults http to
+    * tcp + 1 when a producer omits it (pre-1.0 lookupds). */
+  final case class Producer(host: String, tcpPort: Int, httpPort: Int)
+
   private def get(url: String, timeoutMs: Long): String = {
     val client = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(timeoutMs)).build()
@@ -37,9 +42,16 @@ object NsqLookupd {
   def resolve(
       lookupds: Seq[(String, Int)],
       topic: String,
-      timeoutMs: Long = 5000): Seq[(String, Int)] = {
+      timeoutMs: Long = 5000): Seq[(String, Int)] =
+    resolveProducers(lookupds, topic, timeoutMs).map(p => (p.host, p.tcpPort))
+
+  /** Like [[resolve]] but keeps each producer's advertised http_port. */
+  def resolveProducers(
+      lookupds: Seq[(String, Int)],
+      topic: String,
+      timeoutMs: Long = 5000): Seq[Producer] = {
     val mapper = new ObjectMapper()
-    val found = Seq.newBuilder[(String, Int)]
+    val found = Seq.newBuilder[Producer]
     var reached = false
     lookupds.foreach { case (host, port) =>
       try {
@@ -50,7 +62,8 @@ object NsqLookupd {
           val p = ps.get(i)
           val addr = p.path("broadcast_address").asText("")
           val tcp = p.path("tcp_port").asInt(-1)
-          if (addr.nonEmpty && tcp > 0) found += (addr -> tcp)
+          val http = p.path("http_port").asInt(tcp + 1)
+          if (addr.nonEmpty && tcp > 0) found += Producer(addr, tcp, http)
         }
       } catch { case _: java.io.IOException => () }
     }

@@ -16,12 +16,14 @@ object NsqDemo {
     val ckpt = java.nio.file.Files.createTempDirectory("nsq-demo").toString
     val stream = spark.readStream.format("nsq")
       .option("host", "127.0.0.1").option("port", server.port.toString)
+      .option("statsEndpoints", s"127.0.0.1:${server.httpPort}")
       .option("topic", "events").option("channel", "graft").load()
     println(s"[demo] schema: ${stream.schema.simpleString}")
     val q = StreamPipeline.build(stream, new InMemoryTransport,
       StreamPipeline.Options(streamName = "demo", checkpoint = ckpt)).start()
-    server.awaitSubscribe()
+    // publish first: consumers connect lazily once stats show depth
     (0 until 30).foreach(i => server.publish(f"$i%016d", s"msg-$i".getBytes))
+    server.awaitSubscribe()
     (0 until 10).foreach(i => server.publish(f"${100+i}%016d", s"msg-$i".getBytes)) // redelivery dupes
     server.sendHeartbeat() // probe: heartbeat mid-stream
     (30 until 35).foreach(i => server.publish(f"$i%016d", s"msg-$i".getBytes))

@@ -1,5 +1,7 @@
 package graft.sources.nsq
 
+import org.apache.spark.sql.connector.read.InputPartition
+
 import graft.SparkSuite
 import graft.streaming.{InMemoryTransport, StreamPipeline}
 import graft.kernel.KplProtobuf
@@ -7,6 +9,30 @@ import graft.kernel.KplProtobuf
 class NsqSourceSpec extends SparkSuite {
 
   private def msgId(i: Int): String = f"$i%016d"
+
+  private def mkStream(server: NsqMiniServer, numShards: Int = 2): NsqMicroBatchStream = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "127.0.0.1")
+    opts.put("port", server.port.toString)
+    opts.put("statsEndpoints", s"127.0.0.1:${server.httpPort}")
+    opts.put("topic", "t")
+    opts.put("channel", "ch")
+    opts.put("numShards", numShards.toString)
+    opts.put("pollMs", "300")
+    new NsqMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+      java.nio.file.Files.createTempDirectory("nsq-drive").toString)
+  }
+
+  private def readAll(stream: NsqMicroBatchStream, parts: Array[InputPartition]): Seq[String] = {
+    val factory = stream.createReaderFactory()
+    parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.next()) ids += r.get().getUTF8String(0).toString
+      ids
+    }.toSeq
+  }
 
   test("protocol codec round-trips messages") {
     val m = NsqProtocol.NsqMessage(msgId(7), 123456789L, 3, "hello".getBytes)
@@ -34,6 +60,82 @@ class NsqSourceSpec extends SparkSuite {
     } finally { client.close(); server.close() }
   }
 
+  test("mini server models RDY as a standing in-flight cap: FIN frees a slot") {
+    val server = new NsqMiniServer
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // cap 2: only 2 un-FINned messages may be in flight at once
+    val client = new NsqClient("127.0.0.1", server.port, "t", "ch",
+      maxInFlight = 2, onMessage = m => got.add(m.id))
+    try {
+      server.awaitSubscribe()
+      (0 until 5).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      eventually() { assert(got.size === 2) } // cap reached
+      Thread.sleep(200)
+      assert(got.size === 2, "delivery beyond the in-flight cap")
+      client.fin(msgId(0)) // frees one slot -> one more delivery
+      eventually() { assert(got.size === 3) }
+      client.fin(msgId(1)); client.fin(msgId(2))
+      eventually() { assert(got.size === 5) }
+    } finally { client.close(); server.close() }
+  }
+
+  test("driver-API drive: epochs admit on depth, FIN lands only after commit") {
+    val server = new NsqMiniServer
+    val stream = mkStream(server, numShards = 2)
+    try {
+      // quiescent broker -> offset must NOT advance (processAllAvailable relies on this)
+      assert(stream.latestOffset().asInstanceOf[NsqOffset].epoch === 0L)
+      assert(stream.latestOffset().asInstanceOf[NsqOffset].epoch === 0L)
+
+      (0 until 10).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+      assert(o1.epoch === 1L, "published depth must admit a new epoch")
+
+      val parts = stream.planInputPartitions(NsqOffset(0), o1)
+      assert(parts.length === 2, "one InputPartition per shard")
+      val ids1 = readAll(stream, parts)
+      eventually() { assert(ids1.toSet === (0 until 10).map(msgId).toSet) }
+      assert(server.finned.isEmpty, "nothing may be FINned before commit")
+
+      stream.commit(o1)
+      assert(server.finned.isEmpty, "FIN happens executor-side at the NEXT read, not in commit")
+
+      // un-FINned in-flight keeps the source admitting epochs until acks land
+      val o2 = stream.latestOffset().asInstanceOf[NsqOffset]
+      assert(o2.epoch === 2L)
+      val ids2 = readAll(stream, stream.planInputPartitions(o1, o2))
+      assert(ids2.isEmpty)
+      eventually() { assert(server.finned.size === 10, "post-commit read must FIN epoch 1") }
+
+      stream.commit(o2)
+      val o3 = stream.latestOffset().asInstanceOf[NsqOffset]
+      assert(o3.epoch === 2L, "all FINned + empty -> quiescent, offset frozen")
+    } finally { stream.stop(); server.close() }
+  }
+
+  test("task retry for an epoch requeues the lost take instead of acking it") {
+    val server = new NsqMiniServer
+    val stream = mkStream(server, numShards = 1)
+    try {
+      (0 until 4).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+      val parts = stream.planInputPartitions(NsqOffset(0), o1)
+      val attempt1 = readAll(stream, parts)
+      assert(attempt1.nonEmpty)
+      // simulate Spark re-executing the same epoch (failed task): the retry
+      // must REQ attempt 1's messages (their rows died with the task) and
+      // serve the redeliveries; committing afterwards must lose nothing
+      val attempt2 = readAll(stream, parts)
+      eventually() { assert(server.requeued.size === attempt1.size) }
+      val attempt3 = if (attempt2.size < 4) {
+        // redeliveries may land after attempt 2's poll window: drain once more
+        readAll(stream, stream.planInputPartitions(o1, NsqOffset(o1.epoch + 1)))
+      } else Seq.empty
+      assert((attempt2 ++ attempt3).toSet === (0 until 4).map(msgId).toSet)
+      assert(server.finned.isEmpty)
+    } finally { stream.stop(); server.close() }
+  }
+
   test("end-to-end: nsq source -> dedup/pack pipeline -> kinesis entries, FIN after commit") {
     val server = new NsqMiniServer
     InMemoryTransport.clear()
@@ -42,6 +144,7 @@ class NsqSourceSpec extends SparkSuite {
       .format("nsq")
       .option("host", "127.0.0.1")
       .option("port", server.port.toString)
+      .option("statsEndpoints", s"127.0.0.1:${server.httpPort}")
       .option("topic", "t")
       .option("channel", "ch")
       .load()
@@ -50,7 +153,6 @@ class NsqSourceSpec extends SparkSuite {
       StreamPipeline.Options(streamName = "nsq-e2e", checkpoint = ckpt))
       .start()
     try {
-      server.awaitSubscribe()
       (0 until 20).foreach(i => server.publish(msgId(i), s"payload-$i".getBytes))
       (0 until 5).foreach(i => server.publish(msgId(100 + i), s"payload-$i".getBytes)) // dupes
       var user = Vector.empty[String]
@@ -70,32 +172,7 @@ class NsqSourceSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
-  test("micro-batch slices split into multiple InputPartitions (pre-shuffle parallelism)") {
-    val server = new NsqMiniServer
-    val opts = new java.util.HashMap[String, String]()
-    opts.put("host", "127.0.0.1")
-    opts.put("port", server.port.toString)
-    opts.put("topic", "t")
-    opts.put("channel", "ch")
-    opts.put("numPartitions", "3")
-    val stream = new NsqMicroBatchStream(
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
-    try {
-      stream.latestOffset() // connects the consumer
-      server.awaitSubscribe()
-      (0 until 10).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
-      eventually() {
-        assert(stream.latestOffset().asInstanceOf[NsqOffset].position === 10L)
-      }
-      val parts = stream.planInputPartitions(NsqOffset(0), NsqOffset(10))
-      assert(parts.length === 3, "slice must split across partitions")
-      val rows = parts.flatMap(_.asInstanceOf[NsqInputPartition].rows)
-      assert(rows.length === 10)
-      assert(rows.map(_.id).toSeq === (0 until 10).map(msgId)) // order preserved across chunks
-    } finally { stream.stop(); server.close() }
-  }
-
-  test("two brokers: messages from both delivered, FINs routed to the right broker") {
+  test("two brokers: executor-side ingest parallelism > 1, FINs routed to the right broker") {
     val s1 = new NsqMiniServer
     val s2 = new NsqMiniServer
     InMemoryTransport.clear()
@@ -103,6 +180,8 @@ class NsqSourceSpec extends SparkSuite {
     val stream = spark.readStream
       .format("nsq")
       .option("hosts", s"127.0.0.1:${s1.port},127.0.0.1:${s2.port}")
+      .option("statsEndpoints", s"127.0.0.1:${s1.httpPort},127.0.0.1:${s2.httpPort}")
+      .option("numShards", "2")
       .option("topic", "t")
       .option("channel", "ch")
       .load()
@@ -110,7 +189,6 @@ class NsqSourceSpec extends SparkSuite {
       StreamPipeline.Options(streamName = "nsq-2b", checkpoint = ckpt))
       .start()
     try {
-      s1.awaitSubscribe(); s2.awaitSubscribe()
       (0 until 10).foreach(i => s1.publish(msgId(i), s"b1-$i".getBytes))
       (0 until 10).foreach(i => s2.publish(msgId(100 + i), s"b2-$i".getBytes))
       var user = Vector.empty[String]
@@ -123,6 +201,12 @@ class NsqSourceSpec extends SparkSuite {
         assert(user.toSet ===
           ((0 until 10).map(i => s"b1-$i") ++ (0 until 10).map(i => s"b2-$i")).toSet)
       }
+      // ingest parallelism: each broker owns a standing consumer connection,
+      // and >1 distinct shard did real work in task threads (pre-shuffle)
+      assert(s1.connections.get() >= 1 && s2.connections.get() >= 1)
+      val shards = NsqShardConsumers.ingestStats(ckpt)
+      assert(shards.keySet.size >= 2,
+        s"expected >=2 shards consuming, got $shards")
       // each broker must see FINs for exactly the ids it delivered
       eventually(timeoutMs = 30000) {
         q.processAllAvailable()
@@ -133,7 +217,7 @@ class NsqSourceSpec extends SparkSuite {
     } finally { q.stop(); s1.close(); s2.close() }
   }
 
-  test("lookupd discovery: brokers resolved from the /lookup HTTP API, both consumed") {
+  test("lookupd discovery: brokers + stats ports resolved from the /lookup HTTP API") {
     val s1 = new NsqMiniServer
     val s2 = new NsqMiniServer
     // stub nsqlookupd advertising both mini-nsqds (modern response shape)
@@ -142,8 +226,8 @@ class NsqSourceSpec extends SparkSuite {
     lookupd.createContext("/lookup", (ex: com.sun.net.httpserver.HttpExchange) => {
       val body =
         s"""{"producers":[
-           |{"broadcast_address":"127.0.0.1","tcp_port":${s1.port}},
-           |{"broadcast_address":"127.0.0.1","tcp_port":${s2.port}}]}""".stripMargin
+           |{"broadcast_address":"127.0.0.1","tcp_port":${s1.port},"http_port":${s1.httpPort}},
+           |{"broadcast_address":"127.0.0.1","tcp_port":${s2.port},"http_port":${s2.httpPort}}]}""".stripMargin
       val b = body.getBytes("UTF-8")
       ex.sendResponseHeaders(200, b.length.toLong)
       ex.getResponseBody.write(b); ex.close()
@@ -153,21 +237,31 @@ class NsqSourceSpec extends SparkSuite {
       val resolved = NsqLookupd.resolve(
         Seq(("127.0.0.1", lookupd.getAddress.getPort)), "t")
       assert(resolved === Seq(("127.0.0.1", s1.port), ("127.0.0.1", s2.port)))
+      assert(NsqLookupd.resolveProducers(
+        Seq(("127.0.0.1", lookupd.getAddress.getPort)), "t").map(_.httpPort) ===
+        Seq(s1.httpPort, s2.httpPort))
 
       val opts = new java.util.HashMap[String, String]()
       opts.put("lookupd", s"127.0.0.1:${lookupd.getAddress.getPort}")
       opts.put("topic", "t")
       opts.put("channel", "ch")
+      opts.put("pollMs", "300")
       val stream = new NsqMicroBatchStream(
-        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+        java.nio.file.Files.createTempDirectory("nsq-lkp").toString)
       try {
-        stream.latestOffset() // connect consumers to every discovered broker
-        s1.awaitSubscribe(); s2.awaitSubscribe()
+        // discovered stats endpoints gate admission: empty brokers -> frozen
+        assert(stream.latestOffset().asInstanceOf[NsqOffset].epoch === 0L)
         s1.publish(msgId(1), "from-1".getBytes)
         s2.publish(msgId(2), "from-2".getBytes)
-        eventually() {
-          assert(stream.latestOffset().asInstanceOf[NsqOffset].position === 2L)
-        }
+        val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+        assert(o1.epoch === 1L)
+        // shards cover both discovered brokers; both messages arrive
+        val parts = stream.planInputPartitions(NsqOffset(0), o1)
+        val hosts = parts.map(_.asInstanceOf[NsqShardPartition].port).toSet
+        assert(hosts === Set(s1.port, s2.port))
+        val ids = readAll(stream, parts)
+        assert(ids.toSet === Set(msgId(1), msgId(2)))
       } finally stream.stop()
     } finally { lookupd.stop(0); s1.close(); s2.close() }
   }
