@@ -28,6 +28,15 @@ final class NsqClient(
   private val in = new DataInputStream(socket.getInputStream)
   private val running = new AtomicBoolean(true)
   private val writeLock = new Object
+  // set when the reader thread dies or a write fails: the session is broken
+  // and the owner must rebuild the connection (round-6 advice: a dead client
+  // must not sit in the registry returning empty takes forever)
+  @volatile private var failed = false
+
+  /** Liveness of the standing session: reader thread healthy, socket open.
+    * False ⇒ nsqd has (or will, on socket close) requeued everything
+    * un-FINned here, so the safe recovery is simply a new connection. */
+  def isAlive: Boolean = running.get() && !failed && !socket.isClosed
 
   writeMagic(out)
   writeIdentify(out,
@@ -59,17 +68,33 @@ final class NsqClient(
       }
     } catch {
       case _: Throwable if !running.get() => // closed
-      case e: Throwable => if (running.get()) e.printStackTrace()
+      case e: Throwable =>
+        failed = true
+        if (running.get()) System.err.println(s"[nsq] reader for $host:$port died: $e")
+        // close the socket NOW so nsqd requeues this connection's un-FINned
+        // in-flight immediately instead of waiting out msg_timeout
+        try socket.close() catch { case _: Throwable => () }
     }
   }, s"nsq-reader-$topic")
   reader.setDaemon(true)
   reader.start()
 
-  def fin(messageId: String): Unit =
-    writeLock.synchronized(writeCommand(out, s"FIN $messageId"))
+  def fin(messageId: String): Unit = ackWrite(s"FIN $messageId")
 
   def requeue(messageId: String, delayMs: Long = 1000): Unit =
-    writeLock.synchronized(writeCommand(out, s"REQ $messageId $delayMs"))
+    ackWrite(s"REQ $messageId $delayMs")
+
+  // a failed ack write means the socket is gone: mark dead (the owner will
+  // rebuild) and let nsqd's requeue-on-disconnect redeliver — duplicates,
+  // never loss, per the at-least-once contract
+  private def ackWrite(cmd: String): Unit =
+    try writeLock.synchronized(writeCommand(out, cmd))
+    catch {
+      case e: java.io.IOException =>
+        failed = true
+        System.err.println(s"[nsq] ack write '$cmd' to $host:$port failed: $e")
+        try socket.close() catch { case _: Throwable => () }
+    }
 
   def close(): Unit = {
     running.set(false)

@@ -1,6 +1,6 @@
 package graft.sources.nsq
 
-import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, Executors, LinkedBlockingQueue, ThreadFactory, TimeUnit}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -14,8 +14,21 @@ import NsqProtocol.NsqMessage
   * micro-batches. NSQ channels load-balance a channel across connections
   * (the broker never delivers one message to two consumers of the same
   * channel), so shards never double-read even if a shard's task migrates
-  * between executors — the abandoned consumer's un-FINned in-flight
-  * messages simply requeue when its socket dies, preserving at-least-once.
+  * between executors. Two mechanisms keep the registry honest (round-6
+  * advice):
+  *
+  *  - **Liveness**: `getOrCreate` checks [[NsqClient.isAlive]] and rebuilds
+  *    a consumer whose reader thread or socket died (nsqd restart, fatal
+  *    protocol error). The dead socket's close made nsqd requeue its
+  *    un-FINned in-flight immediately, so the replacement connection simply
+  *    receives the redeliveries — duplicates possible, loss impossible.
+  *  - **Idle TTL**: a background reaper closes any consumer that has not
+  *    served a `take` for `idleTtlMs` (shard migrated to another JVM, or
+  *    the query stopped without reaching this JVM's `closeSession`).
+  *    Closing the socket requeues its in-flight on the broker at once, so
+  *    an orphan never blackholes messages until msg_timeout, and a stopped
+  *    query's executor-side consumers don't linger for the application's
+  *    lifetime competing with a restarted query.
   *
   * Ack protocol (maps the reference's disable-auto-response +
   * Finish-after-PutRecords, handler.go:19, kinesis_writer.go:114-127):
@@ -29,11 +42,40 @@ object NsqShardConsumers {
 
   private val consumers = new ConcurrentHashMap[String, ShardConsumer]()
 
+  // one JVM-wide reaper scans for idle/dead consumers; daemon so it never
+  // holds an executor open
+  private val reaperPeriodMs = 5000L
+  Executors.newSingleThreadScheduledExecutor(new ThreadFactory {
+    override def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "nsq-consumer-reaper"); t.setDaemon(true); t
+    }
+  }).scheduleWithFixedDelay(() => reap(), reaperPeriodMs, reaperPeriodMs, TimeUnit.MILLISECONDS)
+
+  /** Close + drop consumers idle past their TTL or with a dead connection.
+    * Package-private with an injectable clock so specs don't sleep. */
+  private[nsq] def reap(nowNs: Long = System.nanoTime()): Unit =
+    consumers.asScala.foreach { case (k, c) =>
+      if (!c.isAlive || nowNs - c.lastTouchedNanos > c.idleTtlMs * 1000000L) {
+        if (consumers.remove(k, c)) c.close()
+      }
+    }
+
   def getOrCreate(p: NsqShardPartition): ShardConsumer =
-    consumers.computeIfAbsent(s"${p.sessionId}#${p.shardId}", _ =>
-      new ShardConsumer(p.host, p.port, p.topic, p.channel,
-        rdy = p.rdy, msgTimeoutMs = p.msgTimeoutMs,
-        outputBufferTimeoutMs = p.outputBufferTimeoutMs))
+    consumers.compute(s"${p.sessionId}#${p.shardId}", (_, old) => {
+      if (old != null && old.isAlive) old
+      else {
+        // rebuild over a dead session; close() is idempotent and makes nsqd
+        // requeue anything the dead connection still nominally held
+        if (old != null) old.close()
+        new ShardConsumer(p.host, p.port, p.topic, p.channel,
+          rdy = p.rdy, msgTimeoutMs = p.msgTimeoutMs,
+          outputBufferTimeoutMs = p.outputBufferTimeoutMs,
+          idleTtlMs = p.idleTtlMs)
+      }
+    })
+
+  private[nsq] def get(sessionId: String, shardId: Int): Option[ShardConsumer] =
+    Option(consumers.get(s"$sessionId#$shardId"))
 
   /** Shards whose session key contains `sessionSubstring` (the engine
     * resolves checkpoint paths, so exact keys aren't known to callers) that
@@ -47,8 +89,10 @@ object NsqShardConsumers {
     }.toMap
 
   /** Close every consumer belonging to `sessionId`. Effective in local mode
-    * and tests (same JVM); on a cluster the executor's shutdown closes the
-    * sockets and nsqd requeues un-FINned in-flight messages. */
+    * and tests (same JVM); on a cluster, consumers in OTHER executor JVMs
+    * are closed by the idle-TTL reaper once the stopped query stops sending
+    * them read tasks (see class doc) — executors outlive queries, so JVM
+    * shutdown cannot be relied on for this. */
   def closeSession(sessionId: String): Unit =
     consumers.keySet.asScala.filter(_.startsWith(sessionId + "#")).toVector
       .foreach(k => Option(consumers.remove(k)).foreach(_.close()))
@@ -59,18 +103,23 @@ object NsqShardConsumers {
   * the per-epoch ids wait in `pending` for their FIN-after-commit. */
 final class ShardConsumer(
     host: String, port: Int, topic: String, channel: String,
-    rdy: Int, msgTimeoutMs: Long, outputBufferTimeoutMs: Long) {
+    rdy: Int, msgTimeoutMs: Long, outputBufferTimeoutMs: Long,
+    val idleTtlMs: Long = 60000L) {
 
   private val queue = new LinkedBlockingQueue[NsqMessage]()
   // epoch -> message ids delivered to that epoch's reader, not yet FINned
   private val pending = mutable.TreeMap.empty[Long, Vector[String]]
   @volatile private[nsq] var takeThreads: Set[String] = Set.empty
   @volatile private[nsq] var taken = 0L // messages delivered to readers
+  @volatile private[nsq] var lastTouchedNanos = System.nanoTime()
 
   private val client = new NsqClient(host, port, topic, channel,
     maxInFlight = rdy, msgTimeoutMs = msgTimeoutMs,
     outputBufferTimeoutMs = outputBufferTimeoutMs,
     onMessage = queue.put)
+
+  /** Standing-session health; false ⇒ the registry must rebuild. */
+  def isAlive: Boolean = client.isAlive
 
   /** FIN everything for epochs <= `committed`: their batches are durably
     * sunk, so the broker may forget them. */
@@ -88,6 +137,7 @@ final class ShardConsumer(
     * restart-race advice). */
   def take(epoch: Long, committed: Long, max: Int, pollMs: Long): Vector[NsqMessage] =
     synchronized {
+      lastTouchedNanos = System.nanoTime()
       finThrough(committed)
       pending.remove(epoch).foreach(_.foreach(id => client.requeue(id, 0)))
       takeThreads += Thread.currentThread().getName

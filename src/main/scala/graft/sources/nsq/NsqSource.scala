@@ -114,6 +114,12 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap, checkpointLocation:
     Option(options.get("outputBufferTimeoutMs")).map(_.toLong).getOrElse(50L)
   private val pollMs =
     Option(options.get("pollMs")).map(_.toLong).getOrElse(100L)
+  // how long an executor-side consumer may sit without serving a take before
+  // the reaper closes it (orphaned by shard migration or a stopped query);
+  // default several msg_timeouts so a slow trigger cadence never reaps a
+  // healthy consumer
+  private val idleTtlMs =
+    Option(options.get("idleTtlMs")).map(_.toLong).getOrElse(msgTimeoutMs * 6)
   // the registry key ties a restarted query (same checkpoint) back to its
   // still-live consumers in local mode; distinct queries never collide
   private[nsq] val sessionId = s"nsq:$topic:$channel:$checkpointLocation"
@@ -160,12 +166,24 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap, checkpointLocation:
 
   private var epoch = 0L
   private val committed = new AtomicLong(-1L)
-  // sticky: one unreachable stats endpoint → plan every trigger from then on
-  @volatile private var statsDisabled = false
+  // stats-poll failure handling: NOT a sticky latch (round-6 advice — one
+  // transient /stats timeout must not permanently disable quiescence
+  // detection). After a failure we plan unconditionally for a few epochs
+  // (exponential backoff, capped) and then probe again; a success resets.
+  private var statsFailStreak = 0
+  private var statsSkipUntilEpoch = 0L
 
   override def initialOffset(): Offset = NsqOffset(0L)
 
   override def deserializeOffset(json: String): Offset = {
+    // pre-round-6 checkpoints stored {"position":N}; an epoch counter can't
+    // honor what a position promised, so fail fast instead of silently
+    // restarting at epoch 0 (round-6 advice)
+    if (""""position"\s*:""".r.findFirstIn(json).isDefined)
+      throw new IllegalStateException(
+        s"incompatible nsq checkpoint offset $json: the 'position' format predates " +
+          "epoch-based offsets; restart the query with a fresh checkpointLocation " +
+          "(at-least-once: un-FINned messages will be redelivered by nsqd)")
     val e = """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)
     synchronized { epoch = math.max(epoch, e) } // restart: resume past checkpoint
@@ -173,31 +191,50 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap, checkpointLocation:
   }
 
   /** Advance one epoch iff there may be work: outstanding (queued +
-    * in-flight) > 0 at any broker, or stats are unavailable. In-flight
-    * covers messages buffered executor-side awaiting FIN, so outstanding=0
-    * ⇒ everything published was delivered AND committed — quiescent. */
+    * in-flight) > 0 at any broker, or stats are (currently) unavailable.
+    * In-flight covers messages buffered executor-side awaiting FIN, so
+    * outstanding=0 ⇒ everything published was delivered AND committed —
+    * quiescent. */
   override def latestOffset(): Offset = synchronized {
-    val advance = statsDisabled || {
-      NsqStats.outstanding(brokers.map(b => (b._1, b._3)), topic, channel) match {
-        case Some(n) => n > 0
-        case None    => statsDisabled = true; true
+    val advance =
+      if (epoch < statsSkipUntilEpoch) true // backing off; availability first
+      else NsqStats.outstanding(brokers.map(b => (b._1, b._3)), topic, channel) match {
+        case Some(n) => statsFailStreak = 0; n > 0
+        case None =>
+          statsFailStreak += 1
+          statsSkipUntilEpoch = epoch + math.min(1L << math.min(statsFailStreak, 5), 32L)
+          true
       }
-    }
     if (advance) epoch += 1
     NsqOffset(epoch)
   }
+
+  /** Cluster hosts running executors, for locality pinning. Best-effort:
+    * empty (no hints) if no SparkContext is reachable. */
+  private def executorHosts: Seq[String] =
+    try {
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .statusTracker.getExecutorInfos.map(_.host()).distinct.sorted.toSeq
+    } catch { case _: Throwable => Seq.empty }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val e = end.asInstanceOf[NsqOffset].epoch
     synchronized { epoch = math.max(epoch, e) }
     val c = committed.get()
+    // pin shard i to a stable host so its standing consumer is reused across
+    // epochs instead of orphaned by task placement (round-6 advice); Spark's
+    // locality hints are host-level, so same-host multi-executor migration is
+    // still possible — the idle-TTL reaper covers that residual case
+    val hosts = executorHosts
     (0 until numShards).map { i =>
       val (host, port, _) = brokers(i % brokers.size)
       NsqShardPartition(sessionId, i, host, port, topic, channel,
         epoch = e, committedEpoch = c,
         maxPerShard = maxPerShard, pollMs = pollMs,
         rdy = math.max(1, maxPerShard * 3),
-        msgTimeoutMs = msgTimeoutMs, outputBufferTimeoutMs = outputBufferTimeoutMs)
+        msgTimeoutMs = msgTimeoutMs, outputBufferTimeoutMs = outputBufferTimeoutMs,
+        idleTtlMs = idleTtlMs,
+        preferredHost = if (hosts.isEmpty) "" else hosts(i % hosts.size))
     }.toArray[InputPartition]
   }
 
@@ -215,13 +252,20 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap, checkpointLocation:
 }
 
 /** Everything a shard's read task needs: where to connect, which epoch it
-  * feeds, and the newest committed epoch (the FIN watermark). */
+  * feeds, and the newest committed epoch (the FIN watermark).
+  * `preferredHost` pins the shard's tasks to one cluster host so the
+  * standing consumer is reused epoch-over-epoch instead of re-created on
+  * whichever executor the scheduler picked. */
 final case class NsqShardPartition(
     sessionId: String, shardId: Int,
     host: String, port: Int, topic: String, channel: String,
     epoch: Long, committedEpoch: Long,
     maxPerShard: Int, pollMs: Long, rdy: Int,
-    msgTimeoutMs: Long, outputBufferTimeoutMs: Long) extends InputPartition
+    msgTimeoutMs: Long, outputBufferTimeoutMs: Long,
+    idleTtlMs: Long = 60000L, preferredHost: String = "") extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    if (preferredHost.isEmpty) Array.empty else Array(preferredHost)
+}
 
 class NsqShardReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -26,12 +26,22 @@ object NsqStats {
       .connectTimeout(Duration.ofMillis(timeoutMs)).build()
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs)).GET().build()
-    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // a non-200 (nsqd mid-restart, proxy error page) must read as
+    // "unreachable", NOT as an empty stats document = zero outstanding
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"$url returned HTTP ${resp.statusCode()}")
+    resp.body()
   }
 
   private def topics(root: JsonNode): JsonNode = {
     val direct = root.path("topics")
-    if (direct.isArray) direct else root.path("data").path("topics")
+    val t = if (direct.isArray) direct else root.path("data").path("topics")
+    // an empty/garbage body parses to a missing node; summing it to 0 would
+    // falsely report quiescence, so treat an unrecognized shape as an error
+    if (!t.isArray)
+      throw new java.io.IOException(s"unrecognized nsqd stats shape: ${root.toString.take(200)}")
+    t
   }
 
   /** Outstanding (queued + in-flight) messages for `topic`/`channel` summed

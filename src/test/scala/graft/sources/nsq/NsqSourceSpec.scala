@@ -10,7 +10,8 @@ class NsqSourceSpec extends SparkSuite {
 
   private def msgId(i: Int): String = f"$i%016d"
 
-  private def mkStream(server: NsqMiniServer, numShards: Int = 2): NsqMicroBatchStream = {
+  private def mkStream(server: NsqMiniServer, numShards: Int = 2,
+                       extra: Map[String, String] = Map.empty): NsqMicroBatchStream = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("host", "127.0.0.1")
     opts.put("port", server.port.toString)
@@ -19,6 +20,7 @@ class NsqSourceSpec extends SparkSuite {
     opts.put("channel", "ch")
     opts.put("numShards", numShards.toString)
     opts.put("pollMs", "300")
+    extra.foreach { case (k, v) => opts.put(k, v) }
     new NsqMicroBatchStream(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
       java.nio.file.Files.createTempDirectory("nsq-drive").toString)
@@ -281,6 +283,120 @@ class NsqSourceSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("ghost"))
     } finally empty.stop(0)
+  }
+
+  test("a dead consumer connection is detected and rebuilt; messages redeliver") {
+    val server = new NsqMiniServer
+    val stream = mkStream(server, numShards = 1)
+    try {
+      (0 until 3).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+      val ids1 = readAll(stream, stream.planInputPartitions(NsqOffset(0), o1))
+      assert(ids1.size === 3)
+      val consumer1 = NsqShardConsumers.get(stream.sessionId, 0).get
+      assert(consumer1.isAlive)
+      // a fatal protocol error kills the reader thread -> dead session; the
+      // client closes its socket, so the broker requeues the un-FINned
+      // in-flight immediately (no msg_timeout stall)
+      server.sendError("E_INVALID bad frame")
+      eventually() { assert(!consumer1.isAlive) }
+      eventually() { assert(server.outstanding === 3) }
+      // the next epoch's read must rebuild the connection (round-6 advice:
+      // previously take() silently returned empty forever) and serve the
+      // broker's redeliveries
+      val o2 = stream.latestOffset().asInstanceOf[NsqOffset]
+      assert(o2.epoch === o1.epoch + 1, "outstanding redeliveries must admit an epoch")
+      val ids2 = readAll(stream, stream.planInputPartitions(o1, o2))
+      val consumer2 = NsqShardConsumers.get(stream.sessionId, 0).get
+      assert(consumer2 ne consumer1, "dead consumer must be replaced, not reused")
+      assert(consumer2.isAlive)
+      assert(ids2.toSet === (0 until 3).map(msgId).toSet)
+    } finally { stream.stop(); server.close() }
+  }
+
+  test("idle-TTL reaper closes orphaned consumers so the broker requeues promptly") {
+    val server = new NsqMiniServer
+    val stream = mkStream(server, numShards = 1, extra = Map("idleTtlMs" -> "1"))
+    try {
+      (0 until 2).foreach(i => server.publish(msgId(i), s"m$i".getBytes))
+      val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+      val ids1 = readAll(stream, stream.planInputPartitions(NsqOffset(0), o1))
+      assert(ids1.size === 2)
+      assert(NsqShardConsumers.get(stream.sessionId, 0).isDefined)
+      Thread.sleep(10) // > 1 ms TTL since the take
+      NsqShardConsumers.reap() // what the background thread runs every 5 s
+      // the orphan is gone from the registry and its socket close made the
+      // broker requeue the un-FINned messages at once (round-6 advice: an
+      // abandoned consumer must not blackhole messages until msg_timeout)
+      assert(NsqShardConsumers.get(stream.sessionId, 0).isEmpty)
+      eventually() { assert(server.outstanding === 2) }
+      // a later epoch simply builds a fresh consumer and re-serves
+      val o2 = stream.latestOffset().asInstanceOf[NsqOffset]
+      val ids2 = readAll(stream, stream.planInputPartitions(o1, o2))
+      assert(ids2.toSet === (0 until 2).map(msgId).toSet)
+    } finally { stream.stop(); server.close() }
+  }
+
+  test("transient stats failure backs off, then quiescence detection recovers") {
+    val server = new NsqMiniServer
+    // stats endpoint that 500s the first request then reports zero work
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    flaky.createContext("/stats", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (calls.getAndIncrement() == 0) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        val b = ("""{"topics":[{"topic_name":"t","depth":0,"channels":[""" +
+          """{"channel_name":"ch","depth":0,"in_flight_count":0}]}]}""").getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    flaky.start()
+    val stream = mkStream(server, numShards = 1,
+      extra = Map("statsEndpoints" -> s"127.0.0.1:${flaky.getAddress.getPort}"))
+    try {
+      // failure -> plan unconditionally (availability), with bounded backoff
+      assert(stream.latestOffset().asInstanceOf[NsqOffset].epoch === 1L)
+      // NOT latched (round-6 advice): once the endpoint answers again with
+      // zero outstanding, the offset must freeze so processAllAvailable()
+      // can terminate
+      val epochs = (0 until 8).map(_ => stream.latestOffset().asInstanceOf[NsqOffset].epoch)
+      assert(epochs.takeRight(2).distinct.size === 1, s"offset must freeze, got $epochs")
+      assert(calls.get() >= 2, "stats polling must resume after the failure")
+    } finally { stream.stop(); flaky.stop(0); server.close() }
+  }
+
+  test("a pre-epoch 'position' checkpoint offset fails fast instead of restarting at 0") {
+    val server = new NsqMiniServer
+    val stream = mkStream(server)
+    try {
+      val e = intercept[IllegalStateException] {
+        stream.deserializeOffset("""{"position":42}""")
+      }
+      assert(e.getMessage.contains("position"))
+      assert(e.getMessage.contains("checkpoint"))
+      // the current format still parses
+      assert(stream.deserializeOffset("""{"epoch":7}""").asInstanceOf[NsqOffset].epoch === 7L)
+    } finally { stream.stop(); server.close() }
+  }
+
+  test("shards carry stable preferredLocations so standing consumers are reused") {
+    spark // force the shared session so executor info is available
+    val server = new NsqMiniServer
+    val stream = mkStream(server, numShards = 4)
+    try {
+      server.publish(msgId(0), "x".getBytes)
+      val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
+      val p1 = stream.planInputPartitions(NsqOffset(0), o1).map(_.asInstanceOf[NsqShardPartition])
+      assert(p1.forall(_.preferredLocations().length === 1),
+        "every shard must pin to a host when executors are known")
+      // pinning must be stable across epochs - that is what keeps a shard's
+      // task landing where its standing consumer lives
+      val p2 = stream.planInputPartitions(o1, NsqOffset(o1.epoch + 1))
+        .map(_.asInstanceOf[NsqShardPartition])
+      assert(p1.map(_.preferredHost).toSeq === p2.map(_.preferredHost).toSeq)
+    } finally { stream.stop(); server.close() }
   }
 
   private def eventually(timeoutMs: Long = 10000)(check: => Unit): Unit = {
