@@ -3,8 +3,12 @@ package graft.kernel
 import scala.collection.mutable
 
 /** One Kinesis `PutRecords` request entry: framed (or raw oversize) payload
-  * plus the partition key the entry is dispatched on. */
-final case class KinesisEntry(data: Array[Byte], partitionKey: String)
+  * plus the partition key the entry is dispatched on, and optionally an
+  * explicit hash key overriding the key's MD5 for shard targeting
+  * (proto/aggregation.proto:8,18 — the reason the envelope carries an EHK
+  * table at all). */
+final case class KinesisEntry(
+    data: Array[Byte], partitionKey: String, explicitHashKey: Option[String] = None)
 
 /** Greedy first-fit-in-arrival-order KPL record packer — the reference's
   * core "aggregation" operator (pkg/aggregator/aggregator.go:119-230),
@@ -35,6 +39,7 @@ final class KplPacker(
 
   private val records = mutable.ArrayBuffer.empty[KplProtobuf.UserRecord]
   private val partIds = mutable.LinkedHashMap.empty[String, Int]
+  private val ehkIds = mutable.LinkedHashMap.empty[String, Int]
   private var curSize = 0
   private var nbyte = 0L
   private var nrec = 0L
@@ -51,12 +56,15 @@ final class KplPacker(
 
   /** Accept one record; returns its output slot (see class doc). An invalid
     * caller key (empty or >255 chars) falls back to the body-hash key
-    * (aggregator.go:124-130). */
-  def put(body: Array[Byte], key: String = ""): Int = {
+    * (aggregator.go:124-130). A non-empty `ehk` is dictionary-encoded into
+    * the aggregate's `explicit_hash_key_table` — the shard-targeted routing
+    * the reference's envelope supports but its pipeline never populated
+    * (proto/aggregation.proto:8,18, partitioned.go stub). */
+  def put(body: Array[Byte], key: String = "", ehk: String = ""): Int = {
     val partKey = if (key.isEmpty || key.length > 255) partitioner(body) else key
 
     if (body.length > targetSize) {
-      completed += KinesisEntry(body, partKey)
+      completed += KinesisEntry(body, partKey, Option(ehk).filter(_.nonEmpty))
       nbyte += body.length + partKey.length
       nrec += 1
       // NOTE: deliberate deviation — the Go original returns
@@ -67,7 +75,7 @@ final class KplPacker(
       return completed.length - 1
     }
 
-    if (records.nonEmpty && curSize + body.length + partKey.length > targetSize)
+    if (records.nonEmpty && curSize + body.length + partKey.length + ehk.length > targetSize)
       closeCurrent()
 
     var recSize = body.length
@@ -75,7 +83,13 @@ final class KplPacker(
       recSize += partKey.length // key bytes charged once per distinct key
       partIds.size
     })
-    records += KplProtobuf.UserRecord(keyIdx.toLong, body)
+    val ehkIdx =
+      if (ehk.isEmpty) None
+      else Some(ehkIds.getOrElseUpdate(ehk, {
+        recSize += ehk.length // like partition keys: charged once per distinct
+        ehkIds.size
+      }).toLong)
+    records += KplProtobuf.UserRecord(keyIdx.toLong, body, ehkIdx)
     curSize += recSize
     nbyte += recSize
     nrec += 1
@@ -84,10 +98,15 @@ final class KplPacker(
 
   private def closeCurrent(): Unit = {
     val keys = partIds.keys.toVector // LinkedHashMap preserves insertion = index order
-    val agg = KplProtobuf.Aggregated(keys, records.toVector)
-    completed += KinesisEntry(KplProtobuf.frame(agg), keys.head)
+    val ehks = ehkIds.keys.toVector
+    val agg = KplProtobuf.Aggregated(keys, records.toVector, ehks)
+    // entry-level routing mirrors the first-record partition-key rule
+    // (aggregator.go:58): the aggregate ships on record 0's keys
+    val entryEhk = records.head.explicitHashKeyIndex.map(i => ehks(i.toInt))
+    completed += KinesisEntry(KplProtobuf.frame(agg), keys.head, entryEhk)
     records.clear()
     partIds.clear()
+    ehkIds.clear()
     curSize = 0
   }
 

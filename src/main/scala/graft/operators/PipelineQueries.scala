@@ -134,6 +134,68 @@ object PipelineQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Shard-targeted routing end-to-end (round-5 verdict task #2): pack each
+    * event with an explicit hash key derived from its id, deaggregate with
+    * the native Generator, and verify the per-record (body ↔ EHK) pairing
+    * survives the dictionary-encoded envelope — if `explicit_hash_key_table`
+    * or the per-record indices were mis-encoded, `n_ehk_paired` would fall
+    * short of `n_records` and the oracle hash would break.
+    *
+    * Same physical shape as [[gKplRoundtrip]]: one shuffle on event_type,
+    * per-partition streaming packer, memory bounded by one aggregate. */
+  def gEhkRouting(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    import s.implicits._
+    val packed = t(s, dir, "events")
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"),
+        encode(concat(col("event_id").cast("string"), lit("|"), col("props")), "UTF-8").as("body"),
+        ((col("event_id").cast("long") * 2654435761L) % 1000000007L).cast("string").as("ehk"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("event_id"))
+      .select(col("event_type"), col("body"), col("ehk"))
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(String, Array[Byte])] {
+          private var out: Iterator[(String, Array[Byte])] = Iterator.empty
+          def hasNext: Boolean = out.hasNext || rows.hasNext
+          def next(): (String, Array[Byte]) = {
+            if (!out.hasNext) {
+              val key = rows.head._1
+              val p = new KplPacker()
+              while (rows.hasNext && rows.head._1 == key) {
+                val row = rows.next()
+                p.put(row._2, key, row._3)
+              }
+              out = p.drain().iterator.map(e => (key, e.data))
+            }
+            out.next()
+          }
+        }
+      }
+      .toDF("event_type", "data")
+    packed
+      .selectExpr("event_type", "kpl_deaggregate_rows(data)")
+      .withColumn("rec_id", split(decode(col("data"), "UTF-8"), "\\|").getItem(0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("explicit_hash_key") ===
+          ((col("rec_id") * 2654435761L) % 1000000007L).cast("string"), 1L).otherwise(0L))
+          .as("n_ehk_paired"),
+        countDistinct(col("explicit_hash_key")).as("n_ehks"))
+      .orderBy(col("event_type"))
+  }
+
+  val gEhkRoutingSql: String =
+    """SELECT event_type,
+      |  count(*) AS n_records,
+      |  count(*) AS n_ehk_paired,
+      |  CAST(count(DISTINCT (event_id * 2654435761) % 1000000007) AS BIGINT) AS n_ehks
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Batch replay of the streaming session window
     * (graft.streaming.WindowedStats / SessionWindowSpec): gap-based
     * sessionization per user — a new session starts after > 30 min of
@@ -221,6 +283,7 @@ object PipelineQueries {
     "g_kpl_roundtrip" -> (gKplRoundtrip _),
     "g_dedup_replay" -> (gDedupReplay _),
     "g_partition_keys" -> (gPartitionKeys _),
+    "g_ehk_routing" -> (gEhkRouting _),
     "g_session_window" -> (gSessionWindow _),
     "g_interval_join" -> (gIntervalJoin _)
   )
@@ -229,6 +292,7 @@ object PipelineQueries {
     "g_kpl_roundtrip" -> gKplRoundtripSql,
     "g_dedup_replay" -> gDedupReplaySql,
     "g_partition_keys" -> gPartitionKeysSql,
+    "g_ehk_routing" -> gEhkRoutingSql,
     "g_session_window" -> gSessionWindowSql,
     "g_interval_join" -> gIntervalJoinSql
   )

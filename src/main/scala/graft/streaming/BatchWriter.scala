@@ -37,12 +37,13 @@ final class BatchWriter(
 
   /** Add one source record (recordId is caller bookkeeping, e.g. row index
     * or message id hash). Oversize bodies are dropped, mirroring the
-    * reference's silent `continue`. */
-  def add(recordId: Long, body: Array[Byte], key: String = ""): Unit = {
+    * reference's silent `continue`. A non-empty `ehk` threads through to the
+    * packer's explicit-hash-key table for shard-targeted routing. */
+  def add(recordId: Long, body: Array[Byte], key: String = "", ehk: String = ""): Unit = {
     if (body.length > BatchWriter.MaxMessageSize) { dropped += 1; return }
     if (packer.count >= maxRecords ||
-        packer.size + body.length + key.length > maxBytes) flushCurrent()
-    val slot = packer.put(body, key)
+        packer.size + body.length + key.length + ehk.length > maxBytes) flushCurrent()
+    val slot = packer.put(body, key, ehk)
     sources.getOrElseUpdate(slot, mutable.ArrayBuffer.empty) += recordId
   }
 

@@ -101,6 +101,7 @@ class HttpKinesisTransport(
       val rec = arr.addObject()
       rec.put("Data", Base64.getEncoder.encodeToString(e.data))
       rec.put("PartitionKey", e.partitionKey)
+      e.explicitHashKey.foreach(rec.put("ExplicitHashKey", _))
     }
     val resp =
       try call("PutRecords", mapper.writeValueAsString(root))

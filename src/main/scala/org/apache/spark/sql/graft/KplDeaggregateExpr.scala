@@ -25,7 +25,8 @@ case class KplDeaggregateExpr(child: Expression)
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("data", BinaryType, nullable = false),
-    StructField("partition_key", StringType, nullable = true)))
+    StructField("partition_key", StringType, nullable = true),
+    StructField("explicit_hash_key", StringType, nullable = true)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input).asInstanceOf[Array[Byte]]
@@ -33,9 +34,13 @@ case class KplDeaggregateExpr(child: Expression)
     else if (KplProtobuf.isAggregated(raw)) {
       val agg = KplProtobuf.decodeFramed(raw) // isAggregated already verified MD5
       agg.records.iterator.map { r =>
-        InternalRow(r.data, UTF8String.fromString(agg.partitionKeys(r.partitionKeyIndex.toInt)))
+        InternalRow(
+          r.data,
+          UTF8String.fromString(agg.partitionKeys(r.partitionKeyIndex.toInt)),
+          r.explicitHashKeyIndex
+            .map(i => UTF8String.fromString(agg.explicitHashKeys(i.toInt))).orNull)
       }
-    } else Iterator.single(InternalRow(raw, null))
+    } else Iterator.single(InternalRow(raw, null, null))
   }
 
   override protected def withNewChildInternal(newChild: Expression): KplDeaggregateExpr =

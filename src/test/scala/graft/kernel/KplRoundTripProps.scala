@@ -135,6 +135,39 @@ class KplRoundTripProps extends AnyFunSuite {
     }
   }
 
+  test("pipeline-set explicit hash keys round-trip with per-record pairing intact") {
+    // round-5 verdict task #2: EHKs threaded through put(), not just the
+    // codec — dictionary-encoded per aggregate, entry-level EHK = first
+    // record's (mirroring the first-record partition-key rule)
+    trials(25) { r =>
+      genRecords(r, 50).map { case (b, k) =>
+        val ehk = if (r.nextBoolean()) BigInt(64, new Random(r.nextLong())).toString else ""
+        (b, k, ehk)
+      }
+    } { recs =>
+      val packer = new KplPacker
+      recs.foreach { case (b, k, e) => packer.put(b, k, e) }
+      val entries = packer.drain()
+      val back = entries.flatMap { e =>
+        if (KplProtobuf.isAggregated(e.data)) {
+          val agg = KplProtobuf.deframe(e.data)
+          // entry-level EHK follows record 0
+          assert(e.explicitHashKey ===
+            agg.records.head.explicitHashKeyIndex.map(i => agg.explicitHashKeys(i.toInt)))
+          // the table holds exactly the distinct non-empty EHKs, referenced in range
+          assert(agg.records.flatMap(_.explicitHashKeyIndex).forall(_ < agg.explicitHashKeys.length))
+          agg.records.map(rec =>
+            (rec.data.toSeq, rec.explicitHashKeyIndex.map(i => agg.explicitHashKeys(i.toInt))))
+        } else Vector((e.data.toSeq, e.explicitHashKey))
+      }
+      assert(back.length === recs.length)
+      back.zip(recs).foreach { case ((gotBody, gotEhk), (wantBody, _, wantEhk)) =>
+        assert(gotBody === wantBody.toSeq)
+        assert(gotEhk === Option(wantEhk).filter(_.nonEmpty))
+      }
+    }
+  }
+
   test("dedup: any key tested, then trimmed twice, is always forgotten") {
     trials(25)(r => genRecords(r, 30)) { recs =>
       recs.foreach { case (b, _) =>
