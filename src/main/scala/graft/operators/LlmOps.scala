@@ -374,61 +374,144 @@ object LlmOps {
       |FROM pert ORDER BY q_id""".stripMargin
 
   /** IVF-style ANN (the other classic scale path next to [[hAnnLsh]]): a
-    * coarse quantizer (here the first 16 vectors as fixed centroids —
-    * deterministic; a k-means refinement drops in without changing the
-    * query shape) assigns every vector to its nearest centroid's inverted
-    * list; queries probe their nprobe=2 closest lists and rank only those
-    * candidates.
+    * coarse quantizer assigns every vector to its nearest centroid's
+    * inverted list; queries probe their nprobe=2 closest lists and rank
+    * only those candidates.
+    *
+    * Centroids (round-5 verdict task #3): seeded with the first 16 vectors,
+    * then refined by one deterministic Lloyd iteration over a bounded
+    * training sample (`vec_id < 256` — at 100 TB you train the quantizer on
+    * a sample, never the corpus): assign each training vector to its
+    * nearest seed by cosine (ties on c_id ascending), replace each centroid
+    * with the element-wise mean of its members, keep the seed where a
+    * cluster went empty. Everything is expressible in SQL, so the DuckDB
+    * oracle replays the identical iteration.
     *
     * Scale shape: the 16 centroids are collected into ONE array row and
     * broadcast-crossed against the corpus, so nearest-centroid assignment
     * is a scan-local `array_sort` over 16 scored structs — no window, no
-    * Exchange keyed on vec_id (the round-4 form shuffled the n×16 cross
-    * twice; pinned now in PlanAuditSpec). Probes (20 rows) broadcast to the
-    * candidate join, so the only remaining exchanges are the single-row
-    * centroid collect and the final per-query top-k window on q_id.
-    * Assignment ties break on c_id ascending, mirrored in the oracle. */
-  def hAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    * Exchange keyed on vec_id (pinned in PlanAuditSpec). The refinement
+    * adds only sample-sized work: a (c_id, dim)-keyed aggregation of
+    * 256×64 values and a 16-row join. Probes (20 rows) broadcast to the
+    * candidate join, so the remaining exchanges are the tiny centroid
+    * collects and the final per-query top-k window on q_id. */
+  def hAnnIvf(s: SparkSession, dir: String): DataFrame =
+    hAnnIvfWith(s, dir, refined = true)
+
+  /** `refined = false` keeps the raw-seed quantizer — the baseline
+    * AnnRecallSpec measures the Lloyd refinement against. `queryPred`
+    * (spec-only) swaps the query set: the declared query keeps `vec_id <
+    * 10`, while a fair quantizer comparison needs queries disjoint from
+    * the seeds (which ARE vectors 0–15) and the training sample. */
+  /** Centroid CTE chain ending in `centn(c_id, cv, cnrm)`; requires a
+    * `base(vec_id, v)` CTE in scope. Shared by the declared query and the
+    * spec-level quantizer-quality measurement so both see the exact
+    * shipped centroids. */
+  private def ivfCentSql(refined: Boolean): String =
+    if (!refined)
+      """centn AS (
+        |  SELECT vec_id AS c_id, v AS cv, sqrt(dot_product(v, v)) AS cnrm
+        |  FROM base WHERE vec_id < 16)""".stripMargin
+    else
+      """seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+        |seedcoll AS (
+        |  SELECT collect_list(named_struct(
+        |    'c_id', c_id, 'cv', cv, 'cnrm', sqrt(dot_product(cv, cv)))) AS cs
+        |  FROM seed),
+        |tassign AS (
+        |  SELECT t.vec_id, t.v,
+        |    array_sort(transform(cs, c -> named_struct(
+        |      'neg', -dot_product(t.v, c.cv) / (sqrt(dot_product(t.v, t.v)) * c.cnrm),
+        |      'c_id', c.c_id)))[0].c_id AS c_id
+        |  FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seedcoll),
+        |dimmean AS (
+        |  SELECT c_id, pos, avg(val) AS m
+        |  FROM tassign LATERAL VIEW posexplode(v) t AS pos, val
+        |  GROUP BY c_id, pos),
+        |newcent AS (
+        |  SELECT c_id,
+        |    transform(array_sort(collect_list(named_struct('pos', pos, 'm', m))), p -> p.m) AS cv
+        |  FROM dimmean GROUP BY c_id),
+        |centfin AS (
+        |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+        |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+        |centn AS (SELECT c_id, cv, sqrt(dot_product(cv, cv)) AS cnrm FROM centfin)""".stripMargin
+
+  /** The shipped centroids alone — spec hook for measuring quantizer
+    * quality (mean angular distortion) of seed vs refined. */
+  private[operators] def ivfCentroids(s: SparkSession, dir: String, refined: Boolean): DataFrame = {
     embeds(s, dir)
     s.sql(
-      """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |normed AS (
-        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-        |cents AS (
-        |  SELECT collect_list(named_struct('c_id', vec_id, 'cv', v, 'cnrm', nrm)) AS cs
-        |  FROM normed WHERE vec_id < 16),
-        |ranked_cent AS (
-        |  SELECT vec_id, v, nrm,
-        |    slice(array_sort(transform(cs, c -> named_struct(
-        |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS top2
-        |  FROM normed CROSS JOIN cents),
-        |assigned AS (
-        |  SELECT vec_id, v, nrm, top2[0].c_id AS c_id FROM ranked_cent),
-        |probes AS (
-        |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, p.c_id
-        |  FROM ranked_cent LATERAL VIEW explode(top2) t AS p
-        |  WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id AS n_id,
-        |    round(dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
-        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
-        |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
-        |  SELECT q_id, n_id, cosine,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 3
-        |ORDER BY q_id, rnk""".stripMargin)
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${ivfCentSql(refined)}
+         |SELECT c_id, cv, cnrm FROM centn""".stripMargin)
   }
 
-  /** Full IVF oracle: DuckDB re-derives assignment (nearest of the 16 fixed
-    * centroids, ties on c_id), nprobe=2 probing, and candidate ranking, so
-    * the approximate index is rows+schema+hash checked end-to-end. */
+  private[operators] def hAnnIvfWith(s: SparkSession, dir: String, refined: Boolean,
+                                     queryPred: String = "vec_id < 10"): DataFrame = {
+    embeds(s, dir)
+    val centn = ivfCentSql(refined)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |$centn,
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |ranked_cent AS (
+         |  SELECT vec_id, v, nrm,
+         |    slice(array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS top2
+         |  FROM normed CROSS JOIN cents),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, top2[0].c_id AS c_id FROM ranked_cent),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, p.c_id
+         |  FROM ranked_cent LATERAL VIEW explode(top2) t AS p
+         |  WHERE $queryPred),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id AS n_id,
+         |    round(dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
+         |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** Full IVF oracle: DuckDB replays the identical seeded Lloyd iteration
+    * (sample assignment → element-wise means → empty clusters keep seed),
+    * then re-derives assignment (ties on c_id), nprobe=2 probing, and
+    * candidate ranking, so the approximate index is rows+schema+hash
+    * checked end-to-end. */
   val hAnnIvfSql: String =
     """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM normed WHERE vec_id < 16),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
       |assigned AS (
       |  SELECT vec_id, v, nrm, c_id FROM (
       |    SELECT n.vec_id, n.v, n.nrm, c.c_id,

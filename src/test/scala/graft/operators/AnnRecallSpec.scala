@@ -40,6 +40,64 @@ class AnnRecallSpec extends SparkSuite {
     assert(rLsh >= 0.9, f"LSH recall@1 $rLsh%.2f below 0.9 gate")
   }
 
+  test("Lloyd-refined IVF centroids do not lose recall vs the raw seed (out-of-sample queries)") {
+    // round-5 verdict task #3: the refinement must be measured, not assumed.
+    // The shipped query set (vec_id < 10) IS a subset of the 16 seed
+    // vectors, which hands the raw-seed quantizer a free win (every query
+    // sits at the exact center of its own cluster). The fair comparison
+    // runs queries disjoint from the seeds AND the vec_id<256 training
+    // sample — the out-of-sample case a real corpus presents.
+    val dir = "/root/testdata/sf0.01"
+    val pred = "vec_id >= 400"
+    val brute = topk(spark.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |q AS (SELECT * FROM normed WHERE $pred),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
+         |  FROM q JOIN normed n ON q.vec_id <> n.vec_id)
+         |SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin).collect())
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = brute.keys.toSeq.map { q =>
+        val a = m.getOrElse(q, Set.empty)
+        if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
+      }
+      per.sum / per.size
+    }
+    val seedR = recall(topk(LlmOps.hAnnIvfWith(spark, dir, refined = false, pred).collect()))
+    val refR = recall(topk(LlmOps.hAnnIvfWith(spark, dir, refined = true, pred).collect()))
+    info(f"ivf recall@3 vs exact over 100 out-of-sample queries: seed=$seedR%.2f refined=$refR%.2f")
+    assert(refR >= seedR, f"refined centroids lost recall: $refR%.2f < $seedR%.2f")
+
+    // recall on isotropic synthetic data is noise-dominated, so also gate
+    // the quantity Lloyd's step actually optimizes: mean angular distortion
+    // (1 - cosine to the nearest centroid) over the full corpus must not
+    // increase, and should strictly decrease when clusters have structure.
+    def distortion(refined: Boolean): Double = {
+      LlmOps.ivfCentroids(spark, dir, refined).createOrReplaceTempView("ivf_cent")
+      spark.sql(
+        """WITH base AS (
+          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |normed AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+          |cc AS (SELECT collect_list(named_struct('cv', cv, 'cnrm', cnrm)) AS cs FROM ivf_cent)
+          |SELECT avg(1.0 - array_max(transform(cs,
+          |  c -> dot_product(v, c.cv) / (nrm * c.cnrm)))) AS d
+          |FROM normed CROSS JOIN cc""".stripMargin).collect()(0).getDouble(0)
+    }
+    val seedD = distortion(refined = false)
+    val refD = distortion(refined = true)
+    info(f"ivf mean angular distortion: seed=$seedD%.4f refined=$refD%.4f")
+    assert(refD <= seedD,
+      f"Lloyd refinement increased quantization distortion: $refD%.4f > $seedD%.4f")
+  }
+
   test("banded-LSH near-dup equals the exact all-pairs join (recall yardstick)") {
     // the oracle-checked query is the bucketed plan; this spec keeps the
     // O(n²) exact join as the ground truth it must reproduce
