@@ -93,15 +93,26 @@ object Multimodal {
       .orderBy(col("format"))
   }
 
+  /** Byte-exact oracle: DuckDB 1.0 can't substring a BLOB, but `hex(encode
+    * (text))` exposes the UTF-8 bytes as hex pairs, so byte k is decoded
+    * from `substr(hx, 2k+1, 2)` via strpos arithmetic — identical to the
+    * Spark side's `content(k) & 0xff` on ANY corpus, ASCII or not (the
+    * round-5 byte-vs-char trap is gone). */
   val hMultimodalDecodeSql: String =
-    """WITH hdr AS (
-      |  SELECT doc_id,
-      |    unicode(substr(text, 1, 1)) AS b0,
-      |    unicode(substr(text, 2, 1)) AS b1,
-      |    unicode(substr(text, 3, 1)) AS b2,
-      |    unicode(substr(text, 4, 1)) AS b3,
-      |    strlen(text) AS n_bytes
-      |  FROM documents)
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |hdr AS (
+      |  SELECT doc_id, n_bytes,
+      |    CASE WHEN n_bytes > 0 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 2, 1))-1 ELSE 0 END AS b0,
+      |    CASE WHEN n_bytes > 1 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 4, 1))-1 ELSE 0 END AS b1,
+      |    CASE WHEN n_bytes > 2 THEN (strpos('0123456789ABCDEF', substr(h, 5, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 6, 1))-1 ELSE 0 END AS b2,
+      |    CASE WHEN n_bytes > 3 THEN (strpos('0123456789ABCDEF', substr(h, 7, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 8, 1))-1 ELSE 0 END AS b3
+      |  FROM hx)
       |SELECT CASE b3 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
       |  count(*) AS n,
       |  CAST(sum((b0 * 7) % 512 + 1) AS BIGINT) AS sum_width,
@@ -113,16 +124,13 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY format""".stripMargin
 
-  /** Frame-sampling pass (the video path): every 32nd offset becomes a
+  /** Frame-sampling pass (the video path): every 32nd BYTE offset becomes a
     * 16-byte "frame"; per media, the frame count and a first-byte checksum —
     * the shape of sample-then-featurize over an opaque stream, with the
     * same mapPartitions batching as the decode pass. The oracle replays the
-    * stride arithmetic on the text column (frame k's first byte is
-    * `text[k*32]`).
-    *
-    * ASCII assumption (asserted in LlmOpsSpec): this side strides UTF-8
-    * BYTES while the oracle strides CHARACTERS (DuckDB 1.0 can't substring
-    * a BLOB) — equivalent only while the corpus is pure ASCII. */
+    * identical byte-stride arithmetic via `hex(encode(text))` (see
+    * [[hMultimodalDecodeSql]]), so both sides agree on any corpus — the
+    * round-5 ASCII-only equivalence trap is gone. */
   def hMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
@@ -140,11 +148,16 @@ object Multimodal {
   }
 
   val hMultimodalFramesSql: String =
-    """WITH fr AS (
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (
       |  SELECT doc_id,
-      |    list_transform(range(0, strlen(text), 32),
-      |      o -> unicode(substr(text, CAST(o AS INTEGER) + 1, 1))) AS firsts
-      |  FROM documents WHERE doc_id < 200)
+      |    list_transform(range(0, nb, 32),
+      |      o -> (strpos('0123456789ABCDEF', substr(h, CAST(2*o+1 AS BIGINT), 1))-1)*16
+      |         + strpos('0123456789ABCDEF', substr(h, CAST(2*o+2 AS BIGINT), 1))-1) AS firsts
+      |  FROM hx)
       |SELECT doc_id AS media_id,
       |  CAST(len(firsts) AS BIGINT) AS n_frames,
       |  CAST(coalesce(list_sum(firsts), 0) AS BIGINT) AS first_byte_sum

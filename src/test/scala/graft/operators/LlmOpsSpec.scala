@@ -41,15 +41,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(frames.head(0) === 0.toByte && frames(1)(0) === 32.toByte)
   }
 
-  test("multimodal frames byte/char stride equivalence: corpus must be ASCII") {
-    // hMultimodalFrames strides UTF-8 bytes; its DuckDB oracle strides
-    // characters (BLOBs aren't substring-able in DuckDB 1.0). The two agree
-    // iff the corpus is ASCII — pin that assumption so a corpus change
-    // surfaces here instead of as an opaque hash mismatch.
-    import org.apache.spark.sql.functions.expr
-    val nonAscii = graft.Tables.load(spark, SparkSpec.sf0001, "documents")
-      .filter(expr("octet_length(text) <> char_length(text)")).count()
-    assert(nonAscii == 0L, s"$nonAscii non-ASCII docs break the byte-vs-char stride oracle")
+  test("multimodal frames stride BYTES on any corpus, non-ASCII included") {
+    // the round-5 oracle strode characters and only agreed with the
+    // byte-striding Spark side on pure-ASCII corpora; the oracle now decodes
+    // bytes from hex(encode(text)), so both sides are byte-exact. Pin the
+    // Spark side's byte semantics on a fixture with multi-byte characters.
+    import spark.implicits._
+    val texts = Seq(
+      "héllo wörld — ünïcode: ночь, 東京, ™ and some ascii tail to cross 32 bytes",
+      "plain ascii body under one frame",
+      "πρόβλημα " * 9)
+    val dir = java.nio.file.Files.createTempDirectory("mm-nonascii").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "xx", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.hMultimodalFrames(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val bs = t.getBytes("UTF-8")
+      val firsts = (0 until bs.length by 32).map(o => (bs(o) & 0xff).toLong)
+      (i.toLong, firsts.length.toLong, firsts.sum)
+    }
+    assert(got === expected)
+    assert(texts.exists(t => t.getBytes("UTF-8").length != t.length),
+      "fixture lost its multi-byte characters")
   }
 
   test("multimodal decode stub is deterministic and total") {
