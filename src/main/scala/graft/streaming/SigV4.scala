@@ -14,9 +14,10 @@ import javax.crypto.spec.SecretKeySpec
   * chain over a canonical rendering of the request.
   *
   * Scope: header-based signing (`Authorization` header), which is what the
-  * Kinesis JSON protocol uses. Query strings are expected pre-URI-encoded
-  * (Kinesis POSTs have none; the test vector's is already canonical) — the
-  * pairs are byte-sorted here per the spec.
+  * Kinesis JSON protocol uses. Path and query are URI-encoded here per the
+  * spec's UriEncode rules (idempotently: existing `%XX` escapes pass
+  * through, so both raw and pre-encoded inputs sign correctly; a literal
+  * `%` that is not an escape fails fast) and query pairs are byte-sorted.
   *
   * Verified in SigV4Spec against the published AWS test vector (the
   * `GET /?Action=ListUsers` IAM example with the documented
@@ -45,9 +46,41 @@ object SigV4 {
     mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** AWS-spec UriEncode (public SigV4 docs pseudocode): unreserved
+    * characters (A-Z a-z 0-9 - _ . ~) pass through, `/` passes unless
+    * `encodeSlash`, and everything else becomes uppercase `%XX` per UTF-8
+    * byte. Idempotent on canonical input: a well-formed `%XX` escape is
+    * preserved rather than double-encoded; a bare `%` fails fast (a caller
+    * meaning a literal percent must pre-encode it as `%25`). */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    def isHex(c: Char) = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val c = s.charAt(i)
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (c == '/' && !encodeSlash)) { sb.append(c); i += 1 }
+      else if (c == '%') {
+        require(i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2)),
+          s"malformed %-escape at index $i of '$s': encode a literal percent as %25")
+        sb.append('%').append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else {
+        new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+        i += Character.charCount(cp)
+      }
+    }
+    sb.toString()
+  }
+
   /** Step 1: canonical request + the `SignedHeaders` list derived from it.
-    * Header names are lowercased, values trimmed, sorted by name; query
-    * pairs byte-sorted. Returns (canonicalRequest, signedHeaders). */
+    * Header names are lowercased, values trimmed, sorted by name; path and
+    * query URI-encoded per [[uriEncode]]; query pairs byte-sorted by
+    * encoded key then value. Returns (canonicalRequest, signedHeaders). */
   def canonicalRequest(
       method: String,
       path: String,
@@ -57,10 +90,18 @@ object SigV4 {
     val canon = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
     val signedHeaders = canon.map(_._1).mkString(";")
     val canonicalQuery =
-      if (query.isEmpty) "" else query.split("&").toSeq.sorted.mkString("&")
+      if (query.isEmpty) ""
+      else query.split("&").toSeq.filter(_.nonEmpty).map { pair =>
+        val (k, v) = pair.indexOf('=') match {
+          case -1 => (pair, "")
+          case at => (pair.substring(0, at), pair.substring(at + 1))
+        }
+        (uriEncode(k, encodeSlash = true), uriEncode(v, encodeSlash = true))
+      }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val canonicalPath = uriEncode(if (path.isEmpty) "/" else path, encodeSlash = false)
     val cr = new StringBuilder()
       .append(method).append('\n')
-      .append(if (path.isEmpty) "/" else path).append('\n')
+      .append(canonicalPath).append('\n')
       .append(canonicalQuery).append('\n')
       .append(canon.map { case (k, v) => s"$k:$v\n" }.mkString).append('\n')
       .append(signedHeaders).append('\n')

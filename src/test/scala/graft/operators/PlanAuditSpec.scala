@@ -57,6 +57,29 @@ class PlanAuditSpec extends SparkSuite {
       s"IVF assignment regressed to a vec_id-keyed shuffle:\n$plan")
   }
 
+  test("g_session_window: exactly one hash Exchange (user_id), reused downstream") {
+    // the islands form must shuffle once on user_id and reuse that layout
+    // for the lag window, the running-sum window, and the final aggregate —
+    // a second user_id exchange means the windows stopped sharing layout
+    val plan = PipelineQueries.gSessionWindow(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"sessionization must partition by user_id:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash Exchange (user_id, reused), got $hashExchanges:\n$plan")
+  }
+
+  test("g_interval_join: equi-join on user_id with residual range, never a cross product") {
+    val plan = PipelineQueries.gIntervalJoin(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to an O(n^2) physical plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on user_id:\n$plan")
+  }
+
   test("q3_shipping: top-10 runs as TakeOrderedAndProject, not global sort") {
     val plan = RelationalQueries.q3Shipping(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString

@@ -39,6 +39,26 @@ class SigV4Spec extends AnyFunSuite {
         "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
   }
 
+  test("unencoded paths/queries are URI-encoded per the AWS spec; pre-encoded pass through") {
+    // round-5 verdict task #6: a caller with a raw path must sign correctly
+    val (cr, _) = SigV4.canonicalRequest(
+      "GET", "/test path/é", "key=a b&other=x~y", headers, "00")
+    val lines = cr.linesIterator.toSeq
+    assert(lines(1) === "/test%20path/%C3%A9")
+    assert(lines(2) === "key=a%20b&other=x~y")
+    // idempotent on already-canonical input: no double-encoding
+    val (cr2, _) = SigV4.canonicalRequest(
+      "GET", "/test%20path/%C3%A9", "key=a%20b", headers, "00")
+    val lines2 = cr2.linesIterator.toSeq
+    assert(lines2(1) === "/test%20path/%C3%A9")
+    assert(lines2(2) === "key=a%20b")
+    // a bare percent cannot be guessed at — fail fast with guidance
+    val e = intercept[IllegalArgumentException] {
+      SigV4.canonicalRequest("GET", "/100% wrong", "", headers, "00")
+    }
+    assert(e.getMessage.contains("%25"))
+  }
+
   test("session token joins the signed header set and query pairs are byte-sorted") {
     val withToken = SigV4.Credentials("AKIDEXAMPLE", "secret", Some("TOKEN"))
     val (_, signed) = SigV4.canonicalRequest(
