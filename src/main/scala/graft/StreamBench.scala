@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.kernel.{KinesisEntry, KplProtobuf}
-import graft.streaming.{KinesisTransport, StreamPipeline}
+import graft.streaming.{HttpKinesisTransport, KinesisTransport, SigV4, StreamPipeline}
 
 /** Streaming throughput benchmark: N synthetic NSQ-envelope messages
   * (1 kB bodies, 10 % duplicates) through the full pipeline — fnv64a →
@@ -52,6 +52,69 @@ object StreamBench {
     }
   }
 
+  /** Minimal in-process `PutRecords` endpoint for the `http`/`http_signed`
+    * stages: counts delivered entries/user records into
+    * [[CountingTransport]]'s counters and — in signed mode — re-derives the
+    * SigV4 signature of EVERY request from the bytes it actually received,
+    * rejecting mismatches with 403. This makes the signed bench row an
+    * end-to-end proof: a wrong canonicalization on either side zeroes the
+    * throughput instead of silently passing. */
+  final class BenchHttpSink(creds: Option[SigV4.Credentials]) {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val verified = new AtomicLong(0)
+    val rejected = new AtomicLong(0)
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val seq = new AtomicLong(0)
+    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "bench-http-sink"); t.setDaemon(true); t
+    })
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      val h = ex.getRequestHeaders
+      val ok = creds.forall { c =>
+        val amzDate = Option(h.getFirst("X-Amz-Date")).getOrElse("")
+        val signedHeaders = Seq(
+          "content-type" -> Option(h.getFirst("Content-Type")).getOrElse(""),
+          "host" -> Option(h.getFirst("Host")).getOrElse(""),
+          "x-amz-date" -> amzDate,
+          "x-amz-target" -> Option(h.getFirst("X-Amz-Target")).getOrElse(""))
+        amzDate.length == 16 &&
+          SigV4.authorization("POST", "/", "", signedHeaders, body,
+            "us-east-1", "kinesis", c, amzDate) == Option(h.getFirst("Authorization")).getOrElse("")
+      }
+      val (code, resp) =
+        if (!ok) { rejected.incrementAndGet(); 403 ->
+          """{"__type":"AccessDeniedException","message":"signature mismatch"}""" }
+        else {
+          verified.incrementAndGet()
+          val recs = mapper.readTree(body).path("Records")
+          val out = mapper.createObjectNode()
+          out.put("FailedRecordCount", 0)
+          val arr = out.putArray("Records")
+          (0 until recs.size()).foreach { i =>
+            val data = java.util.Base64.getDecoder.decode(recs.get(i).path("Data").asText())
+            CountingTransport.entries.incrementAndGet()
+            CountingTransport.bytes.addAndGet(data.length.toLong)
+            CountingTransport.userRecords.addAndGet(
+              if (KplProtobuf.isAggregated(data)) KplProtobuf.decodeFramed(data).records.length.toLong
+              else 1L)
+            arr.addObject().put("SequenceNumber", seq.incrementAndGet().toString)
+              .put("ShardId", "shardId-000000000000")
+          }
+          200 -> mapper.writeValueAsString(out)
+        }
+      val bytes = resp.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/x-amz-json-1.1")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    def stop(): Unit = server.stop(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -85,8 +148,15 @@ object StreamBench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     // SPARK_GRAFT_STREAM_STAGE: full (default) | nodedup (skip the stateful
     // dedup — isolates state-store cost) | nosink (dedup but discard rows —
-    // isolates pack/deliver cost)
+    // isolates pack/deliver cost) | http (full pipeline through the real
+    // HTTP wire transport) | http_signed (same, plus SigV4 on every request,
+    // server-verified)
     val stage = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGE", "full")
+    val creds =
+      if (stage == "http_signed") Some(SigV4.Credentials("AKIDBENCH", "bench-secret-key"))
+      else None
+    val httpSink =
+      if (stage == "http" || stage == "http_signed") Some(new BenchHttpSink(creds)) else None
     val query = (stage match {
       case "nodedup" =>
         import org.apache.spark.sql.functions._
@@ -108,6 +178,11 @@ object StreamBench {
           .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             b.write.format("noop").mode("overwrite").save()
           }
+      case "http" | "http_signed" =>
+        StreamPipeline.build(
+          input.toDF(),
+          new HttpKinesisTransport(httpSink.get.endpoint, credentials = creds),
+          StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L))
       case _ =>
         StreamPipeline.build(
           input.toDF(), new CountingTransport,
@@ -143,11 +218,15 @@ object StreamBench {
       s""""getBatch":${d.getOrDefault("getBatch", -1L)},"commit":${d.getOrDefault("commitOffsets", -1L)},""" +
       s""""total":${d.getOrDefault("triggerExecution", -1L)}$st}"""
     }.mkString("[", ",", "]")
+    val httpStats = httpSink.map(sk =>
+      s""","signed":${creds.isDefined},"http_requests_verified":${sk.verified.get()},""" +
+      s""""http_requests_rejected":${sk.rejected.get()}""").getOrElse("")
     println(
       s"""{"metric":"stream_user_rec_per_sec","value":${rate.round},"unit":"rec/sec",""" +
-      s""""input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
+      s""""stage":"$stage","input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
       s""""entries":${CountingTransport.entries.get()},"mb":${CountingTransport.bytes.get() / 1e6},""" +
-      s""""sec":$sec,"batches":$prog}""")
+      s""""sec":$sec$httpStats,"batches":$prog}""")
     spark.stop()
+    httpSink.foreach(_.stop())
   }
 }
