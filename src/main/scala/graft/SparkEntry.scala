@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{FormatOps, LlmOps, Multimodal, PipelineQueries, RelationalQueries, ScaleOps}
+import graft.operators.{FormatOps, LlmOps, Multimodal, PipelineQueries, RelationalQueries, ScaleOps, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++ LlmOps.queries ++
-      Multimodal.queries ++ FormatOps.queries ++ ScaleOps.queries
+      Multimodal.queries ++ FormatOps.queries ++ ScaleOps.queries ++
+      TrainingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle ++ LlmOps.oracle ++
-      Multimodal.oracle ++ FormatOps.oracle ++ ScaleOps.oracle
+      Multimodal.oracle ++ FormatOps.oracle ++ ScaleOps.oracle ++
+      TrainingOps.oracle
 }

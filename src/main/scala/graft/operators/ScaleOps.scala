@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -99,6 +100,92 @@ object ScaleOps {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- as-of join
+
+  /** As-of join (point-in-time lookup): each click is matched to the user's
+    * most recent purchase at-or-before it — the feature-store join that
+    * prevents training-serving leakage. Implemented as the union-and-carry
+    * pattern: tag both sides, sort once per user by (time, side), and carry
+    * the last purchase forward with `last(..., ignoreNulls)` over a running
+    * ROWS frame. ONE shuffle on user_id and one sort — no range-explosion
+    * join, no per-row backward scan — so it survives 100× where a
+    * theta-join (`p.ts <= c.ts`) degenerates to quadratic work inside hot
+    * keys. Ties are total-order deterministic without any extra pass: the
+    * sort key (tus, kind, p_id) puts same-instant purchases before the
+    * click and the max event_id purchase last, which is exactly the row
+    * the carry keeps. */
+  def cJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(1).as("kind"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("long").as("p_tus"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), lit(0).as("kind"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("p_id"), col("tus").as("p_tus"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("kind"), col("p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clk.unionByName(pur)
+      .withColumn("purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("purchase_tus", last(col("p_tus"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (col("tus") - col("purchase_tus")).as("wait_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Oracle: DuckDB's native ASOF LEFT JOIN over the same deduped sides. */
+  val cJoinAsofSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |clk AS (SELECT event_id AS click_id, user_id, tus FROM e WHERE event_type = 'click'),
+      |pur AS (SELECT user_id, tus, max(event_id) AS purchase_id
+      |        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.click_id, c.user_id, p.purchase_id, c.tus - p.tus AS wait_us
+      |FROM clk c ASOF LEFT JOIN pur p ON c.user_id = p.user_id AND c.tus >= p.tus
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------- bloom-pruned join
+
+  /** Bloom-filter semi-join reduction: when BOTH join sides are too big to
+    * broadcast (forced SMJ here via the merge hint), shuffling the full fact
+    * side is the dominant cost. A Bloom filter of the dimension's keys
+    * (built distributed via treeAggregate inside `stat.bloomFilter`, ~9.6
+    * bits/key at 1 % fpp — a few hundred MB even for a billion-key side)
+    * ships to every task and drops non-joining fact rows BEFORE the
+    * exchange. False positives only waste shuffle bytes; the join stays
+    * exact, as the oracle proves. Spark's runtime-filter injection
+    * (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) automates the
+    * same rewrite when side-size stats warrant it; this operator is the
+    * explicit form with the filter's selectivity under caller control. */
+  def cJoinBloom(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val cJoinBloomSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- event-time over ns stream
 
   /** Per-minute event rates over the nanosecond-timestamped events table
@@ -126,12 +213,16 @@ object ScaleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_join_bucketed" -> (cJoinBucketed _),
     "c_join_salted" -> (cJoinSalted _),
+    "c_join_asof" -> (cJoinAsof _),
+    "c_join_bloom" -> (cJoinBloom _),
     "g_event_rate" -> (gEventRate _)
   )
 
   def oracle: Map[String, String] = Map(
     "c_join_bucketed" -> cJoinBucketedSql,
     "c_join_salted" -> cJoinSaltedSql,
+    "c_join_asof" -> cJoinAsofSql,
+    "c_join_bloom" -> cJoinBloomSql,
     "g_event_rate" -> gEventRateSql
   )
 }

@@ -80,6 +80,30 @@ class PlanAuditSpec extends SparkSuite {
       s"expected a hash/merge equi-join on user_id:\n$plan")
   }
 
+  test("c_join_asof: union-and-carry plans one user_id exchange and NO join operator") {
+    // the naive as-of formulation is a theta-join (p.ts <= c.ts) that
+    // degenerates to per-key quadratic work; the carry form must stay a
+    // single partition-sort-window pipeline
+    val plan = ScaleOps.cJoinAsof(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the carry-forward window:\n$plan")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected exactly 1 user_id Exchange (shared by union+window), got $userExchanges:\n$plan")
+  }
+
+  test("c_join_bloom: bloom filter prunes the fact side BELOW the shuffle join") {
+    val plan = ScaleOps.cJoinBloom(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint must force SMJ:\n$plan")
+    val lines = plan.linesIterator.toVector
+    val joinAt = lines.indexWhere(_.contains("SortMergeJoin"))
+    val probeAt = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe filter must sit in the join's input (fact pruned pre-shuffle):\n$plan")
+  }
+
   test("q3_shipping: top-10 runs as TakeOrderedAndProject, not global sort") {
     val plan = RelationalQueries.q3Shipping(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString

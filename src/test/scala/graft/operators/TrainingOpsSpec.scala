@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkSuite, Tables}
+
+class TrainingOpsSpec extends SparkSuite {
+
+  test("h_dup_clusters: every doc pairs with its planted mutation, so no singletons") {
+    val hist = TrainingOps.hDupClusters(spark, SparkSpec.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist.nonEmpty)
+    assert(!hist.contains(1L), s"planted near-dups leave no singleton clusters: $hist")
+    // every cluster holds originals and their +1000000 twins in equal
+    // number, so sizes are even and the total node count is 2 × docs
+    assert(hist.keys.forall(_ % 2 == 0), s"cluster sizes must be even: $hist")
+    val nodes = hist.map { case (size, n) => size * n }.sum
+    val docs = Tables.load(spark, SparkSpec.sf0001, "documents").count()
+    assert(nodes == 2 * docs, s"$nodes nodes vs ${2 * docs} corpus docs")
+  }
+
+  test("h_sample_split: content-hash split is stable and partitions the corpus") {
+    val rows = TrainingOps.hSampleSplit(spark, SparkSpec.sf0001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val docs = Tables.load(spark, SparkSpec.sf0001, "documents").count()
+    assert(total == docs, "splits partition the corpus exactly")
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // determinism: a second run over a reshuffled scan lands identically
+    val again = TrainingOps.hSampleSplit(spark, SparkSpec.sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("h_seq_packing: chunk accounting conserves tokens") {
+    val rows = TrainingOps.hSeqPacking(spark, SparkSpec.sf0001).collect()
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val expected = Tables.load(spark, SparkSpec.sf0001, "documents")
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(totalTokens == expected, "every token lands in exactly one chunk")
+    rows.foreach { r =>
+      val (nChunks, total, maxTok, maxDocs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // a new chunk opens only after 512 tokens started in the previous
+      // one, so per pack group chunks ≥ ceil(tokens/512) never overshoots
+      // by more than the group count; and every chunk holds ≥ 1 doc
+      assert(nChunks <= total / 512 + 8, s"too many chunks: $r")
+      assert(maxTok >= 1 && maxDocs >= 1 && nChunks >= 1, s"degenerate: $r")
+    }
+  }
+
+  test("h_decontaminate: benchmark docs are excluded from the training counts") {
+    val rows = TrainingOps.hDecontaminate(spark, SparkSpec.sf0001).collect()
+    val nTrain = rows.map(_.getLong(1)).sum
+    val d = Tables.load(spark, SparkSpec.sf0001, "documents")
+    val expected = d.filter(col("doc_id") % 17 =!= 0).count()
+    assert(nTrain == expected)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "contaminated ⊆ train")
+      assert(r.getLong(3) <= r.getLong(4), "hit grams ⊆ total grams")
+    }
+  }
+
+  test("c_join_asof: matched purchase is the latest at-or-before each click") {
+    val out = ScaleOps.cJoinAsof(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    val e = Tables.load(spark, SparkSpec.sf0001, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = e.filter(_._4 == "purchase")
+    out.foreach { r =>
+      val (clickId, user) = (r.getLong(0), r.getLong(1))
+      val clickTus = e.find(_._1 == clickId).get._3
+      val prior = purchases.filter(p => p._2 == user && p._3 <= clickTus)
+      if (r.isNullAt(2)) assert(prior.isEmpty, s"click $clickId should have a match")
+      else {
+        val best = prior.maxBy(p => (p._3, p._1))
+        assert(r.getLong(2) == best._1, s"click $clickId matched ${r.getLong(2)}, want ${best._1}")
+        assert(r.getLong(3) == clickTus - best._3)
+      }
+    }
+  }
+
+  test("c_join_bloom: pruned join equals the plain filtered join") {
+    val plain = Tables.load(spark, SparkSpec.sf0001, "lineitem")
+      .join(Tables.load(spark, SparkSpec.sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count().orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pruned = ScaleOps.cJoinBloom(spark, SparkSpec.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pruned === plain)
+  }
+}
