@@ -124,13 +124,13 @@ object LlmOps {
         |pairs AS (
         |  SELECT c.a_id, c.b_id,
         |    size(array_intersect(sa.shingles, sb.shingles)) AS ni,
-        |    size(array_union(sa.shingles, sb.shingles)) AS nu
+        |    size(sa.shingles) + size(sb.shingles) AS stot
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.a_id
         |  JOIN sh sb ON sb.doc_id = c.b_id)
-        |SELECT a_id, b_id, round(ni / nu, 4) AS jaccard
+        |SELECT a_id, b_id, round(ni / (stot - ni), 4) AS jaccard
         |FROM pairs
-        |WHERE nu > 0 AND round(ni / nu, 4) >= 0.6
+        |WHERE stot - ni > 0 AND round(ni / (stot - ni), 4) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin)
   }
 

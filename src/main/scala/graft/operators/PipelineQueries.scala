@@ -246,6 +246,46 @@ object PipelineQueries {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Batch replay of watermark late-data accounting: which rows would a
+    * 5-minute-allowed-lateness watermark drop? Events arrive over 4 source
+    * shards (event_id % 4) in event_id order; every 13th event's timestamp
+    * is planted 60 minutes back to simulate late arrival (the raw table is
+    * near-ordered, so unplanted lateness is ~0). A row is late when its
+    * event time trails the shard's running-max event time by more than the
+    * allowed lateness — the same per-partition high-watermark bookkeeping
+    * Structured Streaming runs before the global min across partitions
+    * (WindowedStats carries the live form). The running max is a
+    * shard-partitioned window, so the replay parallelizes per shard — no
+    * global sort. */
+  def gLateData(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """WITH e AS (
+        |  SELECT event_id, event_id % 4 AS shard, event_type,
+        |    ts div 1000 - CASE WHEN event_id % 13 = 0 THEN 3600000000 ELSE 0 END AS tus
+        |  FROM events),
+        |w AS (SELECT event_type, tus,
+        |        max(tus) OVER (PARTITION BY shard ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+        |      FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(*) FILTER (WHERE tus < hi - 300000000) AS n_late
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val gLateDataSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_id % 4 AS shard, event_type,
+      |    epoch_us(ts) - CASE WHEN event_id % 13 = 0 THEN 3600000000 ELSE 0 END AS tus
+      |  FROM events),
+      |w AS (SELECT event_type, tus,
+      |        max(tus) OVER (PARTITION BY shard ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      |      FROM e)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(*) FILTER (WHERE tus < hi - 300000000) AS n_late
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Batch replay of the stream-stream time-interval join
     * (graft.streaming.StreamJoins): every click by the same user within
     * 10 minutes AFTER an error event. Physically an equi-join on user_id
@@ -285,7 +325,8 @@ object PipelineQueries {
     "g_partition_keys" -> (gPartitionKeys _),
     "g_ehk_routing" -> (gEhkRouting _),
     "g_session_window" -> (gSessionWindow _),
-    "g_interval_join" -> (gIntervalJoin _)
+    "g_interval_join" -> (gIntervalJoin _),
+    "g_late_data" -> (gLateData _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -294,6 +335,7 @@ object PipelineQueries {
     "g_partition_keys" -> gPartitionKeysSql,
     "g_ehk_routing" -> gEhkRoutingSql,
     "g_session_window" -> gSessionWindowSql,
-    "g_interval_join" -> gIntervalJoinSql
+    "g_interval_join" -> gIntervalJoinSql,
+    "g_late_data" -> gLateDataSql
   )
 }

@@ -441,6 +441,27 @@ object RelationalQueries {
       |WHERE c_custkey <= 200
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** E: distribution windows — percent_rank and cume_dist of account balance
+    * within each market segment. Both are rank-ratio divisions of exact
+    * integers, so the doubles are bit-identical cross-engine; rounding to
+    * 6 dp just keeps the output stable against display formatting. */
+  def eWindowDist(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_mktsegment, c_custkey,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+        |FROM customer
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin)
+  }
+
+  val eWindowDistSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+      |FROM customer
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** E: top-3 parts by retail price per brand (dense_rank; rank+row_number too). */
   def eWindowRank(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "part").createOrReplaceTempView("part")
@@ -726,6 +747,7 @@ object RelationalQueries {
     "d_percentile" -> (dPercentile _),
     "d_pivot" -> (dPivot _),
     "e_window_ntile" -> (eWindowNtile _),
+    "e_window_dist" -> (eWindowDist _),
     "d_rollup" -> (dRollup _),
     "d_cube" -> (dCube _),
     "d_grouping_sets" -> (dGroupingSets _),
@@ -758,6 +780,7 @@ object RelationalQueries {
     "d_percentile" -> dPercentileSql,
     "d_pivot" -> dPivotSql,
     "e_window_ntile" -> eWindowNtileSql,
+    "e_window_dist" -> eWindowDistSql,
     "d_rollup" -> dRollupSql,
     "d_cube" -> dCubeSql,
     "d_grouping_sets" -> dGroupingSetsSql,
