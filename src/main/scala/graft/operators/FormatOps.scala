@@ -69,6 +69,49 @@ object FormatOps {
     aggShape(s.read.parquet(out))
   }
 
+  /** ORC write → read → aggregate (the columnar alternative Spark ships
+    * natively; same footer-statistics + predicate-pushdown story as
+    * parquet, so a corpus stored in ORC needs no conversion step). */
+  def aOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "orc")
+    eventsSubset(s, dir).write.mode("overwrite").orc(out)
+    aggShape(s.read.orc(out))
+  }
+
+  /** Hive-style partitioned layout: write events bucketed into
+    * `event_type=<v>/` directories, then read back ONE partition. The
+    * filter must resolve at PLANNING time from directory names — the scan's
+    * `PartitionFilters` — so a 100 TB corpus partitioned by date/source
+    * reads only the matching directories and zero data files from the rest
+    * (pinned in PlanAuditSpec: non-matching partitions contribute no input
+    * files, and the filter sits in PartitionFilters, not a post-scan
+    * Filter). Output aggregates the surviving partition so the oracle also
+    * proves no rows leaked across the partition boundary. */
+  def aPartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "partitioned")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val aPartitionedPruneSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** D: approx_count_distinct (HLL++). The estimate is engine-specific, so
     * the cross-engine check asserts the tolerance contract instead: the
     * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %).
@@ -101,6 +144,8 @@ object FormatOps {
     "a_csv_roundtrip" -> (aCsvRoundtrip _),
     "a_json_roundtrip" -> (aJsonRoundtrip _),
     "a_parquet_roundtrip" -> (aParquetRoundtrip _),
+    "a_orc_roundtrip" -> (aOrcRoundtrip _),
+    "a_partitioned_prune" -> (aPartitionedPrune _),
     "d_agg_approx" -> (dAggApprox _)
   )
 
@@ -108,6 +153,8 @@ object FormatOps {
     "a_csv_roundtrip" -> aggShapeSql,
     "a_json_roundtrip" -> aggShapeSql,
     "a_parquet_roundtrip" -> aggShapeSql,
+    "a_orc_roundtrip" -> aggShapeSql,
+    "a_partitioned_prune" -> aPartitionedPruneSql,
     "d_agg_approx" -> dAggApproxSql
   )
 }

@@ -121,6 +121,79 @@ object RelationalQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** B: correlated subqueries — the shapes Catalyst must DECORRELATE into
+    * joins, because at 100 TB a per-row re-scan of the inner table is not
+    * an execution strategy. Two correlated scalar subqueries (per-nation
+    * count and decimal sum) plus an EXISTS, all over `customer`/`orders`;
+    * Catalyst rewrites them into one aggregated broadcast join per scalar
+    * and a left-semi join for the EXISTS. The above-average test multiplies
+    * by the count instead of dividing by it (`bal * n > sum`), keeping the
+    * comparison in exact DECIMAL arithmetic — an avg would reintroduce
+    * float-summation-order sensitivity at the boundary. */
+  def bSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_rich_active,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val bSubquerySql: String =
+    """SELECT c_mktsegment, count(*) AS n_rich_active,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q18 shape: the IN-(aggregated subquery) pattern, expressed
+    * Spark-first as a left-semi join against the groupBy-HAVING result.
+    * The heavy side (lineitem re-aggregated per order) reduces before any
+    * join; the semi join carries only `l_orderkey`, so the shuffled filter
+    * set is one bigint column no matter how wide lineitem is. Top-100 by
+    * total price plans as TakeOrderedAndProject. */
+  def q18Top(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("tot_qty"))
+      .filter(col("tot_qty") > 200.0)
+      .select(col("l_orderkey").as("big_orderkey"))
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18TopSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   // ================================================================ C joins
 
   /** C: 4-way inner join with broadcast dims: revenue per nation (TPC-H Q5 shape). */
@@ -735,7 +808,9 @@ object RelationalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
+    "q18_top" -> (q18Top _),
     "b_filter_project" -> (bFilterProject _),
+    "b_subquery" -> (bSubquery _),
     "c_join_inner" -> (cJoinInner _),
     "c_join_left" -> (cJoinLeft _),
     "c_join_full" -> (cJoinFull _),
@@ -768,7 +843,9 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
+    "q18_top" -> q18TopSql,
     "b_filter_project" -> bFilterProjectSql,
+    "b_subquery" -> bSubquerySql,
     "c_join_inner" -> cJoinInnerSql,
     "c_join_left" -> cJoinLeftSql,
     "c_join_full" -> cJoinFullSql,

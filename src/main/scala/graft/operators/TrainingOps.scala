@@ -278,17 +278,151 @@ object TrainingOps {
       |  max(tokens) AS max_chunk_tokens, max(n_docs) AS max_chunk_docs
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==================================================== repetition filter
+
+  /** Gopher-style repetition signals (Rae et al. 2021, table A1): a
+    * document is low-quality when few of its words are distinct or when a
+    * single word 2-gram dominates. Both signals stay in INTEGER arithmetic
+    * (`n_uniq*5 < n_tok*4` ⇔ distinct ratio < 0.8; `top*10 > n2` ⇔ top
+    * 2-gram > 10 %) so the flags are bit-identical cross-engine — no float
+    * ratio ever materializes.
+    *
+    * Shape at 100 TB: the distinct-word side is scan-local
+    * (`array_distinct` per row, codegen). The top-2-gram side needs a
+    * per-(doc, gram) count — explode → two-level hash aggregate keyed on
+    * (doc_id, gram), partial agg collapsing repeats map-side, then a
+    * doc_id-keyed max. Both aggregates key on doc_id so AQE coalesces; no
+    * all-pairs or per-corpus state. */
+  def hRepetition(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, size(t) AS n_tok, size(array_distinct(t)) AS n_uniq, t
+        |  FROM tok WHERE size(t) >= 2),
+        |g AS (
+        |  SELECT doc_id, concat(element_at(t, i), '|', element_at(t, i + 1)) AS gram
+        |  FROM base LATERAL VIEW explode(sequence(1, n_tok - 1)) x AS i),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM gc GROUP BY doc_id)
+        |SELECT b.lang, count(*) AS n_docs,
+        |  sum(CASE WHEN b.n_uniq * 5 < b.n_tok * 4 THEN 1 ELSE 0 END) AS n_flag_dup_words,
+        |  sum(CASE WHEN t2.top_cnt * 10 > (b.n_tok - 1) THEN 1 ELSE 0 END) AS n_flag_top2gram,
+        |  sum(t2.top_cnt) AS total_top2, sum(b.n_tok) AS total_tokens
+        |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin)
+  }
+
+  val hRepetitionSql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, lang, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq, t
+      |  FROM tok WHERE len(t) >= 2),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || '|' || t[i+2])) AS gram
+      |  FROM base),
+      |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_cnt FROM gc GROUP BY 1)
+      |SELECT b.lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN b.n_uniq * 5 < b.n_tok * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_words,
+      |  CAST(sum(CASE WHEN t2.top_cnt * 10 > (b.n_tok - 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2gram,
+      |  CAST(sum(t2.top_cnt) AS BIGINT) AS total_top2,
+      |  CAST(sum(b.n_tok) AS BIGINT) AS total_tokens
+      |FROM base b JOIN top t2 ON b.doc_id = t2.doc_id
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
+  // ==================================================== per-domain cap
+
+  /** Per-domain document cap (the Common-Crawl curation rule that no single
+    * domain may dominate the corpus): keep at most 10 documents per source,
+    * chosen by content hash so the survivor set is deterministic and
+    * unbiased by input order. One window over `source` — a bounded-key
+    * partition (domains are millions, documents are billions, so the
+    * per-partition work is the per-domain doc count, and a skewed megadomain
+    * is exactly what the cap bounds: ranking beyond rank 10 only to drop
+    * could early-prune via a pre-aggregated count join, not needed while
+    * per-domain counts fit a partition). */
+  def hDomainCap(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(hDomainCapSql)
+  }
+
+  val hDomainCapSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  // ==================================================== int8 quantization
+
+  /** Symmetric int8 embedding quantization (the storage/serving compression
+    * step before ANN indexing): per-vector scale = max|x|, each component
+    * mapped to floor(x·127/scale + 0.5) ∈ [-127, 127]. Every arithmetic
+    * step is an exactly-rounded IEEE double op applied in the same order on
+    * both engines, so the quantized integers — and the per-label sums the
+    * query reports — are bit-identical, proving the codec itself, not a
+    * tolerance band. Scan-local per row (higher-order functions over the
+    * 64-float array, no shuffle before the label aggregate); a corpus-scale
+    * variant would move the inner loop into a codegen Expression like
+    * ArrayDotProduct, which the plan already admits (same scan slot). */
+  def hEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH sc AS (
+        |  SELECT vec_id, label, embedding,
+        |    array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5d) AS BIGINT)) AS qv
+        |  FROM sc WHERE scale > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |  sum(aggregate(qv, 0L, (a, x) -> a + x)) AS sum_q,
+        |  sum(aggregate(qv, 0L, (a, x) -> a + abs(x))) AS sum_abs_q,
+        |  sum(size(filter(qv, x -> abs(x) = 127))) AS n_saturated
+        |FROM q GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  val hEmbedQuantizeSql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)) AS qv
+      |  FROM sc WHERE scale > 0)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(list_sum(qv)) AS BIGINT) AS sum_q,
+      |  CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT) AS sum_abs_q,
+      |  CAST(sum(len(list_filter(qv, x -> abs(x) = 127))) AS BIGINT) AS n_saturated
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
     "h_sample_split" -> (hSampleSplit _),
-    "h_seq_packing" -> (hSeqPacking _)
+    "h_seq_packing" -> (hSeqPacking _),
+    "h_repetition" -> (hRepetition _),
+    "h_domain_cap" -> (hDomainCap _),
+    "h_embed_quantize" -> (hEmbedQuantize _)
   )
 
   def oracle: Map[String, String] = Map(
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,
     "h_sample_split" -> hSampleSplitSql,
-    "h_seq_packing" -> hSeqPackingSql
+    "h_seq_packing" -> hSeqPackingSql,
+    "h_repetition" -> hRepetitionSql,
+    "h_domain_cap" -> hDomainCapSql,
+    "h_embed_quantize" -> hEmbedQuantizeSql
   )
 }

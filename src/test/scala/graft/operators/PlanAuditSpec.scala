@@ -118,4 +118,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(broadcasts >= 2,
       s"expected ≥2 BroadcastHashJoin (customer, nation dims), got $broadcasts:\n$plan")
   }
+
+  test("a_partitioned_prune: the partition filter resolves at planning time") {
+    // a 100 TB corpus partitioned by source/date must touch only matching
+    // directories — the predicate belongs in PartitionFilters (pruned
+    // before any file is opened), not in a post-scan Filter
+    val plan = FormatOps.aPartitionedPrune(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"event_type must prune as a PartitionFilter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition predicate leaked into data filters:\n$plan")
+  }
+
+  test("b_subquery: correlated subqueries decorrelate (no per-row re-scan shapes)") {
+    val plan = RelationalQueries.bSubquery(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery fell back to an O(n^2) physical plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+  }
+
+  test("q18_top: semi join against the aggregated filter set, top-100 as TakeOrderedAndProject") {
+    val plan = RelationalQueries.q18Top(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"the big-order filter must stay a semi join (carries one bigint column):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT 100 must plan per-partition top-k:\n$plan")
+  }
 }
