@@ -535,6 +535,58 @@ object RelationalQueries {
       |FROM customer
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** E: value windows — first_value / last_value / nth_value over an
+    * explicit full-partition frame. The default frame (unbounded preceding →
+    * current row) makes last_value degenerate to the current row, so the
+    * frame is spelled out — the classic window-function footgun, identical
+    * in both engines once explicit. */
+  def eWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand, p_partkey,
+        |  first_value(p_partkey) OVER w AS cheapest_key,
+        |  last_value(p_partkey) OVER w AS priciest_key,
+        |  nth_value(p_partkey, 2) OVER w AS runner_up_key
+        |FROM part
+        |WHERE p_partkey <= 400
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
+  val eWindowFirstLastSql: String =
+    """SELECT p_brand, p_partkey,
+      |  first_value(p_partkey) OVER w AS cheapest_key,
+      |  last_value(p_partkey) OVER w AS priciest_key,
+      |  nth_value(p_partkey, 2) OVER w AS runner_up_key
+      |FROM part
+      |WHERE p_partkey <= 400
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
+  /** D: fixed-width numeric histogram — one scan, one keyed aggregate. The
+    * bucket id is floor(price/5000) in exactly-rounded double arithmetic,
+    * so bucket membership is bit-identical cross-engine; at 100 TB this is
+    * the profile pass a curation pipeline runs before choosing filter
+    * thresholds (no sort, no quantile state, partial-agg friendly). */
+  def dHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT CAST(floor(l_extendedprice / 5000.0d) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val dHistogramSql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** E: top-3 parts by retail price per brand (dense_rank; rank+row_number too). */
   def eWindowRank(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "part").createOrReplaceTempView("part")
@@ -823,6 +875,8 @@ object RelationalQueries {
     "d_pivot" -> (dPivot _),
     "e_window_ntile" -> (eWindowNtile _),
     "e_window_dist" -> (eWindowDist _),
+    "e_window_firstlast" -> (eWindowFirstLast _),
+    "d_histogram" -> (dHistogram _),
     "d_rollup" -> (dRollup _),
     "d_cube" -> (dCube _),
     "d_grouping_sets" -> (dGroupingSets _),
@@ -858,6 +912,8 @@ object RelationalQueries {
     "d_pivot" -> dPivotSql,
     "e_window_ntile" -> eWindowNtileSql,
     "e_window_dist" -> eWindowDistSql,
+    "e_window_firstlast" -> eWindowFirstLastSql,
+    "d_histogram" -> dHistogramSql,
     "d_rollup" -> dRollupSql,
     "d_cube" -> dCubeSql,
     "d_grouping_sets" -> dGroupingSetsSql,

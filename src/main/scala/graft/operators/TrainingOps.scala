@@ -358,6 +358,71 @@ object TrainingOps {
       |  CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // ==================================================== cross-doc dup n-grams
+
+  /** Cross-document duplicated-text profile (the signal behind exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): per language, how many distinct word 8-grams
+    * appear in MORE than one document, and how many documents carry at
+    * least one such shared gram. Whereas [[hDecontaminate]] joins train
+    * against a held-out benchmark, this measures duplication inside the
+    * training corpus itself — the boilerplate a substring-dedup pass would
+    * strip.
+    *
+    * Same codegen-friendly gram pipeline as decontamination (explode →
+    * concat_ws, never a per-element lambda); the frequency table keys on
+    * (lang, gram) so map-side partial aggs collapse within-partition
+    * repeats, and the per-doc rollup reuses the doc_id-keyed layout. */
+  def hDupNgrams(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |dg AS (SELECT DISTINCT doc_id, lang, gram FROM gr),
+        |freq AS (SELECT lang, gram, count(*) AS nd FROM dg GROUP BY lang, gram),
+        |docs_hit AS (
+        |  SELECT d.lang, count(DISTINCT d.doc_id) AS n_docs_with_shared
+        |  FROM dg d JOIN freq f ON d.lang = f.lang AND d.gram = f.gram AND f.nd > 1
+        |  GROUP BY d.lang),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_grams,
+        |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared_grams,
+        |    max(nd) AS max_gram_docs
+        |  FROM freq GROUP BY lang)
+        |SELECT a.lang, a.n_grams, a.n_shared_grams, a.max_gram_docs,
+        |  coalesce(h.n_docs_with_shared, CAST(0 AS BIGINT)) AS n_docs_with_shared
+        |FROM agg a LEFT JOIN docs_hit h ON a.lang = h.lang
+        |ORDER BY a.lang""".stripMargin)
+  }
+
+  val hDupNgramsSql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(range(len(t) - 7),
+      |    i -> t[i+1] || '|' || t[i+2] || '|' || t[i+3] || '|' || t[i+4] || '|' ||
+      |         t[i+5] || '|' || t[i+6] || '|' || t[i+7] || '|' || t[i+8]))) AS gram
+      |  FROM tok WHERE len(t) >= 8),
+      |freq AS (SELECT lang, gram, count(*) AS nd FROM g GROUP BY 1, 2),
+      |docs_hit AS (
+      |  SELECT d.lang, count(DISTINCT d.doc_id) AS n_docs_with_shared
+      |  FROM g d JOIN freq f ON d.lang = f.lang AND d.gram = f.gram AND f.nd > 1
+      |  GROUP BY d.lang),
+      |agg AS (
+      |  SELECT lang, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+      |    CAST(max(nd) AS BIGINT) AS max_gram_docs
+      |  FROM freq GROUP BY lang)
+      |SELECT a.lang, a.n_grams, a.n_shared_grams, a.max_gram_docs,
+      |  CAST(coalesce(h.n_docs_with_shared, 0) AS BIGINT) AS n_docs_with_shared
+      |FROM agg a LEFT JOIN docs_hit h ON a.lang = h.lang
+      |ORDER BY a.lang""".stripMargin
+
   // ==================================================== int8 quantization
 
   /** Symmetric int8 embedding quantization (the storage/serving compression
@@ -413,6 +478,7 @@ object TrainingOps {
     "h_seq_packing" -> (hSeqPacking _),
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
+    "h_dup_ngrams" -> (hDupNgrams _),
     "h_embed_quantize" -> (hEmbedQuantize _)
   )
 
@@ -423,6 +489,7 @@ object TrainingOps {
     "h_seq_packing" -> hSeqPackingSql,
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
+    "h_dup_ngrams" -> hDupNgramsSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
   )
 }
