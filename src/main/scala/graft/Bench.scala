@@ -37,12 +37,17 @@ object Bench {
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated filter for focused perf iteration
+    // (SPARK_GRAFT_QUERIES=h_neardup_minhash,...); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
     // warm-up: one full pass absorbs JVM/codegen/footer costs and one-time
     // side effects (bucketed-table writes, roundtrip dirs) so the timed pass
     // measures steady state
     // a warm-up failure is logged (not fatal): a query that fails only once
     // would otherwise silently shift its one-time cost into the timed pass
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try materialize(fn) catch {
         case e: Throwable =>
           System.err.println(s"[bench] warm-up $name threw: ${e.getMessage}")
@@ -50,7 +55,7 @@ object Bench {
     }
 
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         materialize(fn)

@@ -98,19 +98,31 @@ object LlmOps {
     * The corpus plants one near-dup per doc (first word dropped, J ≈ 0.95+);
     * at that similarity the 16-band detection probability is 1-4e-8, so the
     * LSH result equals the oracle's brute-force pairs. */
-  def hNeardupMinhash(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
+  /** The replay-doubled corpus's word-3-gram shingle table, MATERIALIZED
+    * once via localCheckpoint and registered as `sh`. Spark inlines CTEs,
+    * so leaving this as a `WITH sh AS (...)` re-runs tokenize + shingle
+    * three times (signature build + both sides of the exact-Jaccard verify
+    * join) — measured ~35 % of h_neardup_minhash at sf0.1. The table is one
+    * slim row per doc (id + shingle array), so the checkpoint is corpus-
+    * linear and partition-local; at cluster scale the same role is played
+    * by writing the shingle/signature table once and joining against it. */
+  private[operators] def shingleTable(s: SparkSession): Unit =
     s.sql(
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
-        |tok AS (SELECT doc_id, split(text, ' ') AS tokens FROM corpus),
-        |sh AS (
-        |  SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
-        |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
-        |  FROM tok WHERE size(tokens) >= 3),
-        |sig AS (
+        |tok AS (SELECT doc_id, split(text, ' ') AS tokens FROM corpus)
+        |SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
+        |  i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
+        |FROM tok WHERE size(tokens) >= 3""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("sh")
+
+  def hNeardupMinhash(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    shingleTable(s)
+    s.sql(
+      """WITH sig AS (
         |  SELECT doc_id, shingles,
         |    minhash_signature(transform(shingles, s -> fnv64a(s)), 64) AS signature
         |  FROM sh),

@@ -102,18 +102,10 @@ object TrainingOps {
   /** Shared with [[LlmOps.hNeardupMinhash]]: the replay-doubled corpus
     * (original + first-word-dropped mutation) and its word-3-gram LSH
     * candidate pairs at Jaccard ≥ 0.6. Returns (a_id, b_id) edges. */
-  private def neardupPairs(s: SparkSession): DataFrame =
+  private def neardupPairs(s: SparkSession): DataFrame = {
+    LlmOps.shingleTable(s) // materialized once (see its doc); registered as `sh`
     s.sql(
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents),
-        |tok AS (SELECT doc_id, split(text, ' ') AS tokens FROM corpus),
-        |sh AS (
-        |  SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
-        |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
-        |  FROM tok WHERE size(tokens) >= 3),
-        |sig AS (
+      """WITH sig AS (
         |  SELECT doc_id, shingles,
         |    minhash_signature(transform(shingles, s -> fnv64a(s)), 64) AS signature
         |  FROM sh),
@@ -133,6 +125,7 @@ object TrainingOps {
         |  JOIN sh sb ON sb.doc_id = c.b_id)
         |SELECT a_id, b_id FROM pairs
         |WHERE stot - ni > 0 AND round(ni / (stot - ni), 4) >= 0.6""".stripMargin)
+  }
 
   /** Near-dup CLUSTER resolution: connected components over the MinHash-LSH
     * candidate edges (the pairwise output of [[LlmOps.hNeardupMinhash]]),
@@ -155,12 +148,9 @@ object TrainingOps {
       .union(pairs.select(col("b_id").as("a"), col("a_id").as("b")))
       .repartition(col("b"))
       .localCheckpoint() // run the LSH pipeline once, not once per round
-    val nodes = s.sql(
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '') FROM documents)
-        |SELECT doc_id AS n FROM corpus WHERE size(split(text, ' ')) >= 3""".stripMargin)
+    // node set = every shingled doc — read from the materialized `sh`
+    // (registered by neardupPairs above) instead of re-tokenizing the corpus
+    val nodes = s.sql("SELECT doc_id AS n FROM sh")
     var labels = nodes.select(col("n"), col("n").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0

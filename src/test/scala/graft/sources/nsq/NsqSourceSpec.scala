@@ -322,7 +322,11 @@ class NsqSourceSpec extends SparkSuite {
       val o1 = stream.latestOffset().asInstanceOf[NsqOffset]
       val ids1 = readAll(stream, stream.planInputPartitions(NsqOffset(0), o1))
       assert(ids1.size === 2)
-      assert(NsqShardConsumers.get(stream.sessionId, 0).isDefined)
+      // NOTE: no isDefined assertion here — with a 1 ms TTL the JVM-wide
+      // background reaper (5 s cadence, shared across the whole suite) may
+      // legitimately reap before this line; the explicit reap() below just
+      // makes the timing deterministic, and every post-condition is
+      // identical whichever reaper fired
       Thread.sleep(10) // > 1 ms TTL since the take
       NsqShardConsumers.reap() // what the background thread runs every 5 s
       // the orphan is gone from the registry and its socket close made the
