@@ -421,28 +421,25 @@ object TrainingOps {
     * step is an exactly-rounded IEEE double op applied in the same order on
     * both engines, so the quantized integers — and the per-label sums the
     * query reports — are bit-identical, proving the codec itself, not a
-    * tolerance band. Scan-local per row (higher-order functions over the
-    * 64-float array, no shuffle before the label aggregate); a corpus-scale
-    * variant would move the inner loop into a codegen Expression like
-    * ArrayDotProduct, which the plan already admits (same scan slot). */
+    * tolerance band. The per-vector pass runs in `int8_quant_stats`, a
+    * codegen Catalyst expression (one compiled loop per row, inside
+    * whole-stage codegen, NULL for zero vectors) — the interpreted
+    * 4-lambda higher-order-function formulation it replaces evaluated
+    * every element through the expression interpreter. No shuffle before
+    * the label aggregate. */
   def hEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.registerAll(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
     s.sql(
-      """WITH sc AS (
-        |  SELECT vec_id, label, embedding,
-        |    array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id, label,
-        |    transform(embedding, x ->
-        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5d) AS BIGINT)) AS qv
-        |  FROM sc WHERE scale > 0)
+      """WITH q AS (
+        |  SELECT label, int8_quant_stats(CAST(embedding AS ARRAY<DOUBLE>)) AS st
+        |  FROM embeddings)
         |SELECT label, count(*) AS n_vecs,
-        |  sum(aggregate(qv, 0L, (a, x) -> a + x)) AS sum_q,
-        |  sum(aggregate(qv, 0L, (a, x) -> a + abs(x))) AS sum_abs_q,
-        |  sum(size(filter(qv, x -> abs(x) = 127))) AS n_saturated
-        |FROM q GROUP BY label ORDER BY label""".stripMargin)
+        |  sum(st.sum_q) AS sum_q,
+        |  sum(st.sum_abs_q) AS sum_abs_q,
+        |  sum(st.n_saturated) AS n_saturated
+        |FROM q WHERE st IS NOT NULL
+        |GROUP BY label ORDER BY label""".stripMargin)
   }
 
   val hEmbedQuantizeSql: String =

@@ -34,4 +34,20 @@ object StreamJoins {
       "inner")
       .drop(r(key))
   }
+
+  /** Stream-static enrichment: left-join each micro-batch against a
+    * broadcast dimension table — the most common streaming join in
+    * practice (events × user/device/geo metadata), and entirely STATELESS:
+    * no watermark, no state store, nothing buffered across batches, so it
+    * adds zero memory pressure at any rate.
+    *
+    * The explicit `broadcast` keeps the per-batch plan a map-side hash
+    * join: the streaming side never shuffles, which matters because a
+    * shuffle in a micro-batch is paid per TRIGGER, not per query. Spark
+    * re-plans the static side every micro-batch — callers whose dimension
+    * is expensive to produce (a join/agg, not a bare scan) should
+    * `.cache()` it; a bare parquet dimension re-reads only footers and is
+    * fine uncached (and picks up file-level updates between batches). */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -132,3 +132,47 @@ case class HyperplaneProbesExpr(child: Expression, bandBits: Int, nProbes: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneProbesExpr =
     copy(child = newChild)
 }
+
+/** `int8_quant_stats(array<double>) -> struct<sum_q, sum_abs_q, n_saturated>`
+  * — symmetric int8 quantization rolled into one scan-local pass
+  * (graft.kernel.Int8Quant): scale = max|x|, component → floor(x·127/scale
+  * + 0.5). Returns NULL for vectors with no positive magnitude. Replaces a
+  * 4-lambda higher-order-function chain (interpreted per element) with one
+  * compiled loop inside whole-stage codegen.
+  */
+case class Int8QuantStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_q", LongType, nullable = false),
+    StructField("sum_abs_q", LongType, nullable = false),
+    StructField("n_saturated", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quant_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = graft.kernel.Int8Quant.stats(input.asInstanceOf[ArrayData].toDoubleArray())
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r(0), r(1), r(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("quantStats")
+      s"""
+         |long[] $r = graft.kernel.Int8Quant.stats($a.toDoubleArray());
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { java.lang.Long.valueOf($r[0]),
+         |      java.lang.Long.valueOf($r[1]), java.lang.Long.valueOf($r[2]) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStatsExpr =
+    copy(child = newChild)
+}

@@ -52,5 +52,8 @@ object GraftBuilders {
         Divide(ArrayDotProduct(a, b),
           Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
       },
-      "cosine_sim(a, b) - cosine similarity of double arrays."))
+      "cosine_sim(a, b) - cosine similarity of double arrays."),
+    ("int8_quant_stats",
+      exprs => Int8QuantStatsExpr(exprs.head),
+      "int8_quant_stats(vec) - symmetric int8 quantization stats (sum_q, sum_abs_q, n_saturated)."))
 }

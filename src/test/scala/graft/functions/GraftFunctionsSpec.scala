@@ -107,4 +107,27 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(df.as[String].collect().toSeq ===
       Seq("good", "a430d84680aabd0b", "a430d84680aabd0b"))
   }
+
+  test("int8_quant_stats matches hand-computed quantization; null for zero vectors") {
+    // [1.0, -0.5, 0.25, 0] → scale 1.0 → q = [127, -63, 32, 0]
+    //   (floor(-63.5+0.5) = -63, floor(31.75+0.5) = 32)
+    val r = spark.sql(
+      "SELECT int8_quant_stats(array(1.0D, -0.5D, 0.25D, 0.0D)) AS st, " +
+      "int8_quant_stats(array(0.0D, 0.0D)) AS zero").collect()(0)
+    val st = r.getStruct(0)
+    assert(st.getLong(0) === 127L - 63L + 32L)
+    assert(st.getLong(1) === 127L + 63L + 32L)
+    assert(st.getLong(2) === 1L)
+    assert(r.isNullAt(1))
+    assert(graft.kernel.Int8Quant.stats(Array(0.0, 0.0)) === null)
+  }
+
+  test("int8_quant_stats stays inside whole-stage codegen over a real scan") {
+    val df = spark.range(100)
+      .selectExpr("int8_quant_stats(array(CAST(id AS DOUBLE), 1.0D)) AS st")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*"), plan)
+    // id=0 → scale=1 → q=[0,127]; every other row saturates on the id slot
+    assert(df.selectExpr("sum(st.n_saturated)").collect().head.getLong(0) === 101L)
+  }
 }

@@ -47,4 +47,36 @@ class StreamJoinsSpec extends SparkSuite {
         s"expected only the in-window alice pair, got $rows")
     } finally q.stop()
   }
+
+  test("stream-static enrichment broadcasts the dimension and keeps unmatched rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val dim = Seq(("alice", "premium"), ("bob", "free")).toDF("user", "tier")
+
+    val q = StreamJoins.enrichStatic(clicks.toDF(), dim, key = "user")
+      .selectExpr("user", "page", "tier")
+      .writeStream.format("memory").queryName("se_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click("alice", ts(0), "home"),
+        Click("carol", ts(5), "detail")) // no dim row -> tier null, row kept
+      q.processAllAvailable()
+
+      val rows = spark.table("se_out").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows === Set(
+        ("alice", "home", Some("premium")),
+        ("carol", "detail", None)), s"got $rows")
+
+      // stateless: nothing buffered across batches, and the per-batch plan
+      // is a broadcast hash join (streaming side never shuffles)
+      val sq = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      val plan = sq.streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"dimension must broadcast per micro-batch:\n$plan")
+      assert(!plan.contains("StateStore"),
+        s"stream-static join must hold no state:\n$plan")
+    } finally q.stop()
+  }
 }
