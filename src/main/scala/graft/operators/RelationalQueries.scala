@@ -409,6 +409,36 @@ object RelationalQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** D: approximate quantile sketch (GK/KLL family) under a tolerance
+    * contract, the same pattern [[FormatOps.dAggApprox]] uses for HLL: the
+    * sketch estimate is engine-specific, so the cross-engine row asserts
+    * the exact quantile (which both engines compute identically) plus a
+    * flag that the sketch landed within its rank-error bound. At accuracy
+    * 10000 over per-flag groups the rank error is ≤ n/10000 rows; on the
+    * 1–50 integer quantity domain that is well inside ±1.0 in value. The
+    * sketch is what a 100 TB profile pass actually runs — single pass,
+    * mergeable partials, no sort — with the exact percentile kept only as
+    * the verification yardstick. */
+  def dApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(round(1e4 * percentile(l_quantity, 0.5)) AS BIGINT) AS exact_p50_x1e4,
+        |  (abs(approx_percentile(l_quantity, 0.5, 10000) - percentile(l_quantity, 0.5))
+        |     <= 1.0d) AS within_tolerance
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val dApproxQuantileSql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(1e4 * quantile_cont(l_quantity, 0.5)) AS BIGINT) AS exact_p50_x1e4,
+      |  true AS within_tolerance
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** D: ROLLUP with grouping() flags. */
   def dRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -872,6 +902,7 @@ object RelationalQueries {
     "d_agg_having" -> (dAggHaving _),
     "d_agg_distinct" -> (dAggDistinct _),
     "d_percentile" -> (dPercentile _),
+    "d_approx_quantile" -> (dApproxQuantile _),
     "d_pivot" -> (dPivot _),
     "e_window_ntile" -> (eWindowNtile _),
     "e_window_dist" -> (eWindowDist _),
@@ -909,6 +940,7 @@ object RelationalQueries {
     "d_agg_having" -> dAggHavingSql,
     "d_agg_distinct" -> dAggDistinctSql,
     "d_percentile" -> dPercentileSql,
+    "d_approx_quantile" -> dApproxQuantileSql,
     "d_pivot" -> dPivotSql,
     "e_window_ntile" -> eWindowNtileSql,
     "e_window_dist" -> eWindowDistSql,
