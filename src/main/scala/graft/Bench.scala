@@ -34,12 +34,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop-write the full result, then release any localCheckpoint blocks
+    // the query registered — without this, a 78-query session accumulates
+    // leaked storage blocks (shingle tables, label-propagation rounds) for
+    // the JVM's lifetime and starves execution memory for later queries
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally graft.operators.Checkpoints.releaseAll()
 
     // optional comma-separated filter for focused perf iteration
     // (SPARK_GRAFT_QUERIES=h_neardup_minhash,...); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
+    // a misspelled name would otherwise silently select zero queries and
+    // produce an empty-but-successful bench run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown query names in SPARK_GRAFT_QUERIES: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warm-up: one full pass absorbs JVM/codegen/footer costs and one-time

@@ -93,11 +93,6 @@ object LlmOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Near-dup text dedup via word-3-gram shingles → 64-perm MinHash →
-    * 16×4 LSH banding → exact-Jaccard verify (≥ 0.6) on candidates only.
-    * The corpus plants one near-dup per doc (first word dropped, J ≈ 0.95+);
-    * at that similarity the 16-band detection probability is 1-4e-8, so the
-    * LSH result equals the oracle's brute-force pairs. */
   /** The replay-doubled corpus's word-3-gram shingle table, MATERIALIZED
     * once via localCheckpoint and registered as `sh`. Spark inlines CTEs,
     * so leaving this as a `WITH sh AS (...)` re-runs tokenize + shingle
@@ -105,9 +100,11 @@ object LlmOps {
     * join) — measured ~35 % of h_neardup_minhash at sf0.1. The table is one
     * slim row per doc (id + shingle array), so the checkpoint is corpus-
     * linear and partition-local; at cluster scale the same role is played
-    * by writing the shingle/signature table once and joining against it. */
+    * by writing the shingle/signature table once and joining against it.
+    * The checkpoint is registered with [[Checkpoints]] so the harness can
+    * unpersist it once the consuming query's action completes. */
   private[operators] def shingleTable(s: SparkSession): Unit =
-    s.sql(
+    Checkpoints.track(s.sql(
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -116,8 +113,13 @@ object LlmOps {
         |SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
         |  i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
         |FROM tok WHERE size(tokens) >= 3""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("sh")
+      .localCheckpoint()).createOrReplaceTempView("sh")
 
+  /** Near-dup text dedup via word-3-gram shingles → 64-perm MinHash →
+    * 16×4 LSH banding → exact-Jaccard verify (≥ 0.6) on candidates only.
+    * The corpus plants one near-dup per doc (first word dropped, J ≈ 0.95+);
+    * at that similarity the 16-band detection probability is 1-4e-8, so the
+    * LSH result equals the oracle's brute-force pairs. */
   def hNeardupMinhash(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     shingleTable(s)

@@ -162,10 +162,18 @@ object TrainingOps {
         .localCheckpoint()
       changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
         .filter(col("x.label") < col("y.label")).count()
+      // the superseded round's blocks are dead once `changed` (the last
+      // reader of the old labels) is computed — release immediately so
+      // storage holds at most TWO label snapshots, not rounds-many
+      Checkpoints.release(labels)
       labels = next
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    // the result below reads only `labels`; the edge table is dead
+    Checkpoints.release(edges)
+    // final labels back the returned DataFrame — release post-action
+    Checkpoints.track(labels)
     labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkSuite}
+
+/** Storage-memory hygiene: the checkpoint-heavy pipelines must leave ZERO
+  * persistent RDD blocks behind once the harness's post-action
+  * [[Checkpoints.releaseAll]] runs. Without this, a sequential bench
+  * session accumulates leaked localCheckpoint blocks (shingle table +
+  * up-to-25 label-propagation rounds per invocation, twice per query) and
+  * starves execution memory for every later query — at cluster scale, an
+  * OOM rather than a slowdown.
+  */
+class CheckpointHygieneSpec extends SparkSuite {
+  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  private def afterRelease(body: => Unit): Int = {
+    Checkpoints.releaseAll() // drop anything a previous suite left tracked
+    val before = persistentCount
+    try body
+    finally Checkpoints.releaseAll()
+    persistentCount - before
+  }
+
+  test("h_neardup_minhash leaves no persistent blocks after releaseAll") {
+    val leaked = afterRelease {
+      LlmOps.hNeardupMinhash(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
+  test("h_dup_clusters leaves no persistent blocks after releaseAll") {
+    val leaked = afterRelease {
+      TrainingOps.hDupClusters(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
+  test("superseded label rounds release inside the loop, not only at the end") {
+    Checkpoints.releaseAll()
+    // while hDupClusters runs, the resident snapshot count must stay
+    // bounded (shingle table + edges + ≤2 label rounds + result-backing
+    // labels), regardless of how many propagation rounds converge takes
+    TrainingOps.hDupClusters(spark, SparkSpec.sf0001)
+      .write.format("noop").mode("overwrite").save()
+    // post-action but pre-release: only the tracked survivors remain
+    assert(persistentCount <= 4,
+      s"$persistentCount persistent RDDs resident post-action (expected ≤4: shingle table + final labels)")
+    Checkpoints.releaseAll()
+  }
+}
