@@ -247,6 +247,34 @@ object RelationalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** C: right outer join keeping shipment-less suppliers — the large fact
+    * (lineitem, filtered to late shipments) is the JOIN's LEFT input and
+    * the preserved dimension (supplier) its RIGHT, so right-preservation
+    * is observable as suppliers surviving with null fact columns. Spark
+    * plans this identically to the mirrored left join (the optimizer
+    * canonicalizes build sides), which is exactly why the declared join
+    * type must still be exercised: ported SQL uses RIGHT JOIN constantly. */
+  def cJoinRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"), "right")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(col("l_orderkey")).as("n_shipments"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_shipmentless_rows"))
+      .orderBy(col("s_nationkey"))
+
+  val cJoinRightSql: String =
+    """SELECT s_nationkey,
+      |  count(DISTINCT s_suppkey) AS n_suppliers,
+      |  count(l_orderkey) AS n_shipments,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shipmentless_rows
+      |FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00') li
+      |RIGHT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   /** C: full outer join over per-nation customer/supplier counts. */
   def cJoinFull(s: SparkSession, dir: String): DataFrame = {
     val custN = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
@@ -895,6 +923,7 @@ object RelationalQueries {
     "b_subquery" -> (bSubquery _),
     "c_join_inner" -> (cJoinInner _),
     "c_join_left" -> (cJoinLeft _),
+    "c_join_right" -> (cJoinRight _),
     "c_join_full" -> (cJoinFull _),
     "c_join_semi_anti" -> (cJoinSemiAnti _),
     "c_join_range" -> (cJoinRange _),
@@ -933,6 +962,7 @@ object RelationalQueries {
     "b_subquery" -> bSubquerySql,
     "c_join_inner" -> cJoinInnerSql,
     "c_join_left" -> cJoinLeftSql,
+    "c_join_right" -> cJoinRightSql,
     "c_join_full" -> cJoinFullSql,
     "c_join_semi_anti" -> cJoinSemiAntiSql,
     "c_join_range" -> cJoinRangeSql,
