@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import org.apache.spark.sql.graft.BloomCols
 
 /** Scale techniques as first-class, verified operators: bucketed co-located
   * joins (shuffle elimination), salted joins (skew mitigation), and
@@ -153,23 +154,29 @@ object ScaleOps {
   /** Bloom-filter semi-join reduction: when BOTH join sides are too big to
     * broadcast (forced SMJ here via the merge hint), shuffling the full fact
     * side is the dominant cost. A Bloom filter of the dimension's keys
-    * (built distributed via treeAggregate inside `stat.bloomFilter`, ~9.6
-    * bits/key at 1 % fpp — a few hundred MB even for a billion-key side)
-    * ships to every task and drops non-joining fact rows BEFORE the
+    * (built as a distributed partial-then-merge `BloomFilterAggregate`,
+    * ~9.6 bits/key at 1 % fpp — a few hundred MB even for a billion-key
+    * side) ships to every task and drops non-joining fact rows BEFORE the
     * exchange. False positives only waste shuffle bytes; the join stays
-    * exact, as the oracle proves. Spark's runtime-filter injection
-    * (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) automates the
-    * same rewrite when side-size stats warrant it; this operator is the
-    * explicit form with the filter's selectivity under caller control. */
+    * exact, as the oracle proves. The probe is Spark's native codegen'd
+    * `BloomFilterMightContain` — the same expression pair the optimizer's
+    * runtime-filter injection (spark.sql.optimizer.runtimeFilter
+    * .bloomFilter.enabled) uses when side-size stats warrant it; this
+    * operator is the explicit form with the filter's selectivity under
+    * caller control, and the probe stays inside WholeStageCodegen on the
+    * fact scan (a Scala-UDF probe would be a codegen barrier there). */
   def cJoinBloom(s: SparkSession, dir: String): DataFrame = {
     val urgent = Tables.load(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    // ~9.585 bits/key = the optimal size for 1 % fpp at 100k keys; only
+    // the serialized ~120 kB sketch reaches the driver, never a key
+    val bloomBytes = urgent
+      .select(BloomCols.bloomFilterAgg(col("o_orderkey"), 100000L, 958506L).as("bf"))
+      .head.getAs[Array[Byte]](0)
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(BloomCols.mightContain(bloomBytes, col("l_orderkey")))
       .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(

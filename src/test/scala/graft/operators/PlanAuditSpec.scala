@@ -99,9 +99,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("SortMergeJoin"), s"merge hint must force SMJ:\n$plan")
     val lines = plan.linesIterator.toVector
     val joinAt = lines.indexWhere(_.contains("SortMergeJoin"))
-    val probeAt = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val probeAt = lines.indexWhere(l => l.contains("Filter") && l.contains("might_contain"))
     assert(joinAt >= 0 && probeAt > joinAt,
       s"bloom probe filter must sit in the join's input (fact pruned pre-shuffle):\n$plan")
+    // the probe must be the native codegen'd expression, not a Scala UDF
+    // (a UDF is a codegen barrier on exactly the scan the filter thins)
+    assert(!lines.exists(l => l.contains("Filter") && l.contains("UDF")),
+      s"fact-side probe must not be a Scala UDF:\n$plan")
   }
 
   test("q3_shipping: top-10 runs as TakeOrderedAndProject, not global sort") {
