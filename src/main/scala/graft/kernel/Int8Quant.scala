@@ -10,12 +10,20 @@ object Int8Quant {
 
   /** `[sum_q, sum_abs_q, n_saturated]` over the quantized components, or
     * `null` when the vector has no positive magnitude (scale ≤ 0: the
-    * all-zero vector quantizes to nothing meaningful and is filtered). */
+    * all-zero vector quantizes to nothing meaningful and is filtered) OR
+    * carries any non-finite component. NaN/Inf must not pass through:
+    * `math.floor(NaN).toLong == 0` would silently quantize garbage to 0
+    * here while the SQL oracle's `CAST(floor(NaN) AS BIGINT)` errors — a
+    * cross-engine divergence. Null-ing the row keeps both engines in
+    * lock-step, matching the zero-vector contract. */
   def stats(xs: Array[Double]): Array[Long] = {
     var scale = 0.0
     var i = 0
     while (i < xs.length) {
-      val a = math.abs(xs(i)); if (a > scale) scale = a; i += 1
+      val a = math.abs(xs(i))
+      if (!java.lang.Double.isFinite(a)) return null
+      if (a > scale) scale = a
+      i += 1
     }
     if (!(scale > 0)) return null
     var sumQ = 0L

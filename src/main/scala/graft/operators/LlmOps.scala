@@ -36,7 +36,7 @@ object LlmOps {
     Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
   }
 
-  private def embeds(s: SparkSession, dir: String): Unit = {
+  private[operators] def embeds(s: SparkSession, dir: String): Unit = {
     GraftFunctions.registerAll(s)
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
   }
@@ -340,15 +340,24 @@ object LlmOps {
     * background (≲ 0.5), so `found ⇒ top1 = planted` and DuckDB recomputes
     * the perturbation + cosine in plain SQL. Bucket membership itself stays
     * non-SQL (splitmix64 planes), but a retrieval miss now hash-FAILs. */
-  def hAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def hAnnLsh(s: SparkSession, dir: String): DataFrame =
+    hAnnLshWith(s, dir)
+
+  /** Parameterized form: `planes` sets the sign-table width (2^planes
+    * buckets — more planes = smaller buckets = faster probes but lower
+    * per-probe hit rate), `nProbes` the number of lowest-margin buckets
+    * each query visits. The declared query keeps (8, 3); AnnRecallSpec
+    * sweeps configurations and records the recall/latency trade. */
+  private[operators] def hAnnLshWith(s: SparkSession, dir: String,
+                                     planes: Int = 8, nProbes: Int = 3): DataFrame = {
     embeds(s, dir)
     s.sql(
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
         |bucketed AS (
-        |  SELECT vec_id, v, nrm, element_at(hyperplane_bands(v, 1, 8), 1) AS bucket
+        |  SELECT vec_id, v, nrm, element_at(hyperplane_bands(v, 1, $planes), 1) AS bucket
         |  FROM normed),
         |qpert AS (
         |  SELECT vec_id AS planted_id, vec_id + 1000000 AS q_id,
@@ -358,7 +367,7 @@ object LlmOps {
         |  SELECT q_id, planted_id, v, sqrt(dot_product(v, v)) AS nrm FROM qpert),
         |q AS (
         |  SELECT q_id, planted_id, v, nrm, pb
-        |  FROM qn LATERAL VIEW explode(hyperplane_probes(v, 8, 3)) t AS pb),
+        |  FROM qn LATERAL VIEW explode(hyperplane_probes(v, $planes, $nProbes)) t AS pb),
         |scored AS (
         |  SELECT q.q_id, q.planted_id, n.vec_id AS n_id,
         |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
@@ -421,13 +430,13 @@ object LlmOps {
     * `base(vec_id, v)` CTE in scope. Shared by the declared query and the
     * spec-level quantizer-quality measurement so both see the exact
     * shipped centroids. */
-  private def ivfCentSql(refined: Boolean): String =
+  private def ivfCentSql(refined: Boolean, nlist: Int = 16): String =
     if (!refined)
-      """centn AS (
+      s"""centn AS (
         |  SELECT vec_id AS c_id, v AS cv, sqrt(dot_product(v, v)) AS cnrm
-        |  FROM base WHERE vec_id < 16)""".stripMargin
+        |  FROM base WHERE vec_id < $nlist)""".stripMargin
     else
-      """seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      s"""seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < $nlist),
         |seedcoll AS (
         |  SELECT collect_list(named_struct(
         |    'c_id', c_id, 'cv', cv, 'cnrm', sqrt(dot_product(cv, cv)))) AS cs
@@ -453,19 +462,21 @@ object LlmOps {
 
   /** The shipped centroids alone — spec hook for measuring quantizer
     * quality (mean angular distortion) of seed vs refined. */
-  private[operators] def ivfCentroids(s: SparkSession, dir: String, refined: Boolean): DataFrame = {
+  private[operators] def ivfCentroids(s: SparkSession, dir: String, refined: Boolean,
+                                      nlist: Int = 16): DataFrame = {
     embeds(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |${ivfCentSql(refined)}
+         |${ivfCentSql(refined, nlist)}
          |SELECT c_id, cv, cnrm FROM centn""".stripMargin)
   }
 
   private[operators] def hAnnIvfWith(s: SparkSession, dir: String, refined: Boolean,
-                                     queryPred: String = "vec_id < 10"): DataFrame = {
+                                     queryPred: String = "vec_id < 10",
+                                     nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     embeds(s, dir)
-    val centn = ivfCentSql(refined)
+    val centn = ivfCentSql(refined, nlist)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -478,13 +489,13 @@ object LlmOps {
          |ranked_cent AS (
          |  SELECT vec_id, v, nrm,
          |    slice(array_sort(transform(cs, c -> named_struct(
-         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS top2
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, $nprobe) AS topn
          |  FROM normed CROSS JOIN cents),
          |assigned AS (
-         |  SELECT vec_id, v, nrm, top2[0].c_id AS c_id FROM ranked_cent),
+         |  SELECT vec_id, v, nrm, topn[0].c_id AS c_id FROM ranked_cent),
          |probes AS (
          |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, p.c_id
-         |  FROM ranked_cent LATERAL VIEW explode(top2) t AS p
+         |  FROM ranked_cent LATERAL VIEW explode(topn) t AS p
          |  WHERE $queryPred),
          |scored AS (
          |  SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id AS n_id,

@@ -421,6 +421,83 @@ object TrainingOps {
       |FROM agg a LEFT JOIN docs_hit h ON a.lang = h.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** Exact-substring dedup ACTION pass (Lee et al. 2022): where
+    * [[hDupNgrams]] only profiles cross-document duplication, this emits
+    * the concrete spans a dedup pass would strip. A token position is
+    * "shared" when its word 8-gram occurs in more than one document of the
+    * same language; overlapping shared positions merge into maximal spans
+    * (gaps-and-islands over the position stream), reported as
+    * (doc_id, span_start, span_end, n_tokens) in token coordinates.
+    *
+    * Scale shape: the gram-frequency table keys on (lang, gram) with
+    * map-side partial aggs; marking is one gram-keyed join; span merging
+    * is a doc_id-partitioned window over only the MARKED positions (a
+    * small fraction of the corpus), never the full token stream. No stage
+    * touches more than |corpus grams| rows and every key is bounded —
+    * the same plan at 100 TB just shuffles more partitions. */
+  def hDedupSpans(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, i,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |freq AS (SELECT lang, gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY lang, gram),
+        |marked AS (
+        |  SELECT p.doc_id, p.i
+        |  FROM pos p JOIN freq f ON p.lang = f.lang AND p.gram = f.gram
+        |  WHERE f.nd > 1),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i > coalesce(max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_start
+        |  FROM marked),
+        |grp AS (
+        |  SELECT doc_id, i,
+        |    sum(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS span_no
+        |  FROM brk)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS n_tokens
+        |FROM grp GROUP BY doc_id, span_no
+        |ORDER BY doc_id, span_start""".stripMargin)
+  }
+
+  /** DuckDB recomputes the spans from scratch — same 8-gram sharing
+    * definition, same overlap-merge — so every emitted span is
+    * rows+schema+hash checked. */
+  val hDedupSpansSql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, lang, CAST(i AS INTEGER) AS i,
+      |    t[i] || '|' || t[i+1] || '|' || t[i+2] || '|' || t[i+3] || '|' ||
+      |    t[i+4] || '|' || t[i+5] || '|' || t[i+6] || '|' || t[i+7] AS gram
+      |  FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |freq AS (SELECT lang, gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY lang, gram),
+      |marked AS (
+      |  SELECT p.doc_id, p.i
+      |  FROM pos p JOIN freq f ON p.lang = f.lang AND p.gram = f.gram
+      |  WHERE f.nd > 1),
+      |brk AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i > coalesce(max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_start
+      |  FROM marked),
+      |grp AS (
+      |  SELECT doc_id, i,
+      |    sum(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS span_no
+      |  FROM brk)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) + 7 AS BIGINT) AS span_end,
+      |  CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS n_tokens
+      |FROM grp GROUP BY doc_id, span_no
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // ==================================================== int8 quantization
 
   /** Symmetric int8 embedding quantization (the storage/serving compression
@@ -474,6 +551,7 @@ object TrainingOps {
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
     "h_dup_ngrams" -> (hDupNgrams _),
+    "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
   )
 
@@ -485,6 +563,7 @@ object TrainingOps {
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
     "h_dup_ngrams" -> hDupNgramsSql,
+    "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
   )
 }

@@ -27,7 +27,7 @@ object GraftBuilders {
 
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("fnv64a",
-      exprs => Fnv64aExpr(exprs.head),
+      exprs => { val Seq(v) = exprs; Fnv64aExpr(v) },
       "fnv64a(expr) - FNV-64a hash of a binary/string column."),
     ("dot_product",
       exprs => ArrayDotProduct(exprs(0), exprs(1)),
@@ -36,7 +36,7 @@ object GraftBuilders {
       exprs => MinhashSignatureExpr(exprs(0), litInt("minhash_signature", exprs, 1, 2)),
       "minhash_signature(hashes, k) - k-permutation MinHash signature."),
     ("kpl_deaggregate_rows",
-      exprs => KplDeaggregateExpr(exprs.head),
+      exprs => { val Seq(v) = exprs; KplDeaggregateExpr(v) },
       "kpl_deaggregate_rows(data) - explode a KPL aggregate into user records."),
     ("hyperplane_bands",
       exprs => HyperplaneBandsExpr(exprs(0),
@@ -54,6 +54,11 @@ object GraftBuilders {
       },
       "cosine_sim(a, b) - cosine similarity of double arrays."),
     ("int8_quant_stats",
-      exprs => Int8QuantStatsExpr(exprs.head),
+      exprs => {
+        // destructure so a wrong-arity call fails at analysis time instead
+        // of silently dropping extra arguments
+        val Seq(v) = exprs
+        Int8QuantStatsExpr(v)
+      },
       "int8_quant_stats(vec) - symmetric int8 quantization stats (sum_q, sum_abs_q, n_saturated)."))
 }

@@ -122,6 +122,18 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(graft.kernel.Int8Quant.stats(Array(0.0, 0.0)) === null)
   }
 
+  test("int8_quant_stats nulls non-finite vectors instead of quantizing garbage") {
+    // floor(NaN).toLong == 0 would silently pass NaN through as q=0 while
+    // the DuckDB oracle's CAST(floor(NaN) AS BIGINT) errors — the row must
+    // go null in BOTH engines (same contract as the zero vector)
+    val r = spark.sql(
+      "SELECT int8_quant_stats(array(1.0D, CAST('NaN' AS DOUBLE))) AS nan, " +
+      "int8_quant_stats(array(1.0D, CAST('Infinity' AS DOUBLE))) AS inf").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(graft.kernel.Int8Quant.stats(Array(1.0, Double.NaN)) === null)
+    assert(graft.kernel.Int8Quant.stats(Array(Double.NegativeInfinity)) === null)
+  }
+
   test("int8_quant_stats stays inside whole-stage codegen over a real scan") {
     val df = spark.range(100)
       .selectExpr("int8_quant_stats(array(CAST(id AS DOUBLE), 1.0D)) AS st")

@@ -49,6 +49,10 @@ class AnnRecallSpec extends SparkSuite {
     // sample — the out-of-sample case a real corpus presents.
     val dir = "/root/testdata/sf0.01"
     val pred = "vec_id >= 400"
+    // pin the embeddings view to THIS dir before computing the baseline —
+    // a previous test may have registered it at another scale factor, and
+    // a brute set over the wrong corpus silently zeroes every recall
+    LlmOps.embeds(spark, dir)
     val brute = topk(spark.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -96,6 +100,63 @@ class AnnRecallSpec extends SparkSuite {
     info(f"ivf mean angular distortion: seed=$seedD%.4f refined=$refD%.4f")
     assert(refD <= seedD,
       f"Lloyd refinement increased quantization distortion: $refD%.4f > $seedD%.4f")
+  }
+
+  test("ANN parameter sweep: recall/latency per index configuration") {
+    // the shipped constants (IVF nlist=16/nprobe=2, LSH 8 planes × 3
+    // probes) are defaults, not magic — this sweep records the
+    // recall/latency trade at ≥2 configurations per index so a user
+    // sizing a real corpus sees the knobs move. Out-of-sample queries,
+    // as in the quantizer-quality test above.
+    val dir = "/root/testdata/sf0.01"
+    val pred = "vec_id >= 400"
+    LlmOps.embeds(spark, dir) // pin the view before the baseline (see above)
+    val brute = topk(spark.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |q AS (SELECT * FROM normed WHERE $pred),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
+         |  FROM q JOIN normed n ON q.vec_id <> n.vec_id)
+         |SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin).collect())
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = brute.keys.toSeq.map { q =>
+        val a = m.getOrElse(q, Set.empty)
+        if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
+      }
+      per.sum / per.size
+    }
+    val ivfConfigs = Seq((16, 2), (16, 4), (32, 2))
+    val ivf = ivfConfigs.map { case (nlist, nprobe) =>
+      val t0 = System.nanoTime()
+      val rows = LlmOps.hAnnIvfWith(spark, dir, refined = true, pred, nlist, nprobe).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = recall(topk(rows))
+      info(f"ivf nlist=$nlist nprobe=$nprobe recall@3=$r%.2f latency=$sec%.2fs")
+      ((nlist, nprobe), r)
+    }.toMap
+    // widening the probe set at fixed nlist scans a strict superset of
+    // candidates — recall must be monotone there
+    assert(ivf((16, 4)) >= ivf((16, 2)),
+      f"nprobe=4 recall ${ivf((16, 4))}%.2f below nprobe=2 ${ivf((16, 2))}%.2f at nlist=16")
+
+    val lshConfigs = Seq((8, 3), (10, 1))
+    lshConfigs.foreach { case (planes, probes) =>
+      val t0 = System.nanoTime()
+      val rows = LlmOps.hAnnLshWith(spark, dir, planes, probes).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = rows.count(x => x.getBoolean(2) && x.getLong(3) == x.getLong(1)).toDouble / rows.length
+      info(f"lsh planes=$planes probes=$probes planted-recall@1=$r%.2f latency=$sec%.2fs")
+      // the planted near-dup sits at θ≈0.02: any sane config keeps it
+      assert(r >= 0.8, f"lsh planes=$planes probes=$probes recall $r%.2f collapsed")
+    }
   }
 
   test("banded-LSH near-dup equals the exact all-pairs join (recall yardstick)") {
