@@ -119,9 +119,15 @@ object StreamBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "200000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for the dedup
+    // exchange (the measured bottleneck, see BASELINE.md) — a streaming
+    // micro-batch pays per-partition task + state-store-commit overhead
+    // every trigger, so the right value trades parallelism against that
+    // fixed cost and is NOT automatically the batch default of one-per-core
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
@@ -223,7 +229,7 @@ object StreamBench {
       s""""http_requests_rejected":${sk.rejected.get()}""").getOrElse("")
     println(
       s"""{"metric":"stream_user_rec_per_sec","value":${rate.round},"unit":"rec/sec",""" +
-      s""""stage":"$stage","input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
+      s""""stage":"$stage","shuffle":$shuffle,"input_msgs":${work.length},"delivered_user_records":$userRecords,""" +
       s""""entries":${CountingTransport.entries.get()},"mb":${CountingTransport.bytes.get() / 1e6},""" +
       s""""sec":$sec$httpStats,"batches":$prog}""")
     spark.stop()

@@ -39,8 +39,11 @@ final class NsqClient(
   def isAlive: Boolean = running.get() && !failed && !socket.isClosed
 
   writeMagic(out)
+  // client_id carries the JVM pid (real NSQ clients send hostname/short-id):
+  // on a cluster it tells the broker operator WHICH executor JVM holds each
+  // connection, and the multi-JVM spec asserts distributed ingest from it
   writeIdentify(out,
-    s"""{"client_id":"graft","msg_timeout":$msgTimeoutMs,"output_buffer_timeout":$outputBufferTimeoutMs}""")
+    s"""{"client_id":"graft-${ProcessHandle.current().pid()}","msg_timeout":$msgTimeoutMs,"output_buffer_timeout":$outputBufferTimeoutMs}""")
   writeCommand(out, s"SUB $topic $channel")
   writeCommand(out, s"RDY $maxInFlight")
 

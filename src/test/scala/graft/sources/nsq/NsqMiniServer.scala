@@ -37,6 +37,8 @@ final class NsqMiniServer {
   private val running = new AtomicBoolean(true)
   private val subscribed = new CountDownLatch(1)
   val connections = new AtomicInteger(0) // total SUBs seen (parallelism evidence)
+  // client_ids from IDENTIFY bodies (graft-<pid>): which JVMs ever connected
+  val identities = new ConcurrentLinkedQueue[String]()
 
   private final class Conn(val socket: Socket) {
     val out = new DataOutputStream(socket.getOutputStream)
@@ -73,6 +75,7 @@ final class NsqMiniServer {
 
   def inFlightCount: Int = conns.asScala.map(_.inFlight.size).sum
   def outstanding: Int = pending.size + inFlightCount
+  def activeConns: Int = conns.size
 
   def publish(id: String, body: Array[Byte], attempts: Int = 1): Unit = {
     pending.add(NsqMessage(id, System.nanoTime(), attempts, body))
@@ -151,6 +154,9 @@ final class NsqMiniServer {
               val size = in.readInt()
               val body = new Array[Byte](size)
               in.readFully(body)
+              """"client_id"\s*:\s*"([^"]+)"""".r
+                .findFirstMatchIn(new String(body, "UTF-8"))
+                .foreach(m => identities.add(m.group(1)))
               conn.writeLock.synchronized(writeFrame(conn.out, FrameResponse, "OK".getBytes("UTF-8")))
             case "SUB" =>
               if (parts.length > 2) subbedChannel = parts(2)
