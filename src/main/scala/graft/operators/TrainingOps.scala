@@ -434,7 +434,16 @@ object TrainingOps {
     * is a doc_id-partitioned window over only the MARKED positions (a
     * small fraction of the corpus), never the full token stream. No stage
     * touches more than |corpus grams| rows and every key is bounded —
-    * the same plan at 100 TB just shuffles more partitions. */
+    * the same plan at 100 TB just shuffles more partitions.
+    *
+    * The position-gram CTE is deliberately NOT materialized, although both
+    * the frequency build and the mark join read it: a localCheckpoint of
+    * it (and of the equivalent CTE in [[hDupNgrams]]/[[hDecontaminate]])
+    * measured ~20-40 % SLOWER at sf0.1 — each position row carries an
+    * 8-word string, so storing the table costs more than the fully
+    * codegen'd tokenize+explode recompute. Unlike the 1-row-per-doc
+    * shingle table ([[LlmOps.shingleTable]]), token-position grams are
+    * cheaper to recompute than to keep. */
   def hDedupSpans(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(

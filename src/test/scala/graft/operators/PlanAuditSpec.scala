@@ -108,6 +108,30 @@ class PlanAuditSpec extends SparkSuite {
       s"fact-side probe must not be a Scala UDF:\n$plan")
   }
 
+  test("c_join_right: the shipdate filter reaches the fact scan below the outer join") {
+    // right-preservation must not block pushdown on the non-preserved side:
+    // the lineitem predicate belongs in the parquet scan, not above the join
+    val plan = RelationalQueries.cJoinRight(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate filter must push into the lineitem scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"right join must stay an equi-join:\n$plan")
+  }
+
+  test("h_dedup_spans: both gaps-and-islands windows share ONE doc_id exchange") {
+    // is_start (max-over-preceding) and span_no (running sum) both partition
+    // by doc_id order by i — a second Exchange would mean the window specs
+    // diverged and the marked stream shuffles twice
+    val plan = TrainingOps.hDedupSpans(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docExchanges == 1,
+      s"expected exactly 1 doc_id Exchange shared by both windows, got $docExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span marking must stay a gram-keyed equi-join:\n$plan")
+  }
+
   test("q3_shipping: top-10 runs as TakeOrderedAndProject, not global sort") {
     val plan = RelationalQueries.q3Shipping(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
