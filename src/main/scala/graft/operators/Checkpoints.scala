@@ -29,20 +29,23 @@ object Checkpoints {
   /** Register a checkpointed DataFrame for post-action release. */
   def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
 
-  /** Unpersist a localCheckpoint'ed DataFrame's BACKING RDD.
+  /** Unpersist every localCheckpoint BACKING an analyzed plan.
     *
     * `Dataset.unpersist` only consults the CacheManager, which never saw a
     * `localCheckpoint` — that path persists the internal RDD directly and
     * wraps it in a `LogicalRDD`. Releasing the blocks therefore means
-    * reaching through the analyzed plan to that RDD. Falls back to
-    * `Dataset.unpersist` for plain `cache()`d frames.
+    * walking the analyzed plan for LogicalRDD leaves (the frame may be a
+    * projection/filter OVER the checkpoint, not the checkpoint itself)
+    * and unpersisting their RDDs. Falls back to `Dataset.unpersist` for
+    * plain `cache()`d frames.
     */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist(blocking = false)
+  def release(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    if (rdds.isEmpty) df.unpersist(blocking = false)
+    else rdds.foreach(_.unpersist(blocking = false))
+  }
 
   /** Unpersist every tracked checkpoint (idempotent, non-blocking). */
   def releaseAll(): Unit = synchronized {

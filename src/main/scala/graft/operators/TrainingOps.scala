@@ -157,11 +157,15 @@ object TrainingOps {
     while (changed > 0 && rounds < 25) {
       val nbrMin = edges.join(labels, edges("b") === labels("n"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, labels("n") === nbrMin("a"), "left")
-        .select(labels("n"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // carry old AND new label through one checkpoint: the convergence
+      // count then reads the materialized blocks instead of re-joining
+      // next-vs-old (one join + one exchange saved per round)
+      val step = labels.join(nbrMin, labels("n") === nbrMin("a"), "left")
+        .select(labels("n"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.as("x").join(labels.as("y"), col("x.n") === col("y.n"))
-        .filter(col("x.label") < col("y.label")).count()
+      changed = step.filter(col("label") < col("old_label")).count()
+      val next = step.select(col("n"), col("label"))
       // the superseded round's blocks are dead once `changed` (the last
       // reader of the old labels) is computed — release immediately so
       // storage holds at most TWO label snapshots, not rounds-many
