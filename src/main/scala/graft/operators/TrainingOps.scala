@@ -511,6 +511,50 @@ object TrainingOps {
       |FROM grp GROUP BY doc_id, span_no
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Temperature-based mixture resampling (the multilingual/pretraining
+    * reweighting step: upsample low-resource domains, downsample dominant
+    * ones). Target share per language ∝ n^(1/T) with T=2 (√n), budget 80 %
+    * of the corpus; each document's keep decision is a deterministic
+    * content-hash draw against its language's acceptance rate, so
+    * membership is stable under re-runs, re-partitioning, and row order —
+    * the same property [[hSampleSplit]] guarantees.
+    *
+    * Cross-engine exactness: the acceptance test is pure BIGINT arithmetic
+    * — draw·S·n < ⌊√n⌋·K·16^6, with draw = first 6 md5 hex chars — so
+    * Spark and DuckDB agree bit-for-bit (no float threshold to diverge at
+    * the boundary). The products stay well inside BIGINT up to ~10^9 docs
+    * per domain; beyond that, widen to DECIMAL(38,0).
+    *
+    * Scale shape: per-lang counts are one map-side-combined aggregate; the
+    * rate table is domains-sized and broadcast; acceptance is scan-local.
+    * Nothing shuffles the corpus itself. */
+  def hDomainMix(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw FROM counts),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 DIV 10 AS BIGINT) AS k FROM w),
+        |acc AS (
+        |  SELECT d.lang,
+        |    CASE WHEN CAST(conv(substring(md5(d.text), 1, 6), 16, 10) AS BIGINT) * t.s * w.n
+        |              < w.rw * t.k * 16777216 THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN tot t)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM acc GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val hDomainMixSql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw FROM counts),
+      |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 // 10 AS BIGINT) AS k FROM w),
+      |acc AS (
+      |  SELECT d.lang,
+      |    CASE WHEN CAST(concat('0x', substr(md5(d.text), 1, 6)) AS BIGINT) * t.s * w.n
+      |              < w.rw * t.k * 16777216 THEN 1 ELSE 0 END AS kept
+      |  FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN tot t)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
+      |FROM acc GROUP BY lang ORDER BY lang""".stripMargin
+
   // ==================================================== int8 quantization
 
   /** Symmetric int8 embedding quantization (the storage/serving compression
@@ -563,6 +607,7 @@ object TrainingOps {
     "h_seq_packing" -> (hSeqPacking _),
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
+    "h_domain_mix" -> (hDomainMix _),
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
@@ -575,6 +620,7 @@ object TrainingOps {
     "h_seq_packing" -> hSeqPackingSql,
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
+    "h_domain_mix" -> hDomainMixSql,
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
