@@ -141,8 +141,11 @@ object TrainingOps {
     * collects. The DuckDB oracle recomputes components from brute-force
     * exact-Jaccard edges via a recursive transitive closure, so the check
     * also re-proves LSH candidate completeness at this similarity. */
-  def hDupClusters(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
+  /** Converged (n → component-min label) assignment over the LSH candidate
+    * graph — the propagation loop shared by [[hDupClusters]] (histogram
+    * view) and [[hDedupSurvivors]] (action view). The returned frame is
+    * backed by a tracked checkpoint; harnesses release it post-action. */
+  private def componentLabels(s: SparkSession): DataFrame = {
     val pairs = neardupPairs(s)
     val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
       .union(pairs.select(col("b_id").as("a"), col("a_id").as("b")))
@@ -174,14 +177,69 @@ object TrainingOps {
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    // the result below reads only `labels`; the edge table is dead
+    // downstream reads only `labels`; the edge table is dead
     Checkpoints.release(edges)
     // final labels back the returned DataFrame — release post-action
     Checkpoints.track(labels)
-    labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+  }
+
+  def hDupClusters(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    componentLabels(s)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
   }
+
+  /** Dedup ACTION on the resolved clusters: keep exactly ONE representative
+    * per connected component (the min-doc_id member — deterministic and
+    * order-independent), report per-language kept/removed totals. This is
+    * the decision [[hDupClusters]]'s histogram only profiles: A~B, B~C
+    * collapse to one survivor even though A and C never paired directly.
+    * Lang resolves through the original document (replay ids are
+    * originals + 1e6, same text family ⇒ same lang). */
+  def hDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    componentLabels(s).createOrReplaceTempView("cc")
+    s.sql(
+      """SELECT d.lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.n = c.label THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |  CAST(sum(CASE WHEN c.n = c.label THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM cc c JOIN documents d ON d.doc_id = c.n % 1000000
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+  }
+
+  val hDedupSurvivorsSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM tok WHERE len(tokens) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+      |    AND round(len(list_intersect(a.shingles, b.shingles)) /
+      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.6),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+      |nodes AS (SELECT doc_id AS n FROM sh),
+      |reach AS (
+      |  SELECT n, n AS m FROM nodes
+      |  UNION
+      |  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+      |labels AS (SELECT n, min(m) AS label FROM reach GROUP BY n)
+      |SELECT d.lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN l.n = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      |  CAST(sum(CASE WHEN l.n = l.label THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM labels l JOIN documents d ON d.doc_id = l.n % 1000000
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   val hDupClustersSql: String =
     """WITH RECURSIVE corpus AS (
@@ -608,6 +666,7 @@ object TrainingOps {
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
     "h_domain_mix" -> (hDomainMix _),
+    "h_dedup_survivors" -> (hDedupSurvivors _),
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
@@ -621,6 +680,7 @@ object TrainingOps {
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
     "h_domain_mix" -> hDomainMixSql,
+    "h_dedup_survivors" -> hDedupSurvivorsSql,
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
