@@ -29,10 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
-// NsqClusterSpec owns a local-cluster[2,1,*] SparkContext, which cannot
-// coexist with the shared local[4] session the other suites use — give it
-// its own forked JVM (the multi-JVM harness the cluster-mode NSQ behavior
-// needs). SPARK_HOME lets the in-JVM standalone Worker launch executors.
+// The *ClusterSpec suites own local-cluster[2,1,*] SparkContexts, which
+// cannot coexist with the shared local[4] session the other suites use —
+// give them their own forked JVM (the multi-JVM harness cluster-mode
+// behavior needs; suites in the group run sequentially, each creating and
+// stopping its own context). SPARK_HOME lets the in-JVM standalone Worker
+// launch executors.
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
@@ -43,7 +45,7 @@ Test / testGrouping := {
       // the executor-launch command builder scans dev build dirs unless the
       // scala version is pinned ("Cannot find any build directories")
       "SPARK_SCALA_VERSION" -> "2.13"))
-  val (cluster, rest) = tests.partition(_.name.endsWith("NsqClusterSpec"))
+  val (cluster, rest) = tests.partition(_.name.endsWith("ClusterSpec"))
   Seq(
     Tests.Group("cluster", cluster, Tests.SubProcess(base)),
     Tests.Group("rest", rest, Tests.SubProcess(base)),

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-process proof for the QUERY engine (complement of
+  * `NsqClusterSpec`, which proves the streaming source): the same
+  * declared queries must produce identical results when tasks execute in
+  * separate executor JVMs — real serialization of custom Catalyst
+  * expressions (fnv64a, minhash_signature, int8_quant_stats), real
+  * shuffle exchanges over the wire, broadcast of dimension tables to
+  * remote processes — as they do on local[4] threads. A custom
+  * expression that accidentally closed over driver state, or a codec
+  * that only works in-process, fails here and nowhere else in the suite.
+  *
+  * Runs in the same forked "cluster" JVM group as NsqClusterSpec
+  * (build.sbt testGrouping): cluster masters cannot share a process with
+  * the suite-wide local[4] session. Suites in the group run sequentially,
+  * each owning its SparkContext for its lifetime.
+  */
+class EngineClusterSpec extends AnyFunSuite {
+
+  private val probes = Seq(
+    "q1_pricing",       // decimal aggregation + sort
+    "c_join_inner",     // broadcast dims to remote executors
+    "h_dedup_exact",    // custom Fnv64aExpr serialized to executor codegen
+    "h_neardup_minhash",// MinhashSignatureExpr + LSH banding + checkpoint
+    "h_embed_quantize") // Int8QuantStatsExpr over array columns
+
+  test("declared queries return identical results under multi-process execution") {
+    assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
+    sys.props("spark.test.home") = "/opt/spark"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val classesDir = new File("target/scala-2.13/classes").getAbsolutePath
+
+    def run(master: String): Map[String, Seq[String]] = {
+      val spark = SparkSession.builder()
+        .master(master)
+        .appName(s"graft-engine-$master")
+        .config("spark.executor.memory", "768m")
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        spark.sparkContext.setLogLevel("WARN")
+        probes.map { name =>
+          val rows =
+            try graft.SparkEntry.queries(name)(spark, graft.SparkSpec.sf0001)
+              .collect().map(_.toString).toSeq
+            finally Checkpoints.releaseAll()
+          name -> rows
+        }.toMap
+      } finally spark.stop()
+    }
+
+    val clustered = run("local-cluster[2,1,1024]")
+    val local = run("local[4]")
+    probes.foreach { name =>
+      assert(clustered(name) == local(name),
+        s"$name diverged between local threads and separate executor JVMs")
+      assert(local(name).nonEmpty, s"$name returned no rows")
+    }
+  }
+}
