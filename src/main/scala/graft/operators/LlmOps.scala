@@ -763,6 +763,46 @@ object LlmOps {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  /** First BPE merge round of tokenizer training: count ADJACENT token
+    * pairs per language and rank the merge candidates — the step a real
+    * BPE trainer iterates (the engine's batch form runs one round; the
+    * driver loop re-runs it after each merge). Same codegen explode shape
+    * as the n-gram pipelines; the (lang, pair) aggregation map-side
+    * combines within-partition repeats before the exchange, so the
+    * shuffle carries distinct pairs, not corpus positions. */
+  def hBpePairs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT lang, split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT lang, concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS pair
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 1)) x AS i
+        |  WHERE size(t) >= 2),
+        |counts AS (SELECT lang, pair, count(*) AS n FROM pairs GROUP BY lang, pair),
+        |ranked AS (
+        |  SELECT lang, pair, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rnk
+        |  FROM counts)
+        |SELECT lang, pair, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin)
+  }
+
+  val hBpePairsSql: String =
+    """WITH tok AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |pairs AS (
+      |  SELECT lang, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS pair
+      |  FROM tok WHERE len(t) >= 2),
+      |counts AS (SELECT lang, pair, count(*) AS n FROM pairs GROUP BY lang, pair),
+      |ranked AS (
+      |  SELECT lang, pair, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rnk
+      |  FROM counts)
+      |SELECT lang, pair, n, rnk
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
   /** Redaction accounting — the mechanics of a PII-scrub pass (pattern →
     * replacement token), exercised on function words since the synthetic
     * corpus plants no true PII: per lang, how many docs were touched and
@@ -834,6 +874,7 @@ object LlmOps {
     "h_lang_heuristic" -> (hLangHeuristic _),
     "h_fingerprint" -> (hFingerprint _),
     "h_vocab_topk" -> (hVocabTopk _),
+    "h_bpe_pairs" -> (hBpePairs _),
     "h_scrub_redact" -> (hScrubRedact _),
     "h_len_histogram" -> (hLenHistogram _)
   )
@@ -852,6 +893,7 @@ object LlmOps {
     "h_lang_heuristic" -> hLangHeuristicSql,
     "h_fingerprint" -> hFingerprintSql,
     "h_vocab_topk" -> hVocabTopkSql,
+    "h_bpe_pairs" -> hBpePairsSql,
     "h_scrub_redact" -> hScrubRedactSql,
     "h_len_histogram" -> hLenHistogramSql
   )

@@ -37,6 +37,14 @@ class CheckpointHygieneSpec extends SparkSuite {
     assert(leaked == 0, s"$leaked persistent RDDs leaked")
   }
 
+  test("h_dedup_survivors leaves no persistent blocks after releaseAll") {
+    val leaked = afterRelease {
+      TrainingOps.hDedupSurvivors(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
   test("superseded label rounds release inside the loop, not only at the end") {
     Checkpoints.releaseAll()
     // while hDupClusters runs, the resident snapshot count must stay
