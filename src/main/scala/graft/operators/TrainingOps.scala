@@ -613,6 +613,61 @@ object TrainingOps {
       |SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
       |FROM acc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Product quantization (the OTHER classic embedding compressor next to
+    * [[hEmbedQuantize]]'s int8): the 64-dim space splits into 8 subspaces
+    * of 8 dims; each subspace gets a 16-codeword codebook (seeded from the
+    * first 16 vectors' subvectors — at 100 TB you train codebooks on a
+    * sample, exactly as [[LlmOps.hAnnIvf]] trains its coarse quantizer);
+    * every vector's subvector maps to its nearest codeword by L2², ties to
+    * the lowest code. A 64-float vector becomes 8 nibbles — 64× smaller —
+    * and the reported (subspace, code) histogram is the codebook-balance
+    * diagnostic a PQ index needs before trusting recall.
+    *
+    * Cross-engine exactness: L2² is the same IEEE op sequence both sides
+    * (dot(x,x) − 2·dot(x,c) + dot(c,c), index-ascending dot products), so
+    * argmin + integer counts hash-match, the [[LlmOps.hAnnIvf]] precedent.
+    * Scale shape: codebooks are 8×16 subvectors collected into 8 rows and
+    * broadcast; assignment is scan-local; only the 128-key histogram
+    * aggregate shuffles. */
+  def hPqCodes(s: SparkSession, dir: String): DataFrame = {
+    LlmOps.embeds(s, dir)
+    GraftFunctions.registerAll(s)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, j, slice(v, j * 8 + 1, 8) AS sv
+        |  FROM base LATERAL VIEW explode(sequence(0, 7)) t AS j),
+        |cb AS (SELECT j, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+        |cbc AS (SELECT j, collect_list(named_struct('code', code, 'cv', cv)) AS cs
+        |        FROM cb GROUP BY j),
+        |assign AS (
+        |  SELECT s.vec_id, s.j,
+        |    array_sort(transform(c.cs, e -> named_struct(
+        |      'd', dot_product(s.sv, s.sv) - 2 * dot_product(s.sv, e.cv) + dot_product(e.cv, e.cv),
+        |      'code', e.code)))[0].code AS code
+        |  FROM sub s JOIN cbc c ON s.j = c.j)
+        |SELECT j AS subspace, code, count(*) AS n
+        |FROM assign GROUP BY j, code
+        |ORDER BY subspace, code""".stripMargin)
+  }
+
+  val hPqCodesSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |subj AS (SELECT unnest(range(8)) AS j),
+      |sub AS (SELECT vec_id, j, v[(j*8+1):(j*8+8)] AS sv FROM base CROSS JOIN subj),
+      |cb AS (SELECT j, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT s.vec_id, s.j,
+      |    (SELECT c.code FROM cb c WHERE c.j = s.j
+      |     ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |       + list_dot_product(c.cv, c.cv), c.code
+      |     LIMIT 1) AS code
+      |  FROM sub s)
+      |SELECT CAST(j AS BIGINT) AS subspace, code, count(*) AS n
+      |FROM assign GROUP BY j, code
+      |ORDER BY subspace, code""".stripMargin
+
   // ==================================================== int8 quantization
 
   /** Symmetric int8 embedding quantization (the storage/serving compression
@@ -667,6 +722,7 @@ object TrainingOps {
     "h_domain_cap" -> (hDomainCap _),
     "h_domain_mix" -> (hDomainMix _),
     "h_dedup_survivors" -> (hDedupSurvivors _),
+    "h_pq_codes" -> (hPqCodes _),
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
@@ -681,6 +737,7 @@ object TrainingOps {
     "h_domain_cap" -> hDomainCapSql,
     "h_domain_mix" -> hDomainMixSql,
     "h_dedup_survivors" -> hDedupSurvivorsSql,
+    "h_pq_codes" -> hPqCodesSql,
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
