@@ -124,6 +124,18 @@ class NsqMicroBatchStream(options: CaseInsensitiveStringMap, checkpointLocation:
   // still-live consumers in local mode; distinct queries never collide
   private[nsq] val sessionId = s"nsq:$topic:$channel:$checkpointLocation"
 
+  // a speculative duplicate of a read task REQs the primary's take and
+  // re-consumes (duplicates, not loss) — legal under at-least-once but an
+  // operational surprise worth flagging loudly once per stream
+  try {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    if (sc.getConf.getBoolean("spark.speculation", defaultValue = false))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "spark.speculation is enabled: speculative NSQ read tasks requeue the " +
+          "primary's in-flight messages and re-consume them — expect duplicate " +
+          "deliveries on slow shards (at-least-once holds; loss does not occur)")
+  } catch { case _: Throwable => () } // no active session (e.g. unit tests)
+
   private def parseList(s: String, defPort: Int): Seq[(String, Int)] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.split(":") match {
       case Array(h, p) => (h, p.toInt)
