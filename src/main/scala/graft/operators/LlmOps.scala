@@ -561,6 +561,104 @@ object LlmOps {
       |WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  /** IVF-PQ — the composition a production ANN index actually ships
+    * (FAISS's IndexIVFPQ): assign every vector to its [[hAnnIvf]] coarse
+    * centroid, then product-quantize the RESIDUAL (v − centroid) with
+    * per-subspace codebooks. Residuals concentrate around the origin, so
+    * the same codebook budget spends its resolution where the vectors
+    * actually are — the reason real systems quantize residuals, not raw
+    * vectors. Output is the (subspace, code) histogram over residual
+    * codes, the codebook-balance diagnostic for the composed index.
+    *
+    * Plan shape: the refined-centroid chain is the broadcast one-row
+    * collect [[hAnnIvf]] pins (no vec_id exchange); residual + subspace
+    * explode + code argmin are scan-local; only the 128-key histogram
+    * shuffles. Cross-engine: assignment reuses the IVF cosine op order
+    * (hash-green since r5), residual subtraction is exact, PQ argmin
+    * reuses the `h_pq_codes` L2² op order. */
+  def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |asg AS (
+         |  SELECT vec_id, v,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id, 'cv', c.cv)))[0] AS a
+         |  FROM normed CROSS JOIN cents),
+         |resid AS (SELECT vec_id, zip_with(v, a.cv, (x, y) -> x - y) AS r FROM asg),
+         |rsub AS (
+         |  SELECT vec_id, j, slice(r, j * 8 + 1, 8) AS sv
+         |  FROM resid LATERAL VIEW explode(sequence(0, 7)) t AS j),
+         |rcb AS (SELECT j, vec_id AS code, sv AS cv FROM rsub WHERE vec_id < 16),
+         |rcbc AS (SELECT j, collect_list(named_struct('code', code, 'cv', cv)) AS cs
+         |         FROM rcb GROUP BY j),
+         |rassign AS (
+         |  SELECT s.vec_id, s.j,
+         |    array_sort(transform(c.cs, e -> named_struct(
+         |      'd', dot_product(s.sv, s.sv) - 2 * dot_product(s.sv, e.cv) + dot_product(e.cv, e.cv),
+         |      'code', e.code)))[0].code AS code
+         |  FROM rsub s JOIN rcbc c ON s.j = c.j)
+         |SELECT j AS subspace, code, count(*) AS n
+         |FROM rassign GROUP BY j, code
+         |ORDER BY subspace, code""".stripMargin)
+  }
+
+  /** DuckDB replays the full composition: the identical seeded-Lloyd
+    * centroid chain from [[hAnnIvfSql]], nearest-centroid assignment,
+    * residuals, and residual-PQ code argmin. */
+  val hIvfPqCodesSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT n.vec_id, n.v, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |resid AS (
+      |  SELECT a.vec_id, list_transform(range(64), i -> a.v[i + 1] - c.cv[i + 1]) AS r
+      |  FROM assigned a JOIN cent c ON a.c_id = c.c_id),
+      |subj AS (SELECT unnest(range(8)) AS j),
+      |rsub AS (SELECT vec_id, j, r[(j*8+1):(j*8+8)] AS sv FROM resid CROSS JOIN subj),
+      |rcb AS (SELECT j, vec_id AS code, sv AS cv FROM rsub WHERE vec_id < 16),
+      |rassign AS (
+      |  SELECT s.vec_id, s.j,
+      |    (SELECT c.code FROM rcb c WHERE c.j = s.j
+      |     ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |       + list_dot_product(c.cv, c.cv), c.code
+      |     LIMIT 1) AS code
+      |  FROM rsub s)
+      |SELECT CAST(j AS BIGINT) AS subspace, code, count(*) AS n
+      |FROM rassign GROUP BY j, code
+      |ORDER BY subspace, code""".stripMargin
+
   // ================================================================ text analysis
 
   /** Quality/stats profile per language: token counts (whitespace), byte
@@ -875,6 +973,7 @@ object LlmOps {
     "h_fingerprint" -> (hFingerprint _),
     "h_vocab_topk" -> (hVocabTopk _),
     "h_bpe_pairs" -> (hBpePairs _),
+    "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_scrub_redact" -> (hScrubRedact _),
     "h_len_histogram" -> (hLenHistogram _)
   )
@@ -894,6 +993,7 @@ object LlmOps {
     "h_fingerprint" -> hFingerprintSql,
     "h_vocab_topk" -> hVocabTopkSql,
     "h_bpe_pairs" -> hBpePairsSql,
+    "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_scrub_redact" -> hScrubRedactSql,
     "h_len_histogram" -> hLenHistogramSql
   )
