@@ -57,6 +57,18 @@ class PlanAuditSpec extends SparkSuite {
       s"IVF assignment regressed to a vec_id-keyed shuffle:\n$plan")
   }
 
+  test("h_ivfpq_codes: residual coding is scan-local end-to-end (no vec_id exchange)") {
+    // the composed index must keep both stages map-side: coarse assignment
+    // broadcasts the centroid row, PQ coding broadcasts the 8 codebook
+    // rows; only the tiny collects and the 128-key histogram may shuffle
+    val plan = LlmOps.hIvfPqCodes(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"IVF-PQ regressed to a vec_id-keyed shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ must broadcast the codebooks, not cartesian:\n$plan")
+  }
+
   test("g_session_window: exactly one hash Exchange (user_id), reused downstream") {
     // the islands form must shuffle once on user_id and reuse that layout
     // for the lag window, the running-sum window, and the final aggregate —
