@@ -26,6 +26,9 @@ object Explain {
       println(s"\n===== $n =====")
       try fn(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+      // queries that localCheckpoint intermediates materialize them EAGERLY
+      // at build time — release per query or an ALL sweep hoards storage
+      finally graft.operators.Checkpoints.releaseAll()
     }
     spark.stop()
   }
