@@ -164,13 +164,126 @@ object Multimodal {
       |FROM fr
       |ORDER BY media_id""".stripMargin
 
+  /** STUB resize: aspect-preserving fit into 256×256 in pure integer
+    * arithmetic (`w*256 div max(w,h)`) — the planning half of a real
+    * resize (target geometry), with the pixel work stubbed out like the
+    * codecs. */
+  def resizeStub(width: Int, height: Int): (Int, Int) = {
+    val m = math.max(width, height)
+    if (m <= 256) (width, height) else (width * 256 / m, height * 256 / m)
+  }
+
+  /** Resize pass: decode headers → target geometry per media → per-format
+    * profile (how much a 256×256 normalization shrinks the corpus). Same
+    * mapPartitions batching; all arithmetic integer-exact cross-engine. */
+  def hMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+    decodeAll(s, payloads)
+      .mapPartitions(_.map { r =>
+        val (tw, th) = resizeStub(r.width, r.height)
+        (r.format, r.width.toLong * r.height, tw.toLong * th, if (tw < r.width) 1L else 0L)
+      })
+      .toDF("format", "src_px", "dst_px", "downscaled")
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("src_px")).as("total_src_px"),
+        sum(col("dst_px")).as("total_dst_px"),
+        sum(col("downscaled")).as("n_downscaled"))
+      .orderBy(col("format"))
+  }
+
+  /** Oracle replays header decode (bytes 0/1/3 via hex arithmetic, see
+    * [[hMultimodalDecodeSql]]) and the integer resize. */
+  val hMultimodalResizeSql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |hdr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_bytes > 0 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 2, 1))-1 ELSE 0 END AS b0,
+      |    CASE WHEN n_bytes > 1 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 4, 1))-1 ELSE 0 END AS b1,
+      |    CASE WHEN n_bytes > 3 THEN (strpos('0123456789ABCDEF', substr(h, 7, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 8, 1))-1 ELSE 0 END AS b3
+      |  FROM hx),
+      |dims AS (
+      |  SELECT CASE b3 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+      |    (b0 * 7) % 512 + 1 AS w, (b1 * 13) % 512 + 1 AS hgt
+      |  FROM hdr),
+      |rs AS (
+      |  SELECT format, w, hgt, greatest(w, hgt) AS m,
+      |    CASE WHEN greatest(w, hgt) <= 256 THEN w ELSE w * 256 // greatest(w, hgt) END AS tw,
+      |    CASE WHEN greatest(w, hgt) <= 256 THEN hgt ELSE hgt * 256 // greatest(w, hgt) END AS th
+      |  FROM dims)
+      |SELECT format, count(*) AS n,
+      |  CAST(sum(CAST(w AS BIGINT) * hgt) AS BIGINT) AS total_src_px,
+      |  CAST(sum(CAST(tw AS BIGINT) * th) AS BIGINT) AS total_dst_px,
+      |  CAST(sum(CASE WHEN tw < w THEN 1 ELSE 0 END) AS BIGINT) AS n_downscaled
+      |FROM rs GROUP BY format ORDER BY format""".stripMargin
+
+  /** Feature-extraction pass: the decoded 16-dim feature vector (the stub
+    * stand-in for a vision-encoder embedding) profiled per format — L1
+    * mass recovered as exact integers (`round(f*255)` inverts the
+    * normalization per component before any summation, so no float
+    * accumulation order can diverge) plus a brightness flag. These vectors
+    * feed the [[LlmOps]] ANN path unchanged; this query is the
+    * extraction-stage contract. */
+  def hMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+    decodeAll(s, payloads)
+      .mapPartitions(_.map { r =>
+        val l1 = r.features.iterator.map(f => math.round(f * 255f).toLong).sum
+        (r.format, l1, if (l1 > 1800L) 1L else 0L)
+      })
+      .toDF("format", "l1_x255", "bright")
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l1_x255")).as("sum_l1_x255"),
+        sum(col("bright")).as("n_bright"))
+      .orderBy(col("format"))
+  }
+
+  /** Oracle decodes all 16 feature bytes generically via a hex-arithmetic
+    * list comprehension — byte k of the UTF-8 payload, exactly the Spark
+    * side's `content(k) & 0xff`. */
+  val hMultimodalFeaturesSql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |fv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_bytes > 3 THEN (strpos('0123456789ABCDEF', substr(h, 7, 1))-1)*16
+      |      + strpos('0123456789ABCDEF', substr(h, 8, 1))-1 ELSE 0 END AS b3,
+      |    list_sum(list_transform(range(16), k ->
+      |      CASE WHEN n_bytes > k THEN
+      |        (strpos('0123456789ABCDEF', substr(h, CAST(2*k+1 AS BIGINT), 1))-1)*16
+      |        + strpos('0123456789ABCDEF', substr(h, CAST(2*k+2 AS BIGINT), 1))-1
+      |      ELSE 0 END)) AS l1
+      |  FROM hx)
+      |SELECT CASE b3 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(l1) AS BIGINT) AS sum_l1_x255,
+      |  CAST(sum(CASE WHEN l1 > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+      |FROM fv GROUP BY 1 ORDER BY format""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_multimodal_decode" -> (hMultimodalDecode _),
-    "h_multimodal_frames" -> (hMultimodalFrames _)
+    "h_multimodal_frames" -> (hMultimodalFrames _),
+    "h_multimodal_resize" -> (hMultimodalResize _),
+    "h_multimodal_features" -> (hMultimodalFeatures _)
   )
 
   def oracle: Map[String, String] = Map(
     "h_multimodal_decode" -> hMultimodalDecodeSql,
-    "h_multimodal_frames" -> hMultimodalFramesSql
+    "h_multimodal_frames" -> hMultimodalFramesSql,
+    "h_multimodal_resize" -> hMultimodalResizeSql,
+    "h_multimodal_features" -> hMultimodalFeaturesSql
   )
 }
