@@ -38,14 +38,14 @@ object StreamingNearDup {
     * integer, so downstream grouping/dedup never touches float equality). */
   final case class NearDupHit(a_id: Long, b_id: Long, est_jaccard_x10k: Long, band: Int)
 
-  class Processor(threshold: Double, maxPerBucket: Int)
+  class Processor(threshold: Double, maxPerBucket: Int, ttl: Duration)
       extends StatefulProcessor[Long, BucketedDoc, NearDupHit] {
 
     @transient private var residents: ListState[StoredSig] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       residents = getHandle.getListState[StoredSig](
-        "residents", Encoders.product[StoredSig], TTLConfig(Duration.ofMinutes(10)))
+        "residents", Encoders.product[StoredSig], TTLConfig(ttl))
     }
 
     override def handleInputRows(
@@ -84,7 +84,8 @@ object StreamingNearDup {
     * Emits one [[NearDupHit]] per (bucket-collision, resident) above
     * `threshold`; dedup on (a_id, b_id) downstream. */
   def apply(stream: DataFrame, threshold: Double = 0.5,
-            maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+            maxPerBucket: Int = 64,
+            ttl: Duration = Duration.ofMinutes(10)): Dataset[NearDupHit] = {
     val spark = stream.sparkSession
     import spark.implicits._
     GraftFunctions.registerAll(spark)
@@ -105,7 +106,7 @@ object StreamingNearDup {
       .select(col("bucket"), col("doc_id"), col("signature"))
       .as[BucketedDoc]
       .groupByKey(_.bucket)
-      .transformWithState(new Processor(threshold, maxPerBucket),
+      .transformWithState(new Processor(threshold, maxPerBucket, ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }
