@@ -23,6 +23,36 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // manual salting (c_join_salted) is the static answer to skew; this
+    // pins the DYNAMIC one — AQE's OptimizeSkewedJoin must actually engage
+    // on a 99 %-one-key join when the runtime stats cross the thresholds
+    // (thresholds lowered to fire at test scale; restored after)
+    import org.apache.spark.sql.functions._
+    val tuned = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val skewed = spark.range(0, 200000)
+        .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 200000, 100).select(col("id").as("k"), lit(1).as("w"))
+      val df = skewed.join(dim, "k").agg(sum(col("v")).as("s"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not engage on a 99%-one-key join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join result") {
     import org.apache.spark.sql.functions._
     val plain = graft.Tables.load(spark, SparkSpec.sf0001, "lineitem")
