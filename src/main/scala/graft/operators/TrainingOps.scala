@@ -267,6 +267,146 @@ object TrainingOps {
       |sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY label)
       |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The CAPSTONE composition — the curation funnel a pretraining run
+    * actually executes, end to end, as ONE query: start from the train
+    * split (benchmark docs held out), then stage by stage
+    *
+    *   1. near-dup dedup — drop every cluster non-representative
+    *      ([[hDedupSurvivors]]'s decision);
+    *   2. decontamination — drop docs sharing any word 8-gram with the
+    *      held-out benchmark ([[hDecontaminate]]'s signal, as an action);
+    *   3. quality — drop docs under 8 tokens (the shortest useful
+    *      context, [[LlmOps.hTokenQuality]]'s simplest gate);
+    *   4. mixture — [[hDomainMix]]'s deterministic √n temperature
+    *      acceptance, with rates computed on the POST-quality counts (the
+    *      stage order every real pipeline uses: never budget on docs a
+    *      later filter would have removed).
+    *
+    * Reported as the per-language waterfall (n at each stage) — monotone
+    * non-increasing by construction, and every stage's arithmetic is the
+    * already-verified operator's, so the funnel hash-matching DuckDB
+    * re-proves the stages COMPOSE, not just that they run alone. */
+  def hCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    // losers = docs another cluster member out-ranks (n <> label); the
+    // propagation runs over the replay-doubled corpus, but only original
+    // ids (< 1e6) appear in the train funnel
+    componentLabels(s).filter(col("n") =!= col("label"))
+      .select(col("n").as("loser_id"))
+      .createOrReplaceTempView("dup_losers")
+    s.sql(
+      """WITH train AS (
+        |  SELECT doc_id, lang, text, split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s1 AS (
+        |  SELECT tr.* FROM train tr
+        |  LEFT ANTI JOIN dup_losers l ON tr.doc_id = l.loser_id),
+        |bench_grams AS (
+        |  SELECT DISTINCT concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM (SELECT split(text, ' ') AS t FROM documents WHERE doc_id % 17 = 0)
+        |  LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |s1_grams AS (
+        |  SELECT doc_id, concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM s1 LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram),
+        |s2 AS (SELECT s1.* FROM s1 LEFT ANTI JOIN contaminated c ON s1.doc_id = c.doc_id),
+        |s3 AS (SELECT * FROM s2 WHERE size(t) >= 8),
+        |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw FROM counts),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 DIV 10 AS BIGINT) AS k FROM w),
+        |s4 AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM s3 d JOIN w ON d.lang = w.lang CROSS JOIN tot t
+        |  WHERE CAST(conv(substring(md5(d.text), 1, 6), 16, 10) AS BIGINT) * t.s * w.n
+        |        < w.rw * t.k * 16777216)
+        |SELECT tr.lang,
+        |  count(*) AS n_train,
+        |  CAST(count(s1.doc_id) AS BIGINT) AS n_after_dedup,
+        |  CAST(count(s2.doc_id) AS BIGINT) AS n_after_decontam,
+        |  CAST(count(s3.doc_id) AS BIGINT) AS n_after_quality,
+        |  CAST(count(s4.doc_id) AS BIGINT) AS n_after_mix
+        |FROM train tr
+        |LEFT JOIN s1 ON tr.doc_id = s1.doc_id
+        |LEFT JOIN s2 ON tr.doc_id = s2.doc_id
+        |LEFT JOIN s3 ON tr.doc_id = s3.doc_id
+        |LEFT JOIN s4 ON tr.doc_id = s4.doc_id
+        |GROUP BY tr.lang ORDER BY tr.lang""".stripMargin)
+  }
+
+  /** DuckDB replays the whole funnel: recursive-CTE components stand in
+    * for the propagation loop, then the same four stages. */
+  val hCurationFunnelSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '') FROM documents),
+      |ctok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM ctok WHERE len(tokens) >= 3),
+      |prs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+      |    AND round(len(list_intersect(a.shingles, b.shingles)) /
+      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.6),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM prs UNION ALL SELECT b_id, a_id FROM prs),
+      |nodes AS (SELECT doc_id AS n FROM sh),
+      |reach AS (
+      |  SELECT n, n AS m FROM nodes
+      |  UNION
+      |  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+      |labels AS (SELECT n, min(m) AS label FROM reach GROUP BY n),
+      |losers AS (SELECT n AS loser_id FROM labels WHERE n <> label),
+      |train AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |s1 AS (
+      |  SELECT tr.* FROM train tr ANTI JOIN losers l ON tr.doc_id = l.loser_id),
+      |bench_grams AS (
+      |  SELECT DISTINCT unnest(list_transform(range(len(t) - 7),
+      |    i -> t[i+1] || '|' || t[i+2] || '|' || t[i+3] || '|' || t[i+4] || '|' ||
+      |         t[i+5] || '|' || t[i+6] || '|' || t[i+7] || '|' || t[i+8])) AS gram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 17 = 0)
+      |  WHERE len(t) >= 8),
+      |s1_grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+      |    i -> t[i+1] || '|' || t[i+2] || '|' || t[i+3] || '|' || t[i+4] || '|' ||
+      |         t[i+5] || '|' || t[i+6] || '|' || t[i+7] || '|' || t[i+8])) AS gram
+      |  FROM s1 WHERE len(t) >= 8),
+      |contaminated AS (
+      |  SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram),
+      |s2 AS (SELECT s1.* FROM s1 ANTI JOIN contaminated c ON s1.doc_id = c.doc_id),
+      |s3 AS (SELECT * FROM s2 WHERE len(t) >= 8),
+      |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw FROM counts),
+      |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 // 10 AS BIGINT) AS k FROM w),
+      |s4 AS (
+      |  SELECT d.lang, d.doc_id
+      |  FROM s3 d JOIN w ON d.lang = w.lang CROSS JOIN tot t
+      |  WHERE CAST(concat('0x', substr(md5(d.text), 1, 6)) AS BIGINT) * t.s * w.n
+      |        < w.rw * t.k * 16777216)
+      |SELECT tr.lang,
+      |  count(*) AS n_train,
+      |  CAST(count(s1.doc_id) AS BIGINT) AS n_after_dedup,
+      |  CAST(count(s2.doc_id) AS BIGINT) AS n_after_decontam,
+      |  CAST(count(s3.doc_id) AS BIGINT) AS n_after_quality,
+      |  CAST(count(s4.doc_id) AS BIGINT) AS n_after_mix
+      |FROM train tr
+      |LEFT JOIN s1 ON tr.doc_id = s1.doc_id
+      |LEFT JOIN s2 ON tr.doc_id = s2.doc_id
+      |LEFT JOIN s3 ON tr.doc_id = s3.doc_id
+      |LEFT JOIN s4 ON tr.doc_id = s4.doc_id
+      |GROUP BY tr.lang ORDER BY tr.lang""".stripMargin
+
   // ==================================================== train/val/test split
 
   /** Deterministic content-hash split: md5(text)'s first byte buckets each
@@ -723,6 +863,7 @@ object TrainingOps {
     "h_domain_mix" -> (hDomainMix _),
     "h_dedup_survivors" -> (hDedupSurvivors _),
     "h_pq_codes" -> (hPqCodes _),
+    "h_curation_funnel" -> (hCurationFunnel _),
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
@@ -738,6 +879,7 @@ object TrainingOps {
     "h_domain_mix" -> hDomainMixSql,
     "h_dedup_survivors" -> hDedupSurvivorsSql,
     "h_pq_codes" -> hPqCodesSql,
+    "h_curation_funnel" -> hCurationFunnelSql,
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
