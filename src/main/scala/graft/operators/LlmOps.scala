@@ -575,18 +575,27 @@ object LlmOps {
     * explode + code argmin are scan-local; only the 128-key histogram
     * shuffles. Cross-engine: assignment reuses the IVF cosine op order
     * (hash-green since r5), residual subtraction is exact, PQ argmin
-    * reuses the `h_pq_codes` L2² op order. */
+    * reuses the `h_pq_codes` L2² op order.
+    *
+    * The residual table `rsub` is referenced twice (codebook derivation +
+    * probe side), so a pure-CTE form would plan — and codegen-compile —
+    * the whole seeded-Lloyd centroid chain twice. The chain's RESULT is 16
+    * rows, so it is localCheckpointed once (O(1) storage at any corpus
+    * size; the corpus-sized stages are never materialized) and both
+    * branches read the checkpoint. Round-9 bench: halves the physical
+    * plan and cuts the intermittent cold-session codegen spike. */
   def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    Checkpoints.track(ivfCentroids(s, dir, refined = true).localCheckpoint())
+      .createOrReplaceTempView("ivfpq_centn")
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |normed AS (
          |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
-         |  FROM centn),
+         |  FROM ivfpq_centn),
          |asg AS (
          |  SELECT vec_id, v,
          |    array_sort(transform(cs, c -> named_struct(
