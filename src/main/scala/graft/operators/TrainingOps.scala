@@ -294,6 +294,16 @@ object TrainingOps {
     componentLabels(s).filter(col("n") =!= col("label"))
       .select(col("n").as("loser_id"))
       .createOrReplaceTempView("dup_losers")
+    // The four stages are nested subsets (s1 ⊇ s2 ⊇ s3 ⊇ s4), and a
+    // pure-CTE formulation re-expands each stage's whole upstream chain at
+    // every reference — the round-9 scale stress counted 21 corpus scans in
+    // the physical plan (at 100 TB: ~2 PB of IO for one funnel run). The
+    // scale-correct shape checkpoints the SMALL intermediates — the
+    // contaminated-id set and the per-lang mixture weights, both O(ids),
+    // never the corpus — and derives every stage membership as a flag in
+    // ONE pass over train. Output values are unchanged (the left-join
+    // counts of unique ids equal the membership-flag sums); the DuckDB
+    // oracle replays the original nested form.
     s.sql(
       """WITH train AS (
         |  SELECT doc_id, lang, text, split(text, ' ') AS t
@@ -313,31 +323,59 @@ object TrainingOps {
         |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
         |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
         |  FROM s1 LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
-        |  WHERE size(t) >= 8),
-        |contaminated AS (
-        |  SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram),
-        |s2 AS (SELECT s1.* FROM s1 LEFT ANTI JOIN contaminated c ON s1.doc_id = c.doc_id),
-        |s3 AS (SELECT * FROM s2 WHERE size(t) >= 8),
-        |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang),
-        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw FROM counts),
-        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 DIV 10 AS BIGINT) AS k FROM w),
-        |s4 AS (
-        |  SELECT d.lang, d.doc_id
-        |  FROM s3 d JOIN w ON d.lang = w.lang CROSS JOIN tot t
-        |  WHERE CAST(conv(substring(md5(d.text), 1, 6), 16, 10) AS BIGINT) * t.s * w.n
-        |        < w.rw * t.k * 16777216)
-        |SELECT tr.lang,
+        |  WHERE size(t) >= 8)
+        |SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram""".stripMargin)
+      .localCheckpoint() match { case ck =>
+        Checkpoints.track(ck).createOrReplaceTempView("funnel_contam")
+      }
+    // per-lang mixture weights over s3 survivors (small: one row per lang)
+    s.sql(
+      """WITH train AS (
+        |  SELECT doc_id, lang, text, split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s3 AS (
+        |  SELECT tr.lang FROM train tr
+        |  LEFT ANTI JOIN dup_losers l ON tr.doc_id = l.loser_id
+        |  LEFT ANTI JOIN funnel_contam c ON tr.doc_id = c.doc_id
+        |  WHERE size(tr.t) >= 8),
+        |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang)
+        |SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw
+        |FROM counts""".stripMargin)
+      .localCheckpoint() match { case ck =>
+        Checkpoints.track(ck).createOrReplaceTempView("funnel_w")
+      }
+    s.sql(
+      """WITH train AS (
+        |  SELECT doc_id, lang, text, split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s, CAST(sum(n) * 8 DIV 10 AS BIGINT) AS k
+        |        FROM funnel_w),
+        |flags AS (
+        |  SELECT tr.lang, size(tr.t) >= 8 AS quality,
+        |    l.loser_id IS NULL AS in1,
+        |    c.doc_id IS NOT NULL AS contam,
+        |    w.n AS wn, w.rw AS wrw, t.s AS ts, t.k AS tk,
+        |    CAST(conv(substring(md5(tr.text), 1, 6), 16, 10) AS BIGINT) AS draw
+        |  FROM train tr
+        |  LEFT JOIN dup_losers l ON tr.doc_id = l.loser_id
+        |  LEFT JOIN funnel_contam c ON tr.doc_id = c.doc_id
+        |  LEFT JOIN funnel_w w ON tr.lang = w.lang
+        |  CROSS JOIN tot t),
+        |staged AS (
+        |  SELECT lang, in1,
+        |    in1 AND NOT contam AS in2,
+        |    in1 AND NOT contam AND quality AS in3,
+        |    in1 AND NOT contam AND quality
+        |      AND draw * ts * wn < wrw * tk * 16777216 AS in4
+        |  FROM flags)
+        |SELECT lang,
         |  count(*) AS n_train,
-        |  CAST(count(s1.doc_id) AS BIGINT) AS n_after_dedup,
-        |  CAST(count(s2.doc_id) AS BIGINT) AS n_after_decontam,
-        |  CAST(count(s3.doc_id) AS BIGINT) AS n_after_quality,
-        |  CAST(count(s4.doc_id) AS BIGINT) AS n_after_mix
-        |FROM train tr
-        |LEFT JOIN s1 ON tr.doc_id = s1.doc_id
-        |LEFT JOIN s2 ON tr.doc_id = s2.doc_id
-        |LEFT JOIN s3 ON tr.doc_id = s3.doc_id
-        |LEFT JOIN s4 ON tr.doc_id = s4.doc_id
-        |GROUP BY tr.lang ORDER BY tr.lang""".stripMargin)
+        |  CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+        |  CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam,
+        |  CAST(sum(CASE WHEN in3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+        |  CAST(sum(CASE WHEN in4 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_mix
+        |FROM staged
+        |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** DuckDB replays the whole funnel: recursive-CTE components stand in

@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-stress for the heavy curation queries: replicate the sf0.1
+  * `documents`/`embeddings` tables K-fold AT RUNTIME and measure how the
+  * pipelines scale. sf0.1 is 5,000 docs, so K=10 is the sf1-equivalent
+  * corpus and K=40 is sf4 — the driver ships no parquet above sf0.1, and
+  * /root/testdata is read-only, so the scaled corpus is derived, written
+  * once under /tmp, and the query functions are pointed at that dir.
+  *
+  * Replication must not distort the WORKLOAD, only the volume:
+  *  - replica r>0 text gets a per-replica token suffix (`w -> w_r<r>`),
+  *    so replicas share no shingles/8-grams with each other or with the
+  *    original — corpus-wide duplicate DENSITY stays that of the source
+  *    data instead of every doc becoming a K-clique (which would send
+  *    LSH candidate-pair counts quadratic and measure a different,
+  *    pathological workload);
+  *  - replica ids stride by 10,000: doc_ids stay under the 1,000,000
+  *    mutation offset the dup-cluster pipelines use internally, and
+  *    replica embeddings keep vec_id ≥ 10,000 so the IVF seed/training
+  *    predicates (vec_id < 16 / < 256) still select exactly the
+  *    replica-0 vectors — index-build semantics are unchanged;
+  *  - replica r>0 embeddings are rotated by r positions — distinct
+  *    vectors with the source norm distribution;
+  *  - n_chars is recomputed so `length(text) = n_chars` invariants hold.
+  *
+  * `sbt "runMain graft.tools.ScaleStressBench [k1,k2,...]"` (default
+  * `1,10`); `SPARK_GRAFT_QUERIES` filters the query set. Each K prints
+  * one JSON line (per-query sec, noop-write materialization, warm-up
+  * pass first — same discipline as graft.Bench), then a final line with
+  * the max-K/K=1 ratios per query next to the ideal-linear ratio.
+  */
+object ScaleStressBench {
+
+  /** Heavy curation set: every multi-stage pipeline over documents or
+    * embeddings, plus h_text_stats as a scan-local control. */
+  private val defaultQueries = Seq(
+    "h_text_stats", "h_dedup_exact", "h_neardup_minhash", "h_dup_clusters",
+    "h_dedup_survivors", "h_dedup_spans", "h_dup_ngrams", "h_decontaminate",
+    "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes")
+
+  private val stride = 10000L
+
+  def buildScaled(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    val fs = new java.io.File(outDir)
+    if (new java.io.File(fs, "_built").exists()) return
+    fs.mkdirs()
+    spark.read.parquet(s"$srcDir/documents.parquet").createOrReplaceTempView("src_docs")
+    spark.read.parquet(s"$srcDir/embeddings.parquet").createOrReplaceTempView("src_embeds")
+    spark.sql(
+      s"""SELECT doc_id + r * ${stride}L AS doc_id, text, lang, source,
+         |  length(text) AS n_chars
+         |FROM (
+         |  SELECT doc_id, r,
+         |    CASE WHEN r = 0 THEN text
+         |         ELSE array_join(transform(split(text, ' '), w -> concat(w, '_r', r)), ' ')
+         |    END AS text, lang, source
+         |  FROM src_docs LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r)""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.sql(
+      s"""SELECT vec_id + r * ${stride}L AS vec_id,
+         |  CASE WHEN r = 0 THEN embedding
+         |       ELSE concat(slice(embedding, pmod(r, 63) + 2, size(embedding) - pmod(r, 63) - 1),
+         |                   slice(embedding, 1, pmod(r, 63) + 1))
+         |  END AS embedding, label
+         |FROM src_embeds LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    new java.io.File(fs, "_built").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val ks = args.headOption.getOrElse("1,10").split(',').map(_.trim.toInt).toSeq
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
+    val names = defaultQueries.filter(n => only.forall(_.contains(n)))
+    val qs = names.map(n => n -> graft.SparkEntry.queries(n))
+
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                    dir: String): Unit =
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      finally graft.operators.Checkpoints.releaseAll()
+
+    val perK = ks.map { k =>
+      val dir = s"/tmp/graft-scale/k$k"
+      buildScaled(spark, srcDir, k, dir)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      qs.foreach { case (n, fn) =>
+        try materialize(fn, dir)
+        catch { case e: Throwable => System.err.println(s"[stress] warm-up $n@k$k threw: ${e.getMessage}") }
+      }
+      val times = qs.flatMap { case (n, fn) =>
+        val t0 = System.nanoTime()
+        try { materialize(fn, dir); Some(n -> (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => System.err.println(s"[stress] $n@k$k FAILED: ${e.getMessage}"); None }
+      }.toMap
+      val qjson = times.toSeq.sortBy(_._1)
+        .map { case (n, t) => s""""$n":${f"$t%.3f"}""" }.mkString(",")
+      println(s"""{"bench":"scale_stress","k":$k,"docs":$nDocs,"total":${f"${times.values.sum}%.3f"},"queries":{$qjson}}""")
+      k -> times
+    }.toMap
+
+    if (ks.size > 1) {
+      val k1 = perK(ks.min); val kN = perK(ks.max)
+      val ratios = names.flatMap { n =>
+        for (a <- k1.get(n); b <- kN.get(n)) yield s""""$n":${f"${b / a}%.2f"}"""
+      }.mkString(",")
+      println(s"""{"bench":"scale_stress_ratio","k_hi":${ks.max},"k_lo":${ks.min},"ideal":${ks.max.toDouble / ks.min},"ratios":{$ratios}}""")
+    }
+    spark.stop()
+  }
+}
