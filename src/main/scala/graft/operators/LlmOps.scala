@@ -668,6 +668,205 @@ object LlmOps {
       |FROM rassign GROUP BY j, code
       |ORDER BY subspace, code""".stripMargin
 
+  /** IVF-PQ SEARCH — the ADC (asymmetric distance computation) query path
+    * through the compressed index [[hIvfPqCodes]] builds, i.e. what FAISS
+    * IndexIVFPQ actually executes at query time: queries stay exact,
+    * database vectors exist only as 8-nibble residual codes, and each
+    * query precomputes a per-subspace lookup table of distances to the 16
+    * codewords so a candidate's distance is 8 table lookups + adds — never
+    * a 64-dim float op against the corpus.
+    *
+    * Plan shape: the corpus pass (coarse-assign → residual → per-subspace
+    * code argmin) is scan-local against two broadcast one-row collects
+    * (16 centroids, 8×16 codebook — both derived from checkpointed
+    * sample-sized tables, O(1) storage at any corpus size). The 20
+    * (query × probe) LUT rows broadcast to the candidate join on the
+    * coarse list id, so the only corpus exchange is the final per-query
+    * top-k window — the same shape [[hAnnIvf]] pins.
+    *
+    * Cross-engine exactness: every per-subspace distance is the
+    * L2²-op-order both engines share (hash-green precedent:
+    * [[TrainingOps.hPqCodes]]), integer-scaled per TERM
+    * (`CAST(round(1e6·d) AS BIGINT)`) so the 8-term ADC sum is
+    * order-independent — a double sum would be hostage to reduction
+    * order. */
+  def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    Checkpoints.track(ivfCentroids(s, dir, refined = true).localCheckpoint())
+      .createOrReplaceTempView("ivfpq_centn")
+    // residual-PQ codebook: 8 rows of 16 code-ordered codewords, derived
+    // from the 16 seed vectors' residuals — sample-sized, checkpointed.
+    // Everything downstream of the coarse chain works in UNIT space
+    // (vn = v/‖v‖, cn = c/‖c‖): the brute/IVF contract is cosine, and L2
+    // over unit vectors is 2−2·cos — monotone in cosine — while L2 over
+    // raw vectors ranks by norm as much as by angle (measured: recall@3
+    // 0.33 raw vs 0.37 normalized at sf0.001)
+    // Codebook choice is MEASURED, not assumed (AnnRecallSpec, sf0.001
+    // recall@3 vs exact cosine top-5): seeded sample codewords 0.37,
+    // Lloyd-refined codewords 0.13. On this corpus the residuals are
+    // isotropic (synthetic embeddings, no cluster structure), so a Lloyd
+    // step collapses every codeword toward the subspace mean (~0) and ADC
+    // degenerates to near-constant distances; full-norm sampled codewords
+    // keep discrimination. On real embedding corpora — where residuals DO
+    // cluster — the refinement is the standard k-means training step and
+    // would win; the seeded form is what the DATA here selects.
+    Checkpoints.track(s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 16),
+        |normed AS (
+        |  SELECT vec_id, transform(v, x -> x / nrm) AS vn
+        |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)),
+        |cents AS (
+        |  SELECT collect_list(named_struct(
+        |    'c_id', c_id, 'cn', transform(cv, x -> x / cnrm))) AS cs
+        |  FROM ivfpq_centn),
+        |asg AS (
+        |  SELECT vec_id, vn,
+        |    array_sort(transform(cs, c -> named_struct(
+        |      'neg', -dot_product(vn, c.cn), 'c_id', c.c_id, 'cn', c.cn)))[0] AS a
+        |  FROM normed CROSS JOIN cents),
+        |resid AS (SELECT vec_id, zip_with(vn, a.cn, (x, y) -> x - y) AS r FROM asg),
+        |rsub AS (
+        |  SELECT vec_id, j, slice(r, j * 8 + 1, 8) AS sv
+        |  FROM resid LATERAL VIEW explode(sequence(0, 7)) t AS j)
+        |SELECT j, array_sort(collect_list(named_struct('code', vec_id, 'cv', sv))) AS cs
+        |FROM rsub GROUP BY j""".stripMargin).localCheckpoint())
+      .createOrReplaceTempView("ivfpq_cb")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, transform(v, x -> x / nrm) AS vn
+         |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)),
+         |cents AS (
+         |  SELECT collect_list(named_struct(
+         |    'c_id', c_id, 'cn', transform(cv, x -> x / cnrm))) AS cs
+         |  FROM ivfpq_centn),
+         |cba AS (
+         |  SELECT array_sort(collect_list(named_struct('j', j, 'cs', cs))) AS cb
+         |  FROM ivfpq_cb),
+         |ranked AS (
+         |  SELECT vec_id, vn,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(vn, c.cn), 'c_id', c.c_id, 'cn', c.cn))) AS rc
+         |  FROM normed CROSS JOIN cents),
+         |resid AS (
+         |  SELECT vec_id, rc[0].c_id AS c_id, zip_with(vn, rc[0].cn, (x, y) -> x - y) AS r
+         |  FROM ranked),
+         |db AS (
+         |  SELECT vec_id, c_id,
+         |    transform(
+         |      transform(sequence(0, 7), j -> named_struct('j', j, 'sv', slice(r, j * 8 + 1, 8))),
+         |      p -> array_sort(transform(element_at(cb, p.j + 1).cs, e -> named_struct(
+         |        'd', dot_product(p.sv, p.sv) - 2 * dot_product(p.sv, e.cv) + dot_product(e.cv, e.cv),
+         |        'code', e.code)))[0].code) AS codes
+         |  FROM resid CROSS JOIN cba),
+         |qres AS (
+         |  SELECT vec_id AS q_id, p.c_id, zip_with(vn, p.cn, (x, y) -> x - y) AS qr
+         |  FROM ranked LATERAL VIEW explode(slice(rc, 1, 2)) t AS p
+         |  WHERE vec_id < 10),
+         |luts AS (
+         |  SELECT q_id, c_id,
+         |    transform(
+         |      transform(sequence(0, 7), j -> named_struct('j', j, 'sv', slice(qr, j * 8 + 1, 8))),
+         |      p -> transform(element_at(cb, p.j + 1).cs, e ->
+         |        CAST(round(1e6 * (dot_product(p.sv, p.sv) - 2 * dot_product(p.sv, e.cv)
+         |          + dot_product(e.cv, e.cv))) AS BIGINT))) AS lut
+         |  FROM qres CROSS JOIN cba),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(l) */ l.q_id, d.vec_id AS n_id,
+         |    aggregate(sequence(0, 7), 0L, (acc, j) ->
+         |      acc + element_at(element_at(l.lut, j + 1),
+         |                       CAST(element_at(d.codes, j + 1) AS INT) + 1)) AS adc_x1e6
+         |  FROM luts l JOIN db d ON d.c_id = l.c_id
+         |  WHERE d.vec_id <> l.q_id)
+         |SELECT q_id, n_id, adc_x1e6, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, n_id, adc_x1e6,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** DuckDB replays the whole query path relationally: the shared
+    * seeded-Lloyd centroid chain, residual codes for every db vector,
+    * per-(query, probe, subspace) LUT terms as integer-scaled L2², and the
+    * 8-term integer ADC sum — so the compressed-domain SEARCH results,
+    * not just the index build, are rows+schema+hash checked. */
+  val hIvfPqSearchSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |centu AS (SELECT c_id, list_transform(cv, x -> x / cnrm) AS cn FROM cent),
+      |normedu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM normed),
+      |assigned AS (
+      |  SELECT vec_id, vn, c_id FROM (
+      |    SELECT n.vec_id, n.vn, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.vn, c.cn) DESC, c.c_id) AS rn
+      |    FROM normedu n CROSS JOIN centu c)
+      |  WHERE rn = 1),
+      |resid AS (
+      |  SELECT a.vec_id, a.c_id, list_transform(range(64), i -> a.vn[i + 1] - c.cn[i + 1]) AS r
+      |  FROM assigned a JOIN centu c ON a.c_id = c.c_id),
+      |subj AS (SELECT unnest(range(8)) AS j),
+      |rsub AS (SELECT vec_id, c_id, j, r[(j*8+1):(j*8+8)] AS sv FROM resid CROSS JOIN subj),
+      |rcb AS (SELECT j, vec_id AS code, sv AS cv FROM rsub WHERE vec_id < 16),
+      |dcodes AS (
+      |  SELECT s.vec_id, s.c_id, s.j,
+      |    (SELECT c.code FROM rcb c WHERE c.j = s.j
+      |     ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+      |       + list_dot_product(c.cv, c.cv), c.code
+      |     LIMIT 1) AS code
+      |  FROM rsub s),
+      |probes AS (
+      |  SELECT vec_id AS q_id, vn, c_id FROM (
+      |    SELECT n.vec_id, n.vn, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.vn, c.cn) DESC, c.c_id) AS rn
+      |    FROM normedu n CROSS JOIN centu c WHERE n.vec_id < 10)
+      |  WHERE rn <= 2),
+      |qsub AS (
+      |  SELECT p.q_id, p.c_id, s.j,
+      |    list_transform(range(8), i -> p.vn[s.j*8 + i + 1] - c.cn[s.j*8 + i + 1]) AS sv
+      |  FROM probes p JOIN centu c ON p.c_id = c.c_id CROSS JOIN subj s),
+      |terms AS (
+      |  SELECT q.q_id, d.vec_id AS n_id, q.j,
+      |    CAST(round(1e6 * (list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, cb.cv)
+      |      + list_dot_product(cb.cv, cb.cv))) AS BIGINT) AS t
+      |  FROM qsub q
+      |  JOIN dcodes d ON d.c_id = q.c_id AND d.j = q.j
+      |  JOIN rcb cb ON cb.j = q.j AND cb.code = d.code
+      |  WHERE d.vec_id <> q.q_id),
+      |scored AS (
+      |  SELECT q_id, n_id, CAST(sum(t) AS BIGINT) AS adc_x1e6
+      |  FROM terms GROUP BY q_id, n_id)
+      |SELECT q_id, n_id, adc_x1e6, rnk FROM (
+      |  SELECT q_id, n_id, adc_x1e6,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
   // ================================================================ text analysis
 
   /** Quality/stats profile per language: token counts (whitespace), byte
@@ -983,6 +1182,7 @@ object LlmOps {
     "h_vocab_topk" -> (hVocabTopk _),
     "h_bpe_pairs" -> (hBpePairs _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
+    "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_scrub_redact" -> (hScrubRedact _),
     "h_len_histogram" -> (hLenHistogram _)
   )
@@ -1003,6 +1203,7 @@ object LlmOps {
     "h_vocab_topk" -> hVocabTopkSql,
     "h_bpe_pairs" -> hBpePairsSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
+    "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_scrub_redact" -> hScrubRedactSql,
     "h_len_histogram" -> hLenHistogramSql
   )

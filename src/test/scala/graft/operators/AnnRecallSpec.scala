@@ -40,6 +40,31 @@ class AnnRecallSpec extends SparkSuite {
     assert(rLsh >= 0.9, f"LSH recall@1 $rLsh%.2f below 0.9 gate")
   }
 
+  test("IVF-PQ ADC search recall vs exact top-5 (compressed-domain ranking)") {
+    // the ADC path ranks candidates by 8 quantized lookups, never touching
+    // the original vectors — recall quantifies what the 64x compression
+    // costs. Same query set and probe budget as hAnnIvf, so the delta vs
+    // the uncompressed IVF gate (0.9) is attributable to PQ alone.
+    val brute = topk(LlmOps.hAnnBrute(spark, SparkSpec.sf0001).collect())
+    val pq = topk(LlmOps.hIvfPqSearch(spark, SparkSpec.sf0001).collect())
+    graft.operators.Checkpoints.releaseAll()
+    val per = brute.keys.toSeq.map { q =>
+      val a = pq.getOrElse(q, Set.empty)
+      if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
+    }
+    val r = per.sum / per.size
+    info(f"ivf-pq recall@3 vs exact top-5: $r%.2f")
+    pq.foreach { case (q, ns) => assert(!ns.contains(q), s"query $q returned itself") }
+    assert(pq.values.forall(_.size == 3), "every query must return exactly 3 neighbors")
+    // residual-PQ at 16 codewords x 8 subspaces is lossy: measured 0.37
+    // here vs 0.97 for the uncompressed IVF (and 0.13 for Lloyd-refined
+    // codebooks, which collapse on this corpus's isotropic residuals —
+    // see hIvfPqSearch's codebook note). Gate under the measured value:
+    // a real deployment re-ranks the ADC shortlist with exact vectors,
+    // which is exactly what hAnnIvf's exact-scoring path provides.
+    assert(r >= 0.3, f"IVF-PQ recall $r%.2f below 0.3 gate")
+  }
+
   test("Lloyd-refined IVF centroids do not lose recall vs the raw seed (out-of-sample queries)") {
     // round-5 verdict task #3: the refinement must be measured, not assumed.
     // The shipped query set (vec_id < 10) IS a subset of the 16 seed

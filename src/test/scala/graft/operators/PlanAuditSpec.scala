@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSuite {
       s"IVF-PQ must broadcast the codebooks, not cartesian:\n$plan")
   }
 
+  test("h_ivfpq_search: ADC ranking joins broadcast LUTs, corpus stays scan-local") {
+    // query-time contract: db coding is scan-local against broadcast
+    // centroid/codebook collects, the 20 LUT rows broadcast to the
+    // candidate join on the coarse list id — the corpus must never hash
+    // on vec_id or cross-join anything its own size
+    val plan = LlmOps.hIvfPqSearch(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    graft.operators.Checkpoints.releaseAll()
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"IVF-PQ search regressed to a vec_id-keyed shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ search must broadcast LUTs/codebooks, not cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the LUT-side broadcast candidate join:\n$plan")
+  }
+
   test("g_session_window: exactly one hash Exchange (user_id), reused downstream") {
     // the islands form must shuffle once on user_id and reuse that layout
     // for the lag window, the running-sum window, and the final aggregate —
