@@ -1142,6 +1142,133 @@ object LlmOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Unigram-surprisal quality score — the LM-perplexity proxy (CCNet
+    * trains a 5-gram KenLM; the unigram case is the sampled-data analogue)
+    * that flags gibberish (high surprisal: tokens the corpus rarely emits)
+    * and boilerplate (low surprisal: every token common). Per-token
+    * surprisal is the integer bit-length gap
+    * `floor(log2 N_lang) − floor(log2 freq)` — computed as
+    * `length(bin(n)) − 1`, a pure integer+string path both engines share
+    * exactly, instead of libm `log()`, whose last-ulp rounding differs
+    * across engines. A doc's mean surprisal (×1e4, exactly-rounded) lands
+    * in one of ten fixed buckets; the output is the per-(lang, bucket)
+    * histogram a length/quality gate would be tuned from.
+    *
+    * Scale shape: the unigram table is a (lang, token)-keyed aggregate
+    * with map-side partial agg; scoring re-joins tokens to frequencies on
+    * the same (lang, token) key — big-big but aggregate-sized on the
+    * build side — then one doc_id-keyed agg. Three exchanges total, all
+    * on aggregation keys, no window over the corpus. */
+  def hLmQuality(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH x AS (
+        |  SELECT doc_id, lang, tk
+        |  FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
+        |  LATERAL VIEW explode(t) e AS tk),
+        |freq AS (SELECT lang, tk, count(*) AS n FROM x GROUP BY lang, tk),
+        |tot AS (SELECT lang, sum(n) AS n_tot FROM freq GROUP BY lang),
+        |bits AS (
+        |  SELECT f.lang, f.tk,
+        |    (length(bin(t.n_tot)) - 1) - (length(bin(f.n)) - 1) AS s
+        |  FROM freq f JOIN tot t ON f.lang = t.lang),
+        |ds AS (
+        |  SELECT x.doc_id, x.lang, sum(b.s) AS surprisal, count(*) AS n_tok
+        |  FROM x JOIN bits b ON x.lang = b.lang AND x.tk = b.tk
+        |  GROUP BY x.doc_id, x.lang),
+        |m AS (
+        |  SELECT lang, CAST(round(1e4 * surprisal / n_tok) AS BIGINT) AS mean_x1e4
+        |  FROM ds)
+        |SELECT lang, least(mean_x1e4 DIV 20000, 9) AS bucket,
+        |  count(*) AS n_docs
+        |FROM m
+        |GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin)
+  }
+
+  val hLmQualitySql: String =
+    """WITH x AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |freq AS (SELECT lang, tk, count(*) AS n FROM x GROUP BY lang, tk),
+      |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tot FROM freq GROUP BY lang),
+      |bits AS (
+      |  SELECT f.lang, f.tk,
+      |    (length(bin(t.n_tot)) - 1) - (length(bin(f.n)) - 1) AS s
+      |  FROM freq f JOIN tot t ON f.lang = t.lang),
+      |ds AS (
+      |  SELECT x.doc_id, x.lang, CAST(sum(b.s) AS BIGINT) AS surprisal, count(*) AS n_tok
+      |  FROM x JOIN bits b ON x.lang = b.lang AND x.tk = b.tk
+      |  GROUP BY x.doc_id, x.lang),
+      |m AS (
+      |  SELECT lang, CAST(round(1e4 * surprisal / n_tok) AS BIGINT) AS mean_x1e4
+      |  FROM ds)
+      |SELECT lang, least(mean_x1e4 // 20000, 9) AS bucket, count(*) AS n_docs
+      |FROM m
+      |GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
+  /** TF-IDF keyword extraction: per-document top-3 terms scored
+    * `tf · (1 + floor(log2(N/df)))` — document frequencies over the FULL
+    * per-lang corpus, reporting bounded to doc_id < 50 (the profile a
+    * keyword/tagging stage materializes; the corpus-wide statistics are
+    * the expensive part and the part that must scale). The idf weight
+    * uses the same exact integer bit-length path as [[hLmQuality]]
+    * (`length(bin(N DIV df)) − 1`), so scores are BIGINTs both engines
+    * agree on bit-for-bit — no libm log in the ranking.
+    *
+    * Scale shape: tf is a (doc, term)-keyed aggregate, df a (lang,
+    * term)-keyed aggregate OVER tf (map-side partial agg both), the score
+    * join is keyed on (lang, term), and the reporting filter prunes the
+    * tf side before the join. The final top-3 window runs over 50 docs,
+    * not the corpus. */
+  def hTfidf(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH x AS (
+        |  SELECT doc_id, lang, tk
+        |  FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
+        |  LATERAL VIEW explode(t) e AS tk),
+        |tf AS (SELECT doc_id, lang, tk, count(*) AS tf FROM x GROUP BY doc_id, lang, tk),
+        |df AS (SELECT lang, tk, count(*) AS df FROM tf GROUP BY lang, tk),
+        |nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |sc AS (
+        |  SELECT t.doc_id, t.tk,
+        |    t.tf * (1 + length(bin(n.n DIV d.df)) - 1) AS score
+        |  FROM tf t
+        |  JOIN df d ON t.lang = d.lang AND t.tk = d.tk
+        |  JOIN nd n ON t.lang = n.lang
+        |  WHERE t.doc_id < 50)
+        |SELECT doc_id, tk AS term, CAST(score AS BIGINT) AS score,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT doc_id, tk, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tk) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin)
+  }
+
+  val hTfidfSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tf AS (SELECT doc_id, lang, tk, count(*) AS tf FROM x GROUP BY doc_id, lang, tk),
+      |df AS (SELECT lang, tk, count(*) AS df FROM tf GROUP BY lang, tk),
+      |nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |sc AS (
+      |  SELECT t.doc_id, t.tk,
+      |    t.tf * (1 + length(bin(n.n // d.df)) - 1) AS score
+      |  FROM tf t
+      |  JOIN df d ON t.lang = d.lang AND t.tk = d.tk
+      |  JOIN nd n ON t.lang = n.lang
+      |  WHERE t.doc_id < 50)
+      |SELECT doc_id, tk AS term, CAST(score AS BIGINT) AS score, rnk
+      |FROM (
+      |  SELECT doc_id, tk, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tk) AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   /** Corpus length histogram (100-char buckets, top-coded at 900+) — the
     * data-quality profile that drives min/max-length filters. One
     * scan-local agg; bucket arithmetic in exact integers. */
@@ -1183,6 +1310,8 @@ object LlmOps {
     "h_bpe_pairs" -> (hBpePairs _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
+    "h_lm_quality" -> (hLmQuality _),
+    "h_tfidf" -> (hTfidf _),
     "h_scrub_redact" -> (hScrubRedact _),
     "h_len_histogram" -> (hLenHistogram _)
   )
@@ -1204,6 +1333,8 @@ object LlmOps {
     "h_bpe_pairs" -> hBpePairsSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
+    "h_lm_quality" -> hLmQualitySql,
+    "h_tfidf" -> hTfidfSql,
     "h_scrub_redact" -> hScrubRedactSql,
     "h_len_histogram" -> hLenHistogramSql
   )
