@@ -1269,6 +1269,43 @@ object LlmOps {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Paired-modality coverage — the integrity check a multimodal training
+    * set needs before a run: which documents have an embedding row, which
+    * embeddings are orphaned. FULL OUTER join of the two modality tables
+    * on id, accounted per lang ('(no-doc)' for orphaned vectors). The
+    * join is id-keyed (both sides shuffle once on the id; AQE picks
+    * broadcast when one modality is small), and every output column is an
+    * exact integer count. */
+  def hModalityJoin(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    embeds(s, dir)
+    s.sql(
+      """WITH j AS (
+        |  SELECT d.doc_id, d.lang, e.vec_id
+        |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT coalesce(lang, '(no-doc)') AS lang,
+        |  count(doc_id) AS n_docs,
+        |  sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_paired,
+        |  sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS n_doc_only,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_vec_only
+        |FROM j
+        |GROUP BY coalesce(lang, '(no-doc)')
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hModalityJoinSql: String =
+    """WITH j AS (
+      |  SELECT d.doc_id, d.lang, e.vec_id
+      |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+      |SELECT coalesce(lang, '(no-doc)') AS lang,
+      |  count(doc_id) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+      |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only
+      |FROM j
+      |GROUP BY coalesce(lang, '(no-doc)')
+      |ORDER BY lang""".stripMargin
+
   /** Corpus length histogram (100-char buckets, top-coded at 900+) — the
     * data-quality profile that drives min/max-length filters. One
     * scan-local agg; bucket arithmetic in exact integers. */
@@ -1312,6 +1349,7 @@ object LlmOps {
     "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
+    "h_modality_join" -> (hModalityJoin _),
     "h_scrub_redact" -> (hScrubRedact _),
     "h_len_histogram" -> (hLenHistogram _)
   )
@@ -1335,6 +1373,7 @@ object LlmOps {
     "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,
+    "h_modality_join" -> hModalityJoinSql,
     "h_scrub_redact" -> hScrubRedactSql,
     "h_len_histogram" -> hLenHistogramSql
   )
