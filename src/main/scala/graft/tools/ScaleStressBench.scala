@@ -38,7 +38,8 @@ object ScaleStressBench {
   private val defaultQueries = Seq(
     "h_text_stats", "h_dedup_exact", "h_neardup_minhash", "h_dup_clusters",
     "h_dedup_survivors", "h_dedup_spans", "h_dup_ngrams", "h_decontaminate",
-    "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes")
+    "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes",
+    "h_ivfpq_search", "h_lm_quality", "h_tfidf")
 
   private val stride = 10000L
 
