@@ -1151,8 +1151,10 @@ object LlmOps {
     * `length(bin(n)) − 1`, a pure integer+string path both engines share
     * exactly, instead of libm `log()`, whose last-ulp rounding differs
     * across engines. A doc's mean surprisal (×1e4, exactly-rounded) lands
-    * in one of ten fixed buckets; the output is the per-(lang, bucket)
-    * histogram a length/quality gate would be tuned from.
+    * in one of ten fixed 0.25-bit buckets spanning 3.5–6.0 bits/token
+    * (tails clamped — gibberish saturates bucket 9, boilerplate bucket 0);
+    * the output is the per-(lang, bucket) histogram a quality gate would
+    * be tuned from.
     *
     * Scale shape: the unigram table is a (lang, token)-keyed aggregate
     * with map-side partial agg; scoring re-joins tokens to frequencies on
@@ -1179,7 +1181,7 @@ object LlmOps {
         |m AS (
         |  SELECT lang, CAST(round(1e4 * surprisal / n_tok) AS BIGINT) AS mean_x1e4
         |  FROM ds)
-        |SELECT lang, least(mean_x1e4 DIV 20000, 9) AS bucket,
+        |SELECT lang, least(greatest((mean_x1e4 - 35000) DIV 2500, 0), 9) AS bucket,
         |  count(*) AS n_docs
         |FROM m
         |GROUP BY lang, bucket
@@ -1202,7 +1204,7 @@ object LlmOps {
       |m AS (
       |  SELECT lang, CAST(round(1e4 * surprisal / n_tok) AS BIGINT) AS mean_x1e4
       |  FROM ds)
-      |SELECT lang, least(mean_x1e4 // 20000, 9) AS bucket, count(*) AS n_docs
+      |SELECT lang, least(greatest((mean_x1e4 - 35000) // 2500, 0), 9) AS bucket, count(*) AS n_docs
       |FROM m
       |GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin

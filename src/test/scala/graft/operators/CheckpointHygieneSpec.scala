@@ -45,6 +45,29 @@ class CheckpointHygieneSpec extends SparkSuite {
     assert(leaked == 0, s"$leaked persistent RDDs leaked")
   }
 
+  test("h_ivfpq_codes / h_ivfpq_search leave no persistent blocks after releaseAll") {
+    // round 9: both checkpoint the 16-row centroid table; search also
+    // checkpoints the 8-row codebook
+    val leaked = afterRelease {
+      LlmOps.hIvfPqCodes(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+      Checkpoints.releaseAll()
+      LlmOps.hIvfPqSearch(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
+  test("h_curation_funnel leaves no persistent blocks after releaseAll") {
+    // round 9: the one-pass funnel checkpoints the contaminated-id set and
+    // the per-lang weights on top of the label-propagation chain
+    val leaked = afterRelease {
+      TrainingOps.hCurationFunnel(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
   test("superseded label rounds release inside the loop, not only at the end") {
     Checkpoints.releaseAll()
     // while hDupClusters runs, the resident snapshot count must stay

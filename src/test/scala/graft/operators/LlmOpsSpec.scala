@@ -75,4 +75,46 @@ class LlmOpsSpec extends SparkSuite {
     val empty = Multimodal.decodeStub(8L, Array.emptyByteArray)
     assert(empty.width === 1 && empty.n_bytes === 0L)
   }
+
+  test("h_lm_quality: bucket histogram partitions the corpus, buckets in range") {
+    val rows = LlmOps.hLmQuality(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b <= 9 })
+    val nDocs = rows.map(_.getLong(2)).sum
+    val docs = graft.Tables.load(spark, SparkSpec.sf0001, "documents").count()
+    assert(nDocs == docs, s"histogram covers $nDocs docs, corpus has $docs")
+    // surprisal must discriminate: a corpus whose every doc lands in one
+    // bucket means the score degenerated to a constant
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "all docs in one bucket")
+  }
+
+  test("h_tfidf: top-3 per doc, ranks contiguous, scores non-increasing") {
+    val rows = LlmOps.hTfidf(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        s"doc $doc ranks not contiguous: ${sorted.map(_._4).toSeq}")
+      assert(sorted.length <= 3)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"doc $doc scores not non-increasing")
+      assert(sorted.forall(_._3 > 0), s"doc $doc has non-positive score")
+    }
+  }
+
+  test("h_modality_join: per-lang accounting reconciles with both tables") {
+    val rows = LlmOps.hModalityJoin(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.load(spark, SparkSpec.sf0001, "documents").count()
+    val vecs = graft.Tables.load(spark, SparkSpec.sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum == docs, "n_docs must cover the documents table")
+    assert(rows.map(r => r._3 + r._5).sum == vecs,
+      "paired + orphaned vectors must cover the embeddings table")
+    rows.foreach { case (lang, nDocs, nPaired, nDocOnly, _) =>
+      assert(nDocs == nPaired + nDocOnly, s"$lang: $nDocs != $nPaired + $nDocOnly")
+    }
+  }
 }
