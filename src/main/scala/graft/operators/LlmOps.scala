@@ -584,10 +584,17 @@ object LlmOps {
     * size; the corpus-sized stages are never materialized) and both
     * branches read the checkpoint. Round-9 bench: halves the physical
     * plan and cuts the intermittent cold-session codegen spike. */
-  def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+  /** Checkpoint the 16-row refined centroid table and register it as
+    * `ivfpq_centn` — shared by [[hIvfPqCodes]] and [[hIvfPqSearch]] so
+    * the seeded-Lloyd chain is planned and executed exactly once per
+    * invocation (O(1) storage at any corpus size). */
+  private def registerIvfPqCentroids(s: SparkSession, dir: String): Unit =
     Checkpoints.track(ivfCentroids(s, dir, refined = true).localCheckpoint())
       .createOrReplaceTempView("ivfpq_centn")
+
+  def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -692,8 +699,7 @@ object LlmOps {
     * order. */
   def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
-    Checkpoints.track(ivfCentroids(s, dir, refined = true).localCheckpoint())
-      .createOrReplaceTempView("ivfpq_centn")
+    registerIvfPqCentroids(s, dir)
     // residual-PQ codebook: 8 rows of 16 code-ordered codewords, derived
     // from the 16 seed vectors' residuals — sample-sized, checkpointed.
     // Everything downstream of the coarse chain works in UNIT space

@@ -304,7 +304,7 @@ object TrainingOps {
     // ONE pass over train. Output values are unchanged (the left-join
     // counts of unique ids equal the membership-flag sums); the DuckDB
     // oracle replays the original nested form.
-    s.sql(
+    Checkpoints.track(s.sql(
       """WITH train AS (
         |  SELECT doc_id, lang, text, split(text, ' ') AS t
         |  FROM documents WHERE doc_id % 17 <> 0),
@@ -325,11 +325,9 @@ object TrainingOps {
         |  FROM s1 LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
         |  WHERE size(t) >= 8)
         |SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram""".stripMargin)
-      .localCheckpoint() match { case ck =>
-        Checkpoints.track(ck).createOrReplaceTempView("funnel_contam")
-      }
+      .localCheckpoint()).createOrReplaceTempView("funnel_contam")
     // per-lang mixture weights over s3 survivors (small: one row per lang)
-    s.sql(
+    Checkpoints.track(s.sql(
       """WITH train AS (
         |  SELECT doc_id, lang, text, split(text, ' ') AS t
         |  FROM documents WHERE doc_id % 17 <> 0),
@@ -341,9 +339,7 @@ object TrainingOps {
         |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang)
         |SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw
         |FROM counts""".stripMargin)
-      .localCheckpoint() match { case ck =>
-        Checkpoints.track(ck).createOrReplaceTempView("funnel_w")
-      }
+      .localCheckpoint()).createOrReplaceTempView("funnel_w")
     s.sql(
       """WITH train AS (
         |  SELECT doc_id, lang, text, split(text, ' ') AS t

@@ -21,8 +21,9 @@ import org.apache.spark.sql.SparkSession
   *    replica embeddings keep vec_id ≥ 10,000 so the IVF seed/training
   *    predicates (vec_id < 16 / < 256) still select exactly the
   *    replica-0 vectors — index-build semantics are unchanged;
-  *  - replica r>0 embeddings are rotated by r positions — distinct
-  *    vectors with the source norm distribution;
+  *  - replica r>0 embeddings are rotated by pmod(r, 63)+1 positions
+  *    (injective for K ≤ 64, enforced) — distinct vectors with the
+  *    source norm distribution;
   *  - n_chars is recomputed so `length(text) = n_chars` invariants hold.
   *
   * `sbt "runMain graft.tools.ScaleStressBench [k1,k2,...]"` (default
@@ -44,8 +45,18 @@ object ScaleStressBench {
   private val stride = 10000L
 
   def buildScaled(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    // 63 distinct non-zero rotations exist for a 64-dim vector, so replica
+    // rotations are injective only for K-1 <= 63; beyond that replicas
+    // repeat verbatim and the corpus degenerates into exact-dup cliques —
+    // exactly the pathology the replication scheme exists to avoid
+    require(k <= 64, s"K=$k would reuse embedding rotations (max 64)")
     val fs = new java.io.File(outDir)
-    if (new java.io.File(fs, "_built").exists()) return
+    val marker = new java.io.File(fs, "_built")
+    // the marker records the SOURCE dir: a rerun with a different
+    // SPARK_GRAFT_SF_DIR must rebuild, not silently reuse stale data
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcDir)
+      return
     fs.mkdirs()
     spark.read.parquet(s"$srcDir/documents.parquet").createOrReplaceTempView("src_docs")
     spark.read.parquet(s"$srcDir/embeddings.parquet").createOrReplaceTempView("src_embeds")
@@ -69,7 +80,7 @@ object ScaleStressBench {
          |FROM src_embeds LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    new java.io.File(fs, "_built").createNewFile()
+    java.nio.file.Files.write(marker.toPath, srcDir.getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -9,18 +9,21 @@ class AnnRecallSpec extends SparkSuite {
   private def topk(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
     rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  /** Mean recall@3 of `approx` against the exact `brute` top-k sets. */
+  private def recallAt3(brute: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val per = brute.keys.toSeq.map { q =>
+      val a = approx.getOrElse(q, Set.empty)
+      if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
+    }
+    per.sum / per.size
+  }
+
   test("IVF recall vs exact top-5; LSH recall@1 of the planted near-dup") {
     val brute = topk(LlmOps.hAnnBrute(spark, SparkSpec.sf0001).collect())
     val ivf = topk(LlmOps.hAnnIvf(spark, SparkSpec.sf0001).collect())
 
     // IVF answers the same arbitrary-query workload as brute: gate recall@3
-    val rIvf = {
-      val per = brute.keys.toSeq.map { q =>
-        val a = ivf.getOrElse(q, Set.empty)
-        if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
-      }
-      per.sum / per.size
-    }
+    val rIvf = recallAt3(brute, ivf)
     info(f"ivf recall@3 vs exact top-5: $rIvf%.2f")
     ivf.foreach { case (q, ns) => assert(!ns.contains(q)) }
     assert(rIvf >= 0.9, f"IVF recall $rIvf%.2f below 0.9 gate")
@@ -48,11 +51,7 @@ class AnnRecallSpec extends SparkSuite {
     val brute = topk(LlmOps.hAnnBrute(spark, SparkSpec.sf0001).collect())
     val pq = topk(LlmOps.hIvfPqSearch(spark, SparkSpec.sf0001).collect())
     graft.operators.Checkpoints.releaseAll()
-    val per = brute.keys.toSeq.map { q =>
-      val a = pq.getOrElse(q, Set.empty)
-      if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
-    }
-    val r = per.sum / per.size
+    val r = recallAt3(brute, pq)
     info(f"ivf-pq recall@3 vs exact top-5: $r%.2f")
     pq.foreach { case (q, ns) => assert(!ns.contains(q), s"query $q returned itself") }
     assert(pq.values.forall(_.size == 3), "every query must return exactly 3 neighbors")
