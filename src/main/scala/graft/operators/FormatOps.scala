@@ -112,6 +112,44 @@ object FormatOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Dynamic partition pruning — the RUNTIME companion to
+    * [[aPartitionedPrune]]'s static pruning, and the feature that makes
+    * star-schema joins over partitioned 100 TB facts readable: the set of
+    * partitions to scan is not in the query text (the dim filter is an
+    * md5 rule over values only known after reading), so Catalyst must
+    * inject a `dynamicpruningexpression` subquery into the fact scan's
+    * PartitionFilters, fed from the broadcast dim side. Without DPP the
+    * fact scan reads every partition and the join discards most rows
+    * after IO; with it, unmatched partitions are never opened. Pinned in
+    * PlanAuditSpec; the dim's distinct-partition-values scan is
+    * metadata-only (partition listing, no data files). */
+  def aDppPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "dpp")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out).createOrReplaceTempView("events_part")
+    s.sql(
+      """WITH dim AS (
+        |  SELECT event_type FROM (SELECT DISTINCT event_type FROM events_part)
+        |  WHERE substring(md5(event_type), 1, 1) < '8')
+        |SELECT /*+ BROADCAST(d) */ f.event_type, count(*) AS n,
+        |  CAST(sum(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events_part f JOIN dim d ON f.event_type = d.event_type
+        |GROUP BY f.event_type
+        |ORDER BY f.event_type""".stripMargin)
+  }
+
+  val aDppPruneSql: String =
+    """WITH dim AS (
+      |  SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+      |  WHERE substring(md5(event_type), 1, 1) < '8')
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   /** D: approx_count_distinct (HLL++). The estimate is engine-specific, so
     * the cross-engine check asserts the tolerance contract instead: the
     * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %).
@@ -146,6 +184,7 @@ object FormatOps {
     "a_parquet_roundtrip" -> (aParquetRoundtrip _),
     "a_orc_roundtrip" -> (aOrcRoundtrip _),
     "a_partitioned_prune" -> (aPartitionedPrune _),
+    "a_dpp_prune" -> (aDppPrune _),
     "d_agg_approx" -> (dAggApprox _)
   )
 
@@ -155,6 +194,7 @@ object FormatOps {
     "a_parquet_roundtrip" -> aggShapeSql,
     "a_orc_roundtrip" -> aggShapeSql,
     "a_partitioned_prune" -> aPartitionedPruneSql,
+    "a_dpp_prune" -> aDppPruneSql,
     "d_agg_approx" -> dAggApproxSql
   )
 }

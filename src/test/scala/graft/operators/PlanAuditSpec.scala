@@ -69,6 +69,19 @@ class PlanAuditSpec extends SparkSuite {
       s"IVF-PQ must broadcast the codebooks, not cartesian:\n$plan")
   }
 
+  test("a_dpp_prune: the fact scan carries a dynamic partition-pruning subquery") {
+    // the dim filter is only knowable at runtime, so the fact scan's
+    // PartitionFilters must include a dynamicpruningexpression fed from
+    // the broadcast dim — without it a 100 TB partitioned fact is read in
+    // full and filtered after IO
+    val plan = FormatOps.aDppPrune(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition-pruning subquery on the fact scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim side must broadcast:\n$plan")
+  }
+
   test("h_ivfpq_search: ADC ranking joins broadcast LUTs, corpus stays scan-local") {
     // query-time contract: db coding is scan-local against broadcast
     // centroid/codebook collects, the 20 LUT rows broadcast to the
