@@ -27,7 +27,9 @@ class EngineClusterSpec extends AnyFunSuite {
     "c_join_inner",     // broadcast dims to remote executors
     "h_dedup_exact",    // custom Fnv64aExpr serialized to executor codegen
     "h_neardup_minhash",// MinhashSignatureExpr + LSH banding + checkpoint
-    "h_embed_quantize") // Int8QuantStatsExpr over array columns
+    "h_embed_quantize", // Int8QuantStatsExpr over array columns
+    "h_ivfpq_search",   // two checkpointed collects + broadcast LUT join
+    "a_dpp_prune")      // dynamic partition-pruning subquery cross-process
 
   test("declared queries return identical results under multi-process execution") {
     assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
