@@ -150,6 +150,75 @@ object FormatOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Z-order clustering layout — the multi-dimensional companion to the two
+    * pruning queries above. Static and dynamic pruning only help on columns
+    * the layout is organized by; a 100 TB fact filtered on EITHER of two
+    * keys needs a layout clustered in BOTH, which is what OPTIMIZE
+    * ZORDER-style maintenance does: quantize each key into rank-space cells
+    * (min/max-normalized here; 256 cells per dimension), interleave the
+    * cell bits into a Morton code (codegen [[ZOrder2Expr]] — a static-call
+    * projection on the scan), and assign rows to files by Morton-code
+    * range. The query materializes that assignment (64 equal-z-range
+    * buckets = files) and reports each bucket's min/max extent in BOTH
+    * dimensions — the exact statistics a reader would prune on: every
+    * bucket spans ≤ ~1/8 of each key domain (top 3 Morton bits per
+    * dimension), so a point filter on either key touches ≤ ~1/8 of the
+    * files. Everything before the final 64-row aggregate is scan-local:
+    * one 1-row extremes broadcast, no global sort, no window — pinned in
+    * PlanAuditSpec. */
+  def aZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("pk"), col("l_suppkey").cast("long").as("sk"))
+      .createOrReplaceTempView("zorder_keys")
+    s.sql(
+      """WITH ext AS (
+        |  SELECT min(pk) AS mn_pk, max(pk) AS mx_pk,
+        |         min(sk) AS mn_sk, max(sk) AS mx_sk
+        |  FROM zorder_keys),
+        |cells AS (
+        |  SELECT pk, sk,
+        |    (pk - mn_pk) * 256 div (mx_pk - mn_pk + 1) AS cx,
+        |    (sk - mn_sk) * 256 div (mx_sk - mn_sk + 1) AS cy
+        |  FROM zorder_keys CROSS JOIN ext),
+        |zb AS (SELECT pk, sk, zorder2(cx, cy) div 1024 AS bucket FROM cells)
+        |SELECT bucket, count(*) AS n,
+        |  min(pk) AS min_pk, max(pk) AS max_pk,
+        |  min(sk) AS min_sk, max(sk) AS max_sk,
+        |  max(pk) - min(pk) AS span_pk, max(sk) - min(sk) AS span_sk
+        |FROM zb GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** DuckDB replay: same quantization, with the Morton interleave expanded
+    * into the parallel-prefix spread steps (kernel ZOrder.spread16 —
+    * masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 in decimal). */
+  val aZorderLayoutSql: String =
+    """WITH base AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+      |  FROM lineitem),
+      |ext AS (
+      |  SELECT min(pk) AS mn_pk, max(pk) AS mx_pk,
+      |         min(sk) AS mn_sk, max(sk) AS mx_sk FROM base),
+      |cells AS (
+      |  SELECT pk, sk,
+      |    (pk - mn_pk) * 256 // (mx_pk - mn_pk + 1) AS cx,
+      |    (sk - mn_sk) * 256 // (mx_sk - mn_sk + 1) AS cy
+      |  FROM base CROSS JOIN ext),
+      |s1 AS (SELECT pk, sk, (cx | (cx << 8)) & 16711935 AS ax,
+      |                      (cy | (cy << 8)) & 16711935 AS ay FROM cells),
+      |s2 AS (SELECT pk, sk, (ax | (ax << 4)) & 252645135 AS ax,
+      |                      (ay | (ay << 4)) & 252645135 AS ay FROM s1),
+      |s3 AS (SELECT pk, sk, (ax | (ax << 2)) & 858993459 AS ax,
+      |                      (ay | (ay << 2)) & 858993459 AS ay FROM s2),
+      |s4 AS (SELECT pk, sk, (ax | (ax << 1)) & 1431655765 AS ax,
+      |                      (ay | (ay << 1)) & 1431655765 AS ay FROM s3),
+      |zb AS (SELECT pk, sk, (ax | (ay << 1)) // 1024 AS bucket FROM s4)
+      |SELECT bucket, count(*) AS n,
+      |  min(pk) AS min_pk, max(pk) AS max_pk,
+      |  min(sk) AS min_sk, max(sk) AS max_sk,
+      |  max(pk) - min(pk) AS span_pk, max(sk) - min(sk) AS span_sk
+      |FROM zb GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** D: approx_count_distinct (HLL++). The estimate is engine-specific, so
     * the cross-engine check asserts the tolerance contract instead: the
     * estimate lands within 5×rsd of exact (rsd=0.01 ⇒ ±5 %).
@@ -185,6 +254,7 @@ object FormatOps {
     "a_orc_roundtrip" -> (aOrcRoundtrip _),
     "a_partitioned_prune" -> (aPartitionedPrune _),
     "a_dpp_prune" -> (aDppPrune _),
+    "a_zorder_layout" -> (aZorderLayout _),
     "d_agg_approx" -> (dAggApprox _)
   )
 
@@ -195,6 +265,7 @@ object FormatOps {
     "a_orc_roundtrip" -> aggShapeSql,
     "a_partitioned_prune" -> aPartitionedPruneSql,
     "a_dpp_prune" -> aDppPruneSql,
+    "a_zorder_layout" -> aZorderLayoutSql,
     "d_agg_approx" -> dAggApproxSql
   )
 }

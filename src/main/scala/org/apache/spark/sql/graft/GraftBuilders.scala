@@ -53,6 +53,12 @@ object GraftBuilders {
           Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
       },
       "cosine_sim(a, b) - cosine similarity of double arrays."),
+    ("zorder2",
+      exprs => {
+        require(exprs.length == 2, s"zorder2 expects 2 arguments, got ${exprs.length}")
+        ZOrder2Expr(exprs(0), exprs(1))
+      },
+      "zorder2(x, y) - Morton interleave of two 16-bit cell coordinates."),
     ("int8_quant_stats",
       exprs => {
         // destructure so a wrong-arity call fails at analysis time instead

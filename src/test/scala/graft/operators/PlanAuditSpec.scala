@@ -82,6 +82,24 @@ class PlanAuditSpec extends SparkSuite {
       s"the dim side must broadcast:\n$plan")
   }
 
+  test("a_zorder_layout: clustering key is a scan-local projection (no sort, no window)") {
+    // the Morton key must be derived as arithmetic on the scan against the
+    // broadcast 1-row extremes — a global sort or window here would be a
+    // full-corpus exchange that the layout operator exists to avoid (file
+    // assignment is by z-RANGE, not by rank)
+    val df = FormatOps.aZorderLayout(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"z-bucketing must not need a window:\n$plan")
+    assert(plan.contains("zorder2"), s"expected the codegen zorder2 projection:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row extremes must broadcast:\n$plan")
+    // exactly one row-bearing shuffle: the 64-key bucket aggregate (the
+    // extremes agg exchanges 1 row; the tail range-partition sorts 64)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && !readSchema.contains("l_quantity"),
+      s"scan must be pruned to the two layout keys:\n$readSchema")
+  }
+
   test("h_ivfpq_search: ADC ranking joins broadcast LUTs, corpus stays scan-local") {
     // query-time contract: db coding is scan-local against broadcast
     // centroid/codebook collects, the 20 LUT rows broadcast to the
