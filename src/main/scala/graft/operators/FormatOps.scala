@@ -150,6 +150,47 @@ object FormatOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** Schema evolution — the other thing a multi-year 100 TB dataset is
+    * guaranteed to have besides partitions: files written before a column
+    * existed. Two generations of the events table are written with drifted
+    * schemas (v2 adds `user_id`), then read back as ONE dataset with
+    * `mergeSchema` — Spark unions the footers at planning time and fills
+    * the missing column with nulls, so readers never fork on file vintage.
+    * The aggregate proves the fill: `n_with_user`/`n_users` count only v2
+    * rows because v1's user_id is null, while n/total_value span both
+    * generations. Per-file schema reconciliation is metadata work
+    * (footers, not data); the scan itself stays a plain pruned
+    * columnar read. */
+  def aSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "evolve")
+    val ev = Tables.load(s, dir, "events")
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$out/g1")
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/g2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        count(col("user_id")).as("n_with_user"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay: v1 rows (even event_id) contribute no user_id, exactly
+    * as the null-filled merged read does. */
+  val aSchemaEvolutionSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  count(CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_with_user,
+      |  count(DISTINCT CASE WHEN event_id % 2 = 1 THEN user_id END) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Z-order clustering layout — the multi-dimensional companion to the two
     * pruning queries above. Static and dynamic pruning only help on columns
     * the layout is organized by; a 100 TB fact filtered on EITHER of two
@@ -255,6 +296,7 @@ object FormatOps {
     "a_partitioned_prune" -> (aPartitionedPrune _),
     "a_dpp_prune" -> (aDppPrune _),
     "a_zorder_layout" -> (aZorderLayout _),
+    "a_schema_evolution" -> (aSchemaEvolution _),
     "d_agg_approx" -> (dAggApprox _)
   )
 
@@ -266,6 +308,7 @@ object FormatOps {
     "a_partitioned_prune" -> aPartitionedPruneSql,
     "a_dpp_prune" -> aDppPruneSql,
     "a_zorder_layout" -> aZorderLayoutSql,
+    "a_schema_evolution" -> aSchemaEvolutionSql,
     "d_agg_approx" -> dAggApproxSql
   )
 }
