@@ -53,6 +53,36 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("AQE coalesces overprovisioned shuffle partitions at runtime") {
+    // the flip side of skew-splitting: a cluster-sized
+    // spark.sql.shuffle.partitions (thousands on a real deployment) must
+    // not mean thousands of tiny reducers for a small intermediate — AQE's
+    // CoalesceShufflePartitions folds them to the advisory size from
+    // runtime stats. Pin that it engages: the final plan reads the shuffle
+    // through AQEShuffleRead(coalesced) with far fewer partitions than
+    // requested.
+    import org.apache.spark.sql.functions._
+    val tuned = Map(
+      "spark.sql.shuffle.partitions" -> "512",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = spark.range(0, 100000)
+        .select((col("id") % 97).as("k"), col("id").as("v"))
+        .groupBy(col("k")).agg(sum(col("v")).as("s"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"AQE did not coalesce the 512-partition shuffle:\n$plan")
+      val parts = df.rdd.getNumPartitions
+      assert(parts < 64, s"expected the 512 requested partitions folded to a few, got $parts")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join result") {
     import org.apache.spark.sql.functions._
     val plain = graft.Tables.load(spark, SparkSpec.sf0001, "lineitem")
