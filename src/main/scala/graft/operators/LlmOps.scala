@@ -168,6 +168,128 @@ object LlmOps {
       |WHERE nu > 0 AND round(ni / nu, 4) >= 0.6
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Incremental (batch-vs-index) near-dup dedup — the OPERATIONAL shape of
+    * [[hNeardupMinhash]] at 100 TB: a standing corpus is never re-paired
+    * with itself; a daily ingest batch dedups against the history's
+    * PRE-MATERIALIZED MinHash-LSH band index plus itself. The batch here is
+    * a deterministic mix: near-dup replicas (doc_id%5=0, first word
+    * dropped, J≈0.95), exact replicas (%5=1, J=1), and history-absent
+    * template docs (%5=2) that collide pairwise within each id-decade
+    * (ids ≡2 and ≡7 mod 10 build identical text), so the within-batch
+    * survivor rule is observable. Each batch doc classifies as
+    * dup-vs-history (any history candidate with exact Jaccard ≥ 0.6),
+    * else dup-within-batch (an EARLIER batch doc ≥ 0.6 — the survivor
+    * rule), else new; reported per language.
+    *
+    * Scale shape: the history band index is checkpointed once (standing in
+    * for the stored index table); candidates come only from batch-band ⋈
+    * index-band and batch ⋈ batch equi-joins, so the candidate volume and
+    * both shuffles scale with BATCH size — history×history pairs are never
+    * formed. The DuckDB oracle replays brute-force history×batch and
+    * batch×batch pairs end-to-end (planted dups sit at J≈0.95+, where
+    * 16×4-band detection probability is 1-4e-8, so LSH equals brute). */
+  def hDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN regexp_replace(text, '^\\S+\\s+', '')
+        |         WHEN doc_id % 5 = 1 THEN text
+        |         ELSE concat('batch new doc ', CAST(doc_id div 10 AS STRING), ' block end') END AS text
+        |  FROM documents WHERE doc_id % 5 <= 2),
+        |corpus AS (
+        |  SELECT doc_id, text, 0 AS is_batch FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 AS is_batch FROM batch),
+        |tok AS (SELECT doc_id, is_batch, split(text, ' ') AS tokens FROM corpus)
+        |SELECT doc_id, is_batch, array_distinct(transform(sequence(1, size(tokens) - 2),
+        |  i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
+        |FROM tok WHERE size(tokens) >= 3""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("shinc")
+    s.sql(
+      """WITH sig AS (
+        |  SELECT doc_id, is_batch,
+        |    minhash_signature(transform(shingles, x -> fnv64a(x)), 64) AS signature
+        |  FROM shinc),
+        |bands AS (
+        |  SELECT doc_id, is_batch, b.band, b.bh
+        |  FROM sig LATERAL VIEW explode(transform(sequence(0, 15),
+        |    b -> struct(b AS band, hash(slice(signature, b * 4 + 1, 4)) AS bh))) t AS b),
+        |cand_h AS (
+        |  SELECT DISTINCT b.doc_id AS b_id, h.doc_id AS h_id
+        |  FROM bands b JOIN bands h ON b.band = h.band AND b.bh = h.bh
+        |  WHERE b.is_batch = 1 AND h.is_batch = 0),
+        |cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |  WHERE a.is_batch = 1 AND b.is_batch = 1 AND a.doc_id < b.doc_id),
+        |dup_h AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand_h c
+        |  JOIN shinc sa ON sa.doc_id = c.b_id AND sa.is_batch = 1
+        |  JOIN shinc sb ON sb.doc_id = c.h_id AND sb.is_batch = 0
+        |  WHERE size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles)) > 0
+        |    AND round(size(array_intersect(sa.shingles, sb.shingles)) /
+        |        (size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles))), 4) >= 0.6),
+        |dup_b AS (
+        |  SELECT DISTINCT c.b_id AS doc_id
+        |  FROM cand_b c
+        |  JOIN shinc sa ON sa.doc_id = c.a_id AND sa.is_batch = 1
+        |  JOIN shinc sb ON sb.doc_id = c.b_id AND sb.is_batch = 1
+        |  WHERE size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles)) > 0
+        |    AND round(size(array_intersect(sa.shingles, sb.shingles)) /
+        |        (size(sa.shingles) + size(sb.shingles) - size(array_intersect(sa.shingles, sb.shingles))), 4) >= 0.6),
+        |bd AS (SELECT doc_id + 2000000 AS doc_id, lang FROM documents WHERE doc_id % 5 <= 2)
+        |SELECT bd.lang, count(*) AS n_batch,
+        |  CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hist,
+        |  CAST(sum(CASE WHEN h.doc_id IS NULL AND b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+        |  CAST(sum(CASE WHEN h.doc_id IS NULL AND b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM bd
+        |LEFT JOIN dup_h h ON bd.doc_id = h.doc_id
+        |LEFT JOIN dup_b b ON bd.doc_id = b.doc_id
+        |GROUP BY bd.lang
+        |ORDER BY bd.lang""".stripMargin)
+  }
+
+  val hDedupIncrementalSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 2000000 AS doc_id, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN regexp_replace(text, '^\S+\s+', '')
+      |         WHEN doc_id % 5 = 1 THEN text
+      |         ELSE concat('batch new doc ', CAST(doc_id // 10 AS VARCHAR), ' block end') END AS text
+      |  FROM documents WHERE doc_id % 5 <= 2),
+      |htok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |btok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM batch),
+      |hsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM htok WHERE len(tokens) >= 3),
+      |bsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(tokens) - 2),
+      |    i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM btok WHERE len(tokens) >= 3),
+      |dup_h AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM bsh b JOIN hsh h ON len(b.shingles) + len(h.shingles)
+      |      - len(list_intersect(b.shingles, h.shingles)) > 0
+      |    AND round(len(list_intersect(b.shingles, h.shingles)) /
+      |        (len(b.shingles) + len(h.shingles) - len(list_intersect(b.shingles, h.shingles))), 4) >= 0.6),
+      |dup_b AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM bsh a JOIN bsh b ON a.doc_id < b.doc_id
+      |    AND len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+      |    AND round(len(list_intersect(a.shingles, b.shingles)) /
+      |        (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.6)
+      |SELECT bd.lang, count(*) AS n_batch,
+      |  CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hist,
+      |  CAST(sum(CASE WHEN h.doc_id IS NULL AND b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+      |  CAST(sum(CASE WHEN h.doc_id IS NULL AND b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |FROM (SELECT doc_id, lang FROM batch) bd
+      |LEFT JOIN dup_h h ON bd.doc_id = h.doc_id
+      |LEFT JOIN dup_b b ON bd.doc_id = b.doc_id
+      |GROUP BY bd.lang
+      |ORDER BY bd.lang""".stripMargin
+
   /** Brute n-gram Jaccard: each doc's most-similar neighbor within a
     * 50-doc subset (the all-pairs baseline the LSH query avoids). */
   def hJaccardSim(s: SparkSession, dir: String): DataFrame = {
@@ -1342,6 +1464,7 @@ object LlmOps {
     "h_dedup_exact" -> (hDedupExact _),
     "h_simhash_dedup" -> (hSimhashDedup _),
     "h_neardup_minhash" -> (hNeardupMinhash _),
+    "h_dedup_incremental" -> (hDedupIncremental _),
     "h_jaccard_sim" -> (hJaccardSim _),
     "h_neardup_embedding" -> (hNeardupEmbedding _),
     "h_ann_brute" -> (hAnnBrute _),
@@ -1369,6 +1492,7 @@ object LlmOps {
     "h_dedup_exact" -> hDedupExactSql,
     "h_simhash_dedup" -> hSimhashDedupSql,
     "h_neardup_minhash" -> hNeardupMinhashSql,
+    "h_dedup_incremental" -> hDedupIncrementalSql,
     "h_jaccard_sim" -> hJaccardSimSql,
     "h_neardup_embedding" -> hNeardupEmbeddingSql,
     "h_ann_brute" -> hAnnBruteSql,

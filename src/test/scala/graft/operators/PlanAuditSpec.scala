@@ -82,6 +82,16 @@ class PlanAuditSpec extends SparkSuite {
       s"the dim side must broadcast:\n$plan")
   }
 
+  test("h_dedup_incremental: candidates via band equi-joins only (batch-scaled, never history²)") {
+    // the incremental contract: history pairs only with batch through the
+    // band index — a cartesian/BNLJ anywhere here means the batch dedup
+    // degenerated to the all-pairs scan the operator exists to avoid
+    val plan = LlmOps.hDedupIncremental(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must join on band keys, not cross:\n$plan")
+  }
+
   test("a_zorder_layout: clustering key is a scan-local projection (no sort, no window)") {
     // the Morton key must be derived as arithmetic on the scan against the
     // broadcast 1-row extremes — a global sort or window here would be a
