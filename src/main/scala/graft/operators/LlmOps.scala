@@ -1197,6 +1197,54 @@ object LlmOps {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  /** APPLY the trained vocabulary — the production counterpart of
+    * [[hVocabTopk]]'s training profile: the per-lang top-16 token vocab (deliberately smaller than the ~31-token synthetic tail so the OOV path is exercised)
+    * (rank = id, ties broken lexically) maps every corpus token to its id;
+    * out-of-vocabulary tokens surface as the per-lang OOV rate, and the id
+    * checksum pins the exact id assignment cross-engine. Two corpus passes
+    * by design — train then apply — exactly how a tokenizer deployment
+    * runs; the apply pass joins through the tiny per-lang vocab, which
+    * Spark broadcasts, so tokenization itself is scan-local (no exchange
+    * carries tokens; only the final per-lang aggregate shuffles). */
+  def hTokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT lang, explode(split(text, ' ')) AS token FROM documents),
+        |counts AS (
+        |  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+        |vocab AS (
+        |  SELECT lang, token, id FROM (
+        |    SELECT lang, token,
+        |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS id
+        |    FROM counts) WHERE id <= 16),
+        |ids AS (
+        |  SELECT t.lang, v.id
+        |  FROM tok t LEFT JOIN vocab v ON t.lang = v.lang AND t.token = v.token)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(coalesce(id, 0)) AS BIGINT) AS id_checksum
+        |FROM ids GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val hTokenizeIdsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (
+      |  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+      |vocab AS (
+      |  SELECT lang, token, id FROM (
+      |    SELECT lang, token,
+      |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS id
+      |    FROM counts) sub WHERE id <= 16),
+      |ids AS (
+      |  SELECT t.lang, v.id
+      |  FROM tok t LEFT JOIN vocab v ON t.lang = v.lang AND t.token = v.token)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(coalesce(id, 0)) AS BIGINT) AS id_checksum
+      |FROM ids GROUP BY lang ORDER BY lang""".stripMargin
+
   /** First BPE merge round of tokenizer training: count ADJACENT token
     * pairs per language and rank the merge candidates — the step a real
     * BPE trainer iterates (the engine's batch form runs one round; the
@@ -1475,6 +1523,7 @@ object LlmOps {
     "h_lang_heuristic" -> (hLangHeuristic _),
     "h_fingerprint" -> (hFingerprint _),
     "h_vocab_topk" -> (hVocabTopk _),
+    "h_tokenize_ids" -> (hTokenizeIds _),
     "h_bpe_pairs" -> (hBpePairs _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
@@ -1500,6 +1549,7 @@ object LlmOps {
     "h_lang_heuristic" -> hLangHeuristicSql,
     "h_fingerprint" -> hFingerprintSql,
     "h_vocab_topk" -> hVocabTopkSql,
+    "h_tokenize_ids" -> hTokenizeIdsSql,
     "h_bpe_pairs" -> hBpePairsSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,

@@ -246,6 +246,40 @@ object PipelineQueries {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Batch replay of the SLIDING event-time window — the third member of
+    * the window-type triple next to [[gSessionWindow]] (gap-based) and the
+    * streaming tumbling form (graft.streaming.WindowedStats): Spark's
+    * native `window(t, '10 minutes', '5 minutes')`, which expands each row
+    * into window/slide = 2 epoch-aligned assignments map-side and then
+    * hash-aggregates on (window, type). The expansion factor — not the
+    * corpus — is the cost knob at 100 TB, and partial aggregation runs
+    * before the shuffle, so the exchange carries windows×types, not rows.
+    * Times leave as epoch micros (BIGINT) for cross-engine stability; the
+    * oracle replays the assignment as a two-shift union. */
+  def gSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("t"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("t"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  val gSlidingWindowSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      |w AS (
+      |  SELECT (tus // 300000000) * 300000000 AS win_start_us, event_type, value FROM e
+      |  UNION ALL
+      |  SELECT (tus // 300000000) * 300000000 - 300000000, event_type, value FROM e)
+      |SELECT win_start_us, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM w
+      |GROUP BY win_start_us, event_type
+      |ORDER BY win_start_us, event_type""".stripMargin
+
   /** Batch replay of watermark late-data accounting: which rows would a
     * 5-minute-allowed-lateness watermark drop? Events arrive over 4 source
     * shards (event_id % 4) in event_id order; every 13th event's timestamp
@@ -325,6 +359,7 @@ object PipelineQueries {
     "g_partition_keys" -> (gPartitionKeys _),
     "g_ehk_routing" -> (gEhkRouting _),
     "g_session_window" -> (gSessionWindow _),
+    "g_sliding_window" -> (gSlidingWindow _),
     "g_interval_join" -> (gIntervalJoin _),
     "g_late_data" -> (gLateData _)
   )
@@ -335,6 +370,7 @@ object PipelineQueries {
     "g_partition_keys" -> gPartitionKeysSql,
     "g_ehk_routing" -> gEhkRoutingSql,
     "g_session_window" -> gSessionWindowSql,
+    "g_sliding_window" -> gSlidingWindowSql,
     "g_interval_join" -> gIntervalJoinSql,
     "g_late_data" -> gLateDataSql
   )

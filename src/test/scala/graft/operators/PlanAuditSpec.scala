@@ -92,6 +92,18 @@ class PlanAuditSpec extends SparkSuite {
       s"incremental dedup must join on band keys, not cross:\n$plan")
   }
 
+  test("h_tokenize_ids: the vocab apply-join broadcasts (tokenization is scan-local)") {
+    // the trained vocab is tiny; if the apply pass ever shuffles the
+    // exploded token stream to meet the vocab, tokenizing 100 TB costs a
+    // corpus-sized exchange instead of none
+    val plan = LlmOps.hTokenizeIds(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"vocab must broadcast to the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the apply join must not shuffle the token stream:\n$plan")
+  }
+
   test("a_zorder_layout: clustering key is a scan-local projection (no sort, no window)") {
     // the Morton key must be derived as arithmetic on the scan against the
     // broadcast 1-row extremes — a global sort or window here would be a
