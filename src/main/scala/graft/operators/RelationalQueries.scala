@@ -363,6 +363,36 @@ object RelationalQueries {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
       |ORDER BY r_name, o_orderstatus""".stripMargin
 
+  /** C: null-safe equi-join (`<=>`): a nullable-key fact joins a
+    * nullable-key dim and the NULL groups PAIR instead of vanishing —
+    * the semantics ported SQL needs for dimension keys that use NULL as
+    * a real category ('error' events here). Spark plans `<=>` as an
+    * ordinary hash join on the null-safe key (coalesce-wrapped), so the
+    * shuffle/broadcast story is identical to `=`; the final sort pins
+    * NULLS FIRST on both engines (DuckDB defaults NULLS LAST). */
+  def cJoinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """WITH ev AS (
+        |  SELECT event_id, nullif(event_type, 'error') AS k, value FROM events),
+        |dim AS (SELECT k, count(*) AS n_type FROM ev GROUP BY k)
+        |SELECT ev.k, count(*) AS n, min(dim.n_type) AS n_type,
+        |  CAST(sum(CAST(ev.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM ev JOIN dim ON ev.k <=> dim.k
+        |GROUP BY ev.k
+        |ORDER BY ev.k ASC NULLS FIRST""".stripMargin)
+  }
+
+  val cJoinNullsafeSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, nullif(event_type, 'error') AS k, value FROM events),
+      |dim AS (SELECT k, count(*) AS n_type FROM ev GROUP BY k)
+      |SELECT ev.k, count(*) AS n, min(dim.n_type) AS n_type,
+      |  CAST(sum(CAST(ev.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+      |GROUP BY ev.k
+      |ORDER BY ev.k NULLS FIRST""".stripMargin
+
   // ================================================================ D aggregation
 
   /** D: multi-aggregate with HAVING. */
@@ -548,6 +578,39 @@ object RelationalQueries {
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** D: UNPIVOT — the inverse of [[dPivot]]: three per-flag revenue
+    * components melt into (measure, total) rows via the native
+    * `Dataset.unpivot` (Spark lowers it to a single Expand over the
+    * aggregate — 3 output rows per input row, no shuffle beyond the
+    * aggregate's own). Melting AFTER aggregation means the Expand runs on
+    * flags×3 rows, not the corpus — the order every 100 TB melt wants. */
+  def dUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"),
+        dsum(col("l_tax")).as("tax"))
+    agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("price"), col("disc"), col("tax")),
+        "measure", "total")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  val dUnpivotSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc,
+      |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, total FROM (
+      |  SELECT l_returnflag, 'price' AS measure, price AS total FROM agg
+      |  UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
+      |  UNION ALL SELECT l_returnflag, 'tax', tax FROM agg)
+      |ORDER BY l_returnflag, measure""".stripMargin
 
   // ================================================================ E windows
 
@@ -928,11 +991,13 @@ object RelationalQueries {
     "c_join_semi_anti" -> (cJoinSemiAnti _),
     "c_join_range" -> (cJoinRange _),
     "c_join_cross" -> (cJoinCross _),
+    "c_join_nullsafe" -> (cJoinNullsafe _),
     "d_agg_having" -> (dAggHaving _),
     "d_agg_distinct" -> (dAggDistinct _),
     "d_percentile" -> (dPercentile _),
     "d_approx_quantile" -> (dApproxQuantile _),
     "d_pivot" -> (dPivot _),
+    "d_unpivot" -> (dUnpivot _),
     "e_window_ntile" -> (eWindowNtile _),
     "e_window_dist" -> (eWindowDist _),
     "e_window_firstlast" -> (eWindowFirstLast _),
@@ -967,11 +1032,13 @@ object RelationalQueries {
     "c_join_semi_anti" -> cJoinSemiAntiSql,
     "c_join_range" -> cJoinRangeSql,
     "c_join_cross" -> cJoinCrossSql,
+    "c_join_nullsafe" -> cJoinNullsafeSql,
     "d_agg_having" -> dAggHavingSql,
     "d_agg_distinct" -> dAggDistinctSql,
     "d_percentile" -> dPercentileSql,
     "d_approx_quantile" -> dApproxQuantileSql,
     "d_pivot" -> dPivotSql,
+    "d_unpivot" -> dUnpivotSql,
     "e_window_ntile" -> eWindowNtileSql,
     "e_window_dist" -> eWindowDistSql,
     "e_window_firstlast" -> eWindowFirstLastSql,
