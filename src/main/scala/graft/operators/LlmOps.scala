@@ -743,7 +743,7 @@ object LlmOps {
          |      'd', dot_product(s.sv, s.sv) - 2 * dot_product(s.sv, e.cv) + dot_product(e.cv, e.cv),
          |      'code', e.code)))[0].code AS code
          |  FROM rsub s JOIN rcbc c ON s.j = c.j)
-         |SELECT j AS subspace, code, count(*) AS n
+         |SELECT CAST(j AS BIGINT) AS subspace, code, count(*) AS n
          |FROM rassign GROUP BY j, code
          |ORDER BY subspace, code""".stripMargin)
   }
@@ -994,6 +994,120 @@ object LlmOps {
       |  FROM scored)
       |WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    * near-identical pairs WITHIN each cluster only — the published trick
+    * that turns the O(n²) all-pairs cosine sweep into k independent
+    * O((n/k)²) problems, with k grown alongside the corpus so cluster
+    * sizes stay bounded. Complements [[hNeardupEmbedding]] (sign-LSH
+    * banding finds near-IDENTICAL vectors; SemDeDup's cluster scope is
+    * what lets a production pipeline also prune merely semantically
+    * redundant ones by lowering τ). Reuses the exact seeded-Lloyd
+    * quantizer CTE from [[hAnnIvf]], so the DuckDB oracle replays
+    * identical centroids.
+    *
+    * The isotropic test corpus has no natural semantic dups (background
+    * cosine ≲ 0.55 at 64 dims), so the workload plants ±2 % perturbed
+    * copies of vectors 0–9 (ids +1,000,000, cosine ≈ 0.9998 — the
+    * [[hAnnLsh]] convention); the planted ids are excluded from the
+    * quantizer's training sample, mirroring index-then-ingest. Removal is
+    * the deterministic greedy rule: x is removed iff some same-cluster y
+    * with y.vec_id < x.vec_id has cosine(x,y) > τ = 0.99; its keeper is
+    * the smallest such y. Output = the removal log (removed, keeper,
+    * cluster, cosine).
+    *
+    * Scale shape: the 16 centroids collect into ONE row and broadcast, so
+    * assignment is scan-local (the [[hAnnIvf]] pin); the only data-sized
+    * exchange is the c_id hash partition feeding the within-cluster
+    * self-join, whose pair volume is Σ|cluster|² — bounded by k's growth,
+    * never corpus². */
+  def hSemDedup(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH orig AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |base AS (
+         |  SELECT vec_id, v FROM orig
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0
+         |      THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END)
+         |  FROM orig WHERE vec_id < 10),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
+         |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)
+         |  CROSS JOIN cents),
+         |pairs AS (
+         |  SELECT x.vec_id AS removed_id, y.vec_id AS keeper_id, x.c_id,
+         |    dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+         |  FROM assigned x JOIN assigned y
+         |    ON x.c_id = y.c_id AND y.vec_id < x.vec_id),
+         |dups AS (SELECT * FROM pairs WHERE cosine > CAST(0.99 AS DOUBLE)),
+         |removal AS (
+         |  SELECT removed_id, min(keeper_id) AS keeper_id FROM dups GROUP BY removed_id)
+         |SELECT r.removed_id, r.keeper_id, d.c_id, round(d.cosine, 4) AS cosine
+         |FROM removal r JOIN dups d
+         |  ON d.removed_id = r.removed_id AND d.keeper_id = r.keeper_id
+         |ORDER BY removed_id""".stripMargin)
+  }
+
+  /** DuckDB replays the identical seeded-Lloyd centroid chain (the
+    * [[hAnnIvfSql]] pattern over the planted-union base), nearest-centroid
+    * assignment, and the within-cluster greedy prune. */
+  val hSemDedupSql: String =
+    """WITH orig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, v FROM orig
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(v, (x, i) -> CASE WHEN i % 2 = 0
+      |      THEN x * CAST(1.02 AS DOUBLE) ELSE x * CAST(0.98 AS DOUBLE) END)
+      |  FROM orig WHERE vec_id < 10),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |centn AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, c_id FROM (
+      |    SELECT b.vec_id, b.v, sqrt(list_dot_product(b.v, b.v)) AS nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |        list_dot_product(b.v, c.cv) / (sqrt(list_dot_product(b.v, b.v)) * c.cnrm) DESC,
+      |        c.c_id) AS rn
+      |    FROM base b CROSS JOIN centn c)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT x.vec_id AS removed_id, y.vec_id AS keeper_id, x.c_id,
+      |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+      |  FROM assigned x JOIN assigned y ON x.c_id = y.c_id AND y.vec_id < x.vec_id),
+      |dups AS (SELECT * FROM pairs WHERE cosine > CAST(0.99 AS DOUBLE)),
+      |removal AS (
+      |  SELECT removed_id, min(keeper_id) AS keeper_id FROM dups GROUP BY removed_id)
+      |SELECT r.removed_id, r.keeper_id, d.c_id, round(d.cosine, 4) AS cosine
+      |FROM removal r JOIN dups d
+      |  ON d.removed_id = r.removed_id AND d.keeper_id = r.keeper_id
+      |ORDER BY r.removed_id""".stripMargin
 
   // ================================================================ text analysis
 
@@ -1527,6 +1641,7 @@ object LlmOps {
     "h_bpe_pairs" -> (hBpePairs _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
+    "h_semdedup" -> (hSemDedup _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
     "h_modality_join" -> (hModalityJoin _),
@@ -1553,6 +1668,7 @@ object LlmOps {
     "h_bpe_pairs" -> hBpePairsSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
+    "h_semdedup" -> hSemDedupSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,
     "h_modality_join" -> hModalityJoinSql,

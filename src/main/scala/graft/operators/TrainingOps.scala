@@ -512,6 +512,69 @@ object TrainingOps {
       |  max(tokens) AS max_chunk_tokens, max(n_docs) AS max_chunk_docs
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==================================================== chunking
+
+  /** Overlapping-window document chunking — the RAG-indexing / long-doc
+    * preprocessing INVERSE of [[hSeqPacking]]: packing concatenates many
+    * short docs into one context window; chunking SPLITS each doc into
+    * fixed-size token windows (W = 128) advanced by a stride (S = 96, so
+    * 32 tokens of boundary overlap survive in both neighbors). Chunk
+    * count per doc is the exact integer ceil((n − 32) / 96) (min 1) via
+    * `floor((n + 63) / 96.0)` — exact in doubles at any real doc length,
+    * no libm. Window extraction is a scan-local `slice` under the exploded
+    * chunk index, so the operator is embarrassingly parallel: zero
+    * shuffles until the final per-language accounting aggregate (and at
+    * 100 TB the chunks would stream straight to the sink — the aggregate
+    * here is the observable, not the product).
+    *
+    * The output pins CONTENT, not just counts: summed token and character
+    * volumes over every produced chunk, where overlap makes `sum_tokens`
+    * exceed the corpus token count by exactly the re-consumed boundary
+    * windows — a cross-engine slice-boundary check. */
+  def hChunking(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |nn AS (SELECT doc_id, lang, t, size(t) AS n FROM tok),
+        |idx AS (
+        |  SELECT doc_id, lang, t, n,
+        |    explode(sequence(1, greatest(1, CAST(floor((n + 63) / 96.0) AS INT)))) AS ci
+        |  FROM nn),
+        |ch AS (
+        |  SELECT lang, doc_id, ci, slice(t, 1 + (ci - 1) * 96, 128) AS chunk
+        |  FROM idx)
+        |SELECT lang,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(size(chunk)) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(length(array_join(chunk, ' '))) AS BIGINT) AS sum_chars,
+        |  CAST(max(ci) AS BIGINT) AS max_chunks
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB replays the chunk-count arithmetic and the inclusive 1-based
+    * list slice (`t[a : least(n, a+127)]` ≡ Spark `slice(t, a, 128)`). */
+  val hChunkingSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |nn AS (SELECT doc_id, lang, t, len(t) AS n FROM tok),
+      |idx AS (
+      |  SELECT doc_id, lang, t, n,
+      |    unnest(generate_series(1, greatest(1, CAST(floor((n + 63) / 96.0) AS BIGINT)))) AS ci
+      |  FROM nn),
+      |ch AS (
+      |  SELECT lang, doc_id, ci,
+      |    t[(1 + (ci - 1) * 96) : least(n, (ci - 1) * 96 + 128)] AS chunk
+      |  FROM idx)
+      |SELECT lang,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(len(chunk)) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(length(array_to_string(chunk, ' '))) AS BIGINT) AS sum_chars,
+      |  CAST(max(ci) AS BIGINT) AS max_chunks
+      |FROM ch GROUP BY lang ORDER BY lang""".stripMargin
+
   // ==================================================== repetition filter
 
   /** Gopher-style repetition signals (Rae et al. 2021, table A1): a
@@ -821,7 +884,7 @@ object TrainingOps {
         |      'd', dot_product(s.sv, s.sv) - 2 * dot_product(s.sv, e.cv) + dot_product(e.cv, e.cv),
         |      'code', e.code)))[0].code AS code
         |  FROM sub s JOIN cbc c ON s.j = c.j)
-        |SELECT j AS subspace, code, count(*) AS n
+        |SELECT CAST(j AS BIGINT) AS subspace, code, count(*) AS n
         |FROM assign GROUP BY j, code
         |ORDER BY subspace, code""".stripMargin)
   }
@@ -892,6 +955,7 @@ object TrainingOps {
     "h_dup_clusters" -> (hDupClusters _),
     "h_sample_split" -> (hSampleSplit _),
     "h_seq_packing" -> (hSeqPacking _),
+    "h_chunking" -> (hChunking _),
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
     "h_domain_mix" -> (hDomainMix _),
@@ -908,6 +972,7 @@ object TrainingOps {
     "h_dup_clusters" -> hDupClustersSql,
     "h_sample_split" -> hSampleSplitSql,
     "h_seq_packing" -> hSeqPackingSql,
+    "h_chunking" -> hChunkingSql,
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
     "h_domain_mix" -> hDomainMixSql,

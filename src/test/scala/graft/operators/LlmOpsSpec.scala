@@ -117,4 +117,19 @@ class LlmOpsSpec extends SparkSuite {
       assert(nDocs == nPaired + nDocOnly, s"$lang: $nDocs != $nPaired + $nDocOnly")
     }
   }
+
+  test("h_semdedup: removes exactly the planted copies, each kept by its original") {
+    val rows = LlmOps.hSemDedup(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // ten perturbed copies are planted; the greedy within-cluster prune
+    // must remove each copy in favor of its lower-id original and must
+    // never touch a genuine corpus vector (background cosine ≪ τ)
+    assert(rows.length == 10, s"expected the 10 planted dups, got ${rows.length}")
+    rows.foreach { case (removed, keeper, cos) =>
+      assert(removed >= 1000000L, s"removed a genuine corpus vector: $removed")
+      assert(keeper == removed - 1000000L,
+        s"keeper of $removed should be its original, got $keeper")
+      assert(cos > 0.99, s"planted-pair cosine should clear tau, got $cos")
+    }
+  }
 }

@@ -92,4 +92,21 @@ class TrainingOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(pruned === plain)
   }
+
+  test("h_chunking: overlap accounting is exact — sum_tokens = corpus + 32·(chunks − docs)") {
+    val rows = TrainingOps.hChunking(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.load(spark, SparkSpec.sf0001, "documents")
+      .groupBy(col("lang")).agg(sum(size(split(col("text"), " "))).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, nDocs, nChunks, sumTokens) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // every non-final window re-consumes exactly the 32-token boundary,
+      // so total emitted tokens exceed the corpus by 32 per extra chunk
+      assert(sumTokens == corpus(lang) + 32 * (nChunks - nDocs),
+        s"$lang: $sumTokens tokens vs corpus ${corpus(lang)} + 32*(${nChunks}-${nDocs})")
+      assert(nChunks >= nDocs)
+    }
+  }
 }
