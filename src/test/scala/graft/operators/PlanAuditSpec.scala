@@ -257,4 +257,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"ORDER BY + LIMIT 100 must plan per-partition top-k:\n$plan")
   }
+
+  test("h_semdedup: assignment is scan-local; the only corpus shuffle keys on c_id") {
+    // SemDeDup's whole point is bounding pair volume to Σ|cluster|²: the
+    // corpus must never cross-join itself or hash on vec_id — centroids
+    // broadcast as one collected row, and the within-cluster self-join is
+    // the single c_id-keyed exchange
+    val plan = LlmOps.hSemDedup(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-sized cartesian in the semantic dedup:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"assignment must not exchange on vec_id:\n$plan")
+    assert(plan.contains("hashpartitioning(c_id"),
+      s"expected the within-cluster self-join keyed on c_id:\n$plan")
+  }
+
+  test("h_chunking: embarrassingly parallel — no join/window, exchanges only for the lang aggregate") {
+    val plan = TrainingOps.hChunking(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"chunking must stay a scan-local explode + slice:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffles.forall(_.contains("lang")),
+      s"every exchange must belong to the per-lang accounting aggregate:\n$plan")
+  }
 }
