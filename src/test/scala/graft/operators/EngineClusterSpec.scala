@@ -30,7 +30,8 @@ class EngineClusterSpec extends AnyFunSuite {
     "h_embed_quantize", // Int8QuantStatsExpr over array columns
     "h_ivfpq_search",   // two checkpointed collects + broadcast LUT join
     "a_dpp_prune",      // dynamic partition-pruning subquery cross-process
-    "h_dedup_incremental") // checkpointed band index consumed by remote executors
+    "h_dedup_incremental", // checkpointed band index consumed by remote executors
+    "h_semdedup")       // broadcast centroid collect + c_id self-join cross-process
 
   test("declared queries return identical results under multi-process execution") {
     assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
