@@ -288,6 +288,42 @@ object FormatOps {
     """SELECT count(DISTINCT l_partkey) AS n_exact, true AS within_tolerance
       |FROM lineitem""".stripMargin
 
+  /** Mergeable-sketch distinct counting — the property that makes
+    * approximate aggregates actually work at 100 TB: each shard builds its
+    * own HLL sketch independently (here 8 hash shards standing in for 8
+    *000 files/partitions), the sketches — a few KB each, NOT the raw keys
+    * — are unioned, and the merged estimate must still land within
+    * tolerance of the exact per-group distinct count. This is what lets a
+    * daily pipeline keep per-partition sketches and answer "distinct
+    * customers this quarter" without ever re-scanning the quarter.
+    * `lgConfigK = 14` (Spark's datasketches HLL, ±~1 % rse) against the
+    * same ±5 % contract [[dAggApprox]] pins; DuckDB supplies the exact
+    * side, the boolean carries the sketch-union verdict. */
+  def dHllUnion(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH shard AS (
+        |  SELECT o_orderstatus, o_orderkey % 8 AS shard,
+        |    hll_sketch_agg(o_custkey, 14) AS sk
+        |  FROM orders GROUP BY o_orderstatus, o_orderkey % 8),
+        |merged AS (
+        |  SELECT o_orderstatus, hll_sketch_estimate(hll_union_agg(sk)) AS est
+        |  FROM shard GROUP BY o_orderstatus),
+        |exact AS (
+        |  SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT e.o_orderstatus, e.n_exact,
+        |  abs(m.est - e.n_exact) / CAST(e.n_exact AS DOUBLE) <= 0.05
+        |    AS within_tolerance
+        |FROM exact e JOIN merged m ON e.o_orderstatus = m.o_orderstatus
+        |ORDER BY e.o_orderstatus""".stripMargin)
+  }
+
+  val dHllUnionSql: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+      |  true AS within_tolerance
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_csv_roundtrip" -> (aCsvRoundtrip _),
     "a_json_roundtrip" -> (aJsonRoundtrip _),
@@ -297,7 +333,8 @@ object FormatOps {
     "a_dpp_prune" -> (aDppPrune _),
     "a_zorder_layout" -> (aZorderLayout _),
     "a_schema_evolution" -> (aSchemaEvolution _),
-    "d_agg_approx" -> (dAggApprox _)
+    "d_agg_approx" -> (dAggApprox _),
+    "d_hll_union" -> (dHllUnion _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -309,6 +346,7 @@ object FormatOps {
     "a_dpp_prune" -> aDppPruneSql,
     "a_zorder_layout" -> aZorderLayoutSql,
     "a_schema_evolution" -> aSchemaEvolutionSql,
-    "d_agg_approx" -> dAggApproxSql
+    "d_agg_approx" -> dAggApproxSql,
+    "d_hll_union" -> dHllUnionSql
   )
 }
