@@ -533,6 +533,13 @@ object TrainingOps {
     * windows — a cross-engine slice-boundary check. */
   def hChunking(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
+    chunkingDf(s)
+  }
+
+  /** The chunking program against whatever `documents` view is registered —
+    * split out so specs can drive synthetic corpora through the exact
+    * declared SQL (boundary lengths n = 32/33/128/129/224/225…). */
+  private[operators] def chunkingDf(s: SparkSession): DataFrame = {
     s.sql(
       """WITH tok AS (
         |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),

@@ -109,4 +109,23 @@ class TrainingOpsSpec extends SparkSuite {
       assert(nChunks >= nDocs)
     }
   }
+
+  test("h_chunking: chunk count is exact at the window/stride boundaries") {
+    // ceil((n-32)/96) min 1: a doc shorter than one window yields one
+    // chunk; n=129 is the first length needing two; n=225 the first
+    // needing three. Each length is its own lang so the declared
+    // per-lang aggregate exposes every case separately.
+    import spark.implicits._
+    val lengths = Seq(1, 32, 33, 128, 129, 224, 225, 320, 321)
+    lengths.map { n => (n.toLong, Seq.fill(n)("w").mkString(" "), s"L$n") }
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = TrainingOps.chunkingDf(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def expChunks(n: Int) = math.max(1, math.ceil((n - 32) / 96.0).toInt)
+    lengths.foreach { n =>
+      val (chunks, toks) = got(s"L$n")
+      assert(chunks == expChunks(n), s"n=$n: $chunks chunks, want ${expChunks(n)}")
+      assert(toks == n + 32 * (chunks - 1), s"n=$n: token conservation broke")
+    }
+  }
 }
