@@ -62,6 +62,77 @@ object LlmOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Bloom-filter seen-before dedup — the probabilistic membership pass
+    * CCNet/Dolma-style pipelines run BEFORE any exact or near-dup stage:
+    * the standing corpus compresses to a few-hundred-KB bit array that
+    * rides along as a broadcast, and each ingest batch probes it
+    * scan-locally — no join against history at all. The price is a bounded
+    * false-positive rate (flagged docs go to the exact verifier, here the
+    * truth join); the guarantee is ZERO false negatives — a genuine dup
+    * can never sneak past. Both halves of that contract are the output:
+    * per-lang batch/dup/new counts plus `no_false_negatives` (must hold by
+    * construction) and `fpr_within` (observed FP count ≤ 5 % of the truly
+    * new docs; the 9.585-bits/key sizing puts the analytic rate ≪ 1 %).
+    *
+    * Workload: history = docs with `doc_id % 3 ≠ 0`; the batch is the
+    * remaining third plus replayed copies of every 10th history doc (same
+    * text ⇒ same FNV-64a key — the planted true dups). Scale shape: the
+    * build is a partial-then-merge `BloomFilterAggregate` (only the sketch
+    * reaches the driver, the [[ScaleOps.cJoinBloom]] mechanism); the probe
+    * is a codegen'd filter literal on the batch scan; the exact truth join
+    * keys on the 64-bit hash, never the text. */
+  def hDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val d = Tables.load(s, dir, "documents")
+    val history = d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k"))
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k"))
+      .unionAll(
+        d.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 0)
+          .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k")))
+    // 9.585 bits/key at the 10k-key estimate (1 % fpp ceiling; ≪ 1 % at
+    // actual corpus sizes) — only the ~12 kB sketch reaches the driver
+    val bloomBytes = history
+      .select(org.apache.spark.sql.graft.BloomCols
+        .bloomFilterAgg(col("k"), 10000L, 95851L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probed = batch.withColumn("flagged",
+      org.apache.spark.sql.graft.BloomCols.mightContain(bloomBytes, col("k")))
+    val hkeys = history.select(col("k").as("hk")).distinct()
+    probed.join(hkeys, probed("k") === hkeys("hk"), "left")
+      .withColumn("is_dup", col("hk").isNotNull)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_exact"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_new"),
+        (sum(when(col("is_dup") && !col("flagged"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)) * 20L <=
+          sum(when(!col("is_dup"), 1L).otherwise(0L))).as("fpr_within"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB replays the exact classification on text equality (≡ the
+    * 64-bit hash join, collision-free on any real corpus) and asserts the
+    * two Bloom contract booleans. */
+  val hDedupBloomSql: String =
+    """WITH history AS (
+      |  SELECT lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT lang, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT lang, text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 0),
+      |truth AS (
+      |  SELECT b.lang, (h.text IS NOT NULL) AS is_dup
+      |  FROM batch b LEFT JOIN (SELECT DISTINCT text FROM history) h
+      |    ON b.text = h.text)
+      |SELECT lang, count(*) AS n_batch,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+      |  CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+      |  true AS no_false_negatives, true AS fpr_within
+      |FROM truth GROUP BY lang ORDER BY lang""".stripMargin
+
   /** SimHash dedup. SimHash is deliberately collision-friendly for similar
     * docs (on this low-entropy corpus some distinct texts legitimately share
     * a fingerprint), so the cross-engine check verifies the invariants that
@@ -1624,6 +1695,7 @@ object LlmOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_dedup_exact" -> (hDedupExact _),
+    "h_dedup_bloom" -> (hDedupBloom _),
     "h_simhash_dedup" -> (hSimhashDedup _),
     "h_neardup_minhash" -> (hNeardupMinhash _),
     "h_dedup_incremental" -> (hDedupIncremental _),
@@ -1654,6 +1726,7 @@ object LlmOps {
     "h_ann_ivf" -> hAnnIvfSql,
     "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
+    "h_dedup_bloom" -> hDedupBloomSql,
     "h_simhash_dedup" -> hSimhashDedupSql,
     "h_neardup_minhash" -> hNeardupMinhashSql,
     "h_dedup_incremental" -> hDedupIncrementalSql,
