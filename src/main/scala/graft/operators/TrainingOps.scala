@@ -582,6 +582,69 @@ object TrainingOps {
       |  CAST(max(ci) AS BIGINT) AS max_chunks
       |FROM ch GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==================================================== corpus snapshot diff
+
+  /** Corpus snapshot diff — the dataset-versioning accounting every
+    * recurring crawl needs: given two corpus generations, classify each
+    * doc_id as unchanged / changed (same id, different content hash) /
+    * added / removed, per language. The v2 generation is derived
+    * deterministically from v1: every 11th doc dropped (removed), every
+    * 7th mutated by the established first-word strip (changed), every 13th
+    * replayed under a new id (added) — so both engines can rebuild the
+    * same pair of snapshots from one table.
+    *
+    * Scale shape: ONE full outer join keyed on doc_id (the natural
+    * partition key both snapshots already share in a real lake layout, so
+    * bucketed storage makes this zero-shuffle), comparing 64-bit content
+    * hashes — text never crosses the exchange twice; the classification
+    * is a scan-local CASE over the join output feeding a (lang, status)
+    * aggregate with map-side partials. */
+  def hCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, fnv64a(text) AS h FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, lang,
+        |    fnv64a(CASE WHEN doc_id % 7 = 0
+        |      THEN regexp_replace(text, '^\\S+\\s+', '') ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, fnv64a(concat('new ', text))
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(a.lang, b.lang) AS lang,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h = b.h THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT lang, status, count(*) AS n
+        |FROM j GROUP BY lang, status ORDER BY lang, status""".stripMargin)
+  }
+
+  /** DuckDB rebuilds both snapshots and classifies on text equality —
+    * identical to the 64-bit hash comparison on any real corpus. */
+  val hCorpusDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN regexp_replace(text, '^\S+\s+', '') ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, concat('new ', text)
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT coalesce(a.lang, b.lang) AS lang,
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN a.text = b.text THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT lang, status, count(*) AS n
+      |FROM j GROUP BY lang, status ORDER BY lang, status""".stripMargin
+
   // ==================================================== repetition filter
 
   /** Gopher-style repetition signals (Rae et al. 2021, table A1): a
@@ -963,6 +1026,7 @@ object TrainingOps {
     "h_sample_split" -> (hSampleSplit _),
     "h_seq_packing" -> (hSeqPacking _),
     "h_chunking" -> (hChunking _),
+    "h_corpus_diff" -> (hCorpusDiff _),
     "h_repetition" -> (hRepetition _),
     "h_domain_cap" -> (hDomainCap _),
     "h_domain_mix" -> (hDomainMix _),
@@ -980,6 +1044,7 @@ object TrainingOps {
     "h_sample_split" -> hSampleSplitSql,
     "h_seq_packing" -> hSeqPackingSql,
     "h_chunking" -> hChunkingSql,
+    "h_corpus_diff" -> hCorpusDiffSql,
     "h_repetition" -> hRepetitionSql,
     "h_domain_cap" -> hDomainCapSql,
     "h_domain_mix" -> hDomainMixSql,
