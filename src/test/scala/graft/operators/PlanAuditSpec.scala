@@ -273,6 +273,28 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the within-cluster self-join keyed on c_id:\n$plan")
   }
 
+  test("h_dedup_bloom: the probe is a scan-local filter, never a join against history") {
+    // the operator's whole value is that the batch classifies against a
+    // broadcast-sized sketch: the flagged column must come from a
+    // BloomFilterMightContain filter/projection on the batch scan — the
+    // only join in the plan is the exact-truth side on the 64-bit key
+    val plan = LlmOps.hDedupBloom(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the codegen bloom probe in the batch scan stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"bloom pass must not cross-join:\n$plan")
+  }
+
+  test("h_corpus_diff: one doc_id-keyed full outer join, text never joins") {
+    val plan = TrainingOps.hCorpusDiff(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"snapshot diff needs the full outer join:\n$plan")
+    // classification compares 64-bit hashes computed below the join —
+    // the join itself must key on doc_id only
+    assert(plan.linesIterator.filter(_.contains("SortMergeJoin")).forall(_.contains("doc_id")),
+      s"the diff join must key on doc_id:\n$plan")
+  }
+
   test("h_chunking: embarrassingly parallel — no join/window, exchanges only for the lang aggregate") {
     val plan = TrainingOps.hChunking(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
