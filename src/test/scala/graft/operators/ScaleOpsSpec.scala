@@ -83,6 +83,37 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("AQE converts a planned shuffle join to broadcast from runtime stats") {
+    // third member of the runtime-re-plan trio (skew split, partition
+    // coalesce, and THIS — DynamicJoinSelection/replanning): the static
+    // planner, denied size stats (autoBroadcastJoinThreshold=-1), plans a
+    // SortMergeJoin; after the build side materializes and turns out tiny,
+    // AQE must re-plan the join as a BroadcastHashJoin. On a 1000-executor
+    // cluster this is what rescues every join whose dim-side ESTIMATE was
+    // inflated (post-filter cardinality, fresh tables with no stats).
+    import org.apache.spark.sql.functions._
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(0, 200000).select((col("id") % 1000).as("k"), col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val df = fact.join(dim, "k").agg(sum(col("v") + col("w")).as("s"))
+      val staticPlan = df.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("SortMergeJoin"),
+        s"precondition: the static plan must start as a shuffle join:\n$staticPlan")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not promote the tiny build side to broadcast:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join result") {
     import org.apache.spark.sql.functions._
     val plain = graft.Tables.load(spark, SparkSpec.sf0001, "lineitem")
