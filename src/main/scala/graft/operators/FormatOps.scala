@@ -78,6 +78,37 @@ object FormatOps {
     aggShape(s.read.orc(out))
   }
 
+  /** Avro write → read → aggregate — the row-oriented interchange format
+    * (Kafka/Connect lineages land corpora as Avro container files; Spark
+    * 4 ships the format in core). Row-major means no column pruning at
+    * the scan, so at 100 TB Avro is an INGEST format to convert from,
+    * never the analytic store — the roundtrip proves the conversion path
+    * both ways. */
+  def aAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "avro")
+    // the classes ship in spark-sql but this distribution's service file
+    // doesn't alias "avro" — address the FileFormat by class name
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    eventsSubset(s, dir).write.mode("overwrite").format(avro).save(out)
+    aggShape(s.read.format(avro).load(out))
+  }
+
+  /** XML write → read (explicit schema; one row element per event) →
+    * aggregate — the document-interchange path (feeds, dumps like
+    * Wikipedia/PubMed arrive as XML; Spark 4 ships the former spark-xml
+    * in core). Explicit schema on read: XML infers doubles loosely, and a
+    * 100 TB ingest should never pay inference's extra pass anyway. */
+  def aXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "xml")
+    eventsSubset(s, dir).write.mode("overwrite")
+      .option("rowTag", "event").format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    aggShape(s.read.schema(schema).option("rowTag", "event").format("xml").load(out))
+  }
+
   /** Hive-style partitioned layout: write events bucketed into
     * `event_type=<v>/` directories, then read back ONE partition. The
     * filter must resolve at PLANNING time from directory names — the scan's
@@ -329,6 +360,8 @@ object FormatOps {
     "a_json_roundtrip" -> (aJsonRoundtrip _),
     "a_parquet_roundtrip" -> (aParquetRoundtrip _),
     "a_orc_roundtrip" -> (aOrcRoundtrip _),
+    "a_avro_roundtrip" -> (aAvroRoundtrip _),
+    "a_xml_roundtrip" -> (aXmlRoundtrip _),
     "a_partitioned_prune" -> (aPartitionedPrune _),
     "a_dpp_prune" -> (aDppPrune _),
     "a_zorder_layout" -> (aZorderLayout _),
@@ -342,6 +375,8 @@ object FormatOps {
     "a_json_roundtrip" -> aggShapeSql,
     "a_parquet_roundtrip" -> aggShapeSql,
     "a_orc_roundtrip" -> aggShapeSql,
+    "a_avro_roundtrip" -> aggShapeSql,
+    "a_xml_roundtrip" -> aggShapeSql,
     "a_partitioned_prune" -> aPartitionedPruneSql,
     "a_dpp_prune" -> aDppPruneSql,
     "a_zorder_layout" -> aZorderLayoutSql,
