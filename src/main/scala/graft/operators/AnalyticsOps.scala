@@ -1,0 +1,433 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SURVEY.md §2.2 additions (round 9, second half): the event-stream
+  * analytics and lake-maintenance operators a production deployment runs
+  * NEXT TO the curation pipeline — conversion funnels and cohort retention
+  * over the event log, gap-filled time-series resampling, exact-moment
+  * linear regression, compaction planning for the small-file problem, an
+  * inverted index build, and MERGE-style corpus upsert.
+  *
+  * Scale posture (100 TB):
+  *  - The funnel and cohort queries only ever shuffle on `user_id` — the
+  *    key the event log is naturally bucketed on in a real deployment, so
+  *    every stage co-partitions and AQE coalesces the tiny tails. Nothing
+  *    materializes per-user state beyond a single timestamp.
+  *  - Gap-fill generates the calendar axis from a 1-row bounds aggregate
+  *    (broadcast), so the dense axis never shuffles; the sparse side is a
+  *    pre-aggregated per-hour rollup, orders of magnitude smaller than the
+  *    raw log.
+  *  - Regression reduces the corpus to six exact integer moments per group
+  *    map-side (classic one-pass parallel OLS); only group×6 longs cross
+  *    the exchange. The float finish is a handful of IEEE ops on
+  *    exactly-agreed integers, so results are bit-identical cross-engine —
+  *    no libm, no order-dependent double sums.
+  *  - Compaction planning is one window cumulative-sum per partition-month
+  *    (the unit a table service compacts independently), binned by a
+  *    power-of-two target so the floor-division is exact in binary FP.
+  *  - The inverted index is explode → two-level hash aggregate keyed on
+  *    term; posting lists stay distributed (only the top-50 summary rows
+  *    reach the driver).
+  *  - Corpus merge is ONE doc_id-keyed full outer join (zero-shuffle under
+  *    the bucketed lake layout, same argument as h_corpus_diff) with the
+  *    action resolved scan-local per row.
+  */
+object AnalyticsOps {
+
+  private def events(s: SparkSession, dir: String): Unit =
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+
+  private def docs(s: SparkSession, dir: String): Unit =
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+
+  // ======================================================== event funnel
+
+  /** Conversion funnel with STRICT event ordering: a user converts at a
+    * stage only via an event that happens strictly after their entry into
+    * the previous stage (min-timestamp semantics, the standard product-
+    * analytics definition). Three user-keyed aggregations, each fed by a
+    * type-pruned scan (the `event_type` filter reaches the parquet reader);
+    * the per-stage user sets carry one timestamp per user, so the joins are
+    * tiny-side broadcastable at any corpus size where the funnel is
+    * selective — and co-partitioned merge joins when it is not. */
+  def gEventFunnel(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(funnelBody("SELECT user_id, event_type, ts div 1000 AS tus FROM events"))
+  }
+
+  /** Stage ordering runs on epoch-micros BIGINT on both engines (the
+    * parquet timestamps are nanos-as-long on the Spark side, TIMESTAMP in
+    * DuckDB — the established `ts div 1000` ↔ `epoch_us(ts)` bridge). */
+  private def funnelBody(eventsSelect: String): String =
+    s"""WITH e AS ($eventsSelect),
+      |v AS (
+      |  SELECT user_id, min(tus) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.tus) AS t1
+      |  FROM e JOIN v ON e.user_id = v.user_id AND e.tus > v.t0
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.tus) AS t2
+      |  FROM e JOIN c ON e.user_id = c.user_id AND e.tus > c.t1
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click' AS stage, count(*) AS n_users FROM c
+      |UNION ALL SELECT '3_purchase' AS stage, count(*) AS n_users FROM p
+      |ORDER BY stage""".stripMargin
+
+  val gEventFunnelSql: String =
+    funnelBody("SELECT user_id, event_type, epoch_us(ts) AS tus FROM events")
+
+  // ==================================================== cohort retention
+
+  /** Weekly cohort retention: users grouped by the ISO week of their first
+    * event, activity counted per (cohort, week-offset) — the layout every
+    * growth dashboard reads. The first-seen table is one user-keyed
+    * aggregate; re-joining it to the log is the only other shuffle, and
+    * both key on `user_id`. The week offset stays in exact integer
+    * arithmetic (`floor(days/7)` over a non-negative day diff). */
+  def gCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH e AS (
+        |  SELECT user_id, timestamp_micros(ts div 1000) AS t FROM events),
+        |f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(t)) AS DATE) AS cohort_week
+        |  FROM e GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, f.cohort_week,
+        |    CAST(floor(datediff(CAST(e.t AS DATE), f.cohort_week) / 7.0) AS BIGINT) AS week_offset
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)
+  }
+
+  val gCohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, ts AS t FROM events),
+      |f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(t)) AS DATE) AS cohort_week
+      |  FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT e.user_id, f.cohort_week,
+      |    CAST(floor(date_diff('day', f.cohort_week, CAST(e.t AS DATE)) / 7.0) AS BIGINT) AS week_offset
+      |  FROM e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+      |FROM a GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ================================================= gap-filled resample
+
+  /** Gap-filled hourly resample of a sparse event stream (high-value
+    * purchases), rolled up per day — the time-series normalization step
+    * before any rate alerting or seasonality model: missing hours must
+    * surface as explicit zeros, not absent rows. The dense hour axis comes
+    * from `sequence()` over a 1-row bounds aggregate (broadcast, never
+    * shuffled); the sparse side is pre-aggregated per hour BEFORE the
+    * left join, so the join carries rollup-sized inputs only. Money sums
+    * go through DECIMAL(18,2), double out — the established exact
+    * contract. */
+  def gGapFill(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH e AS (
+        |  SELECT timestamp_micros(ts div 1000) AS t, event_type, value FROM events),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(t)) AS lo, date_trunc('hour', max(t)) AS hi
+        |  FROM e),
+        |hours AS (
+        |  SELECT explode(sequence(lo, hi, interval 1 hour)) AS h FROM bounds),
+        |sparse AS (
+        |  SELECT date_trunc('hour', t) AS h, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM e WHERE event_type = 'purchase' AND value > 140.0
+        |  GROUP BY date_trunc('hour', t)),
+        |filled AS (
+        |  SELECT hours.h, coalesce(sparse.n, 0) AS n,
+        |    coalesce(sparse.v, CAST(0 AS DECIMAL(18,2))) AS v
+        |  FROM hours LEFT JOIN sparse ON hours.h = sparse.h)
+        |SELECT CAST(h AS DATE) AS day,
+        |  count(*) AS n_hours,
+        |  sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_gap_hours,
+        |  sum(n) AS n_events,
+        |  CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM filled GROUP BY CAST(h AS DATE)
+        |ORDER BY day""".stripMargin)
+  }
+
+  /** DuckDB generates the same inclusive hour axis via the LIST form of
+    * generate_series (the table-function form only takes constants). */
+  val gGapFillSql: String =
+    """WITH e AS (SELECT ts AS t, event_type, value FROM events),
+      |bounds AS (
+      |  SELECT date_trunc('hour', min(t)) AS lo, date_trunc('hour', max(t)) AS hi
+      |  FROM e),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |sparse AS (
+      |  SELECT date_trunc('hour', t) AS h, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM e WHERE event_type = 'purchase' AND value > 140.0
+      |  GROUP BY date_trunc('hour', t)),
+      |filled AS (
+      |  SELECT hours.h, coalesce(sparse.n, 0) AS n,
+      |    coalesce(sparse.v, CAST(0 AS DECIMAL(18,2))) AS v
+      |  FROM hours LEFT JOIN sparse ON hours.h = sparse.h)
+      |SELECT CAST(h AS DATE) AS day,
+      |  count(*) AS n_hours,
+      |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM filled GROUP BY CAST(h AS DATE)
+      |ORDER BY day""".stripMargin
+
+  // ============================================ exact-moment regression
+
+  /** One-pass parallel OLS of extendedprice-in-whole-dollars on quantity,
+    * per return flag — regression as a training-data pipeline runs it (is
+    * document quality drifting with length? is shard size predicting
+    * latency?). The reduction keeps the six sufficient statistics (n, Σx,
+    * Σy, Σxy, Σx², Σy²) in EXACT BIGINT arithmetic — quantity is integral
+    * in the data and the price is floored to whole dollars, so the moments
+    * are bit-identical on any engine and any partitioning (integer
+    * addition commutes; a double-moment version would be order-dependent).
+    * The slope/intercept/r² finish is a fixed dag of IEEE-754 ops on those
+    * exactly-agreed integers, so even the floats match bit-for-bit.
+    * Map-side partial aggregation means only 6 longs per group cross the
+    * shuffle regardless of corpus size. */
+  def dRegression(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** DuckDB sums land in HUGEINT — cast back to BIGINT (exact at these
+    * magnitudes) before the identical double finish. */
+  val dRegressionSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, sx, sy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ================================================== compaction planner
+
+  /** Small-file compaction planning — the OPTIMIZE/bin-packing pass every
+    * lake table service runs: group a partition's files (here synthesized
+    * deterministically from lineitem: one "file" per 400-order slice per
+    * ship month) into target-sized rewrite bins by cumulative size. The
+    * plan is one window cumulative-sum per partition-month; months are
+    * independent, so a 1000-partition table plans 1000-way parallel with
+    * one local sort each. The 64 KiB target is a power of two, so the
+    * `floor(cum/65536)` bin id is EXACT in binary floating point — no
+    * engine disagreement at bin boundaries. */
+  def aCompactionBins(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH files AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    l_orderkey DIV 400 AS file_id,
+        |    count(*) * 64 + sum(CAST(l_quantity AS BIGINT)) * 8 AS size_bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT month, file_id, size_bytes,
+        |    CAST(floor(coalesce(sum(size_bytes) OVER (
+        |      PARTITION BY month ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 65536.0) AS BIGINT) AS bin
+        |  FROM files)
+        |SELECT month, bin,
+        |  count(*) AS n_files,
+        |  sum(size_bytes) AS bin_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM binned GROUP BY month, bin
+        |ORDER BY month, bin""".stripMargin)
+  }
+
+  val aCompactionBinsSql: String =
+    """WITH files AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |    l_orderkey // 400 AS file_id,
+      |    CAST(count(*) * 64 + sum(CAST(l_quantity AS BIGINT)) * 8 AS BIGINT) AS size_bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |binned AS (
+      |  SELECT month, file_id, size_bytes,
+      |    CAST(floor(coalesce(sum(size_bytes) OVER (
+      |      PARTITION BY month ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 65536.0) AS BIGINT) AS bin
+      |  FROM files)
+      |SELECT month, bin,
+      |  count(*) AS n_files,
+      |  CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+      |  min(file_id) AS first_file, max(file_id) AS last_file
+      |FROM binned GROUP BY month, bin
+      |ORDER BY month, bin""".stripMargin
+
+  // ===================================================== inverted index
+
+  /** Inverted-index build — term → (document frequency, collection
+    * frequency, posting checksum): the core structure behind every search
+    * and RAG retrieval layer, and the exact-substring lookup side of
+    * dedup tooling. One explode into (term, doc, position) and one
+    * two-level hash aggregate keyed on term; map-side partials collapse
+    * repeated terms before the exchange, so shuffle volume scales with
+    * the vocabulary, not the corpus. Posting lists stay distributed — the
+    * driver only sees the top-50 summary (TakeOrderedAndProject). The
+    * position-weighted checksum pins the full posting content without
+    * materializing lists. */
+  def hInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, p.pos, p.term
+        |  FROM tok LATERAL VIEW posexplode(t) p AS pos, term)
+        |SELECT term,
+        |  count(DISTINCT doc_id) AS df,
+        |  count(*) AS cf,
+        |  sum(doc_id * 1000 + pos) AS postings_checksum,
+        |  min(doc_id) AS first_doc
+        |FROM pos GROUP BY term
+        |ORDER BY cf DESC, term LIMIT 50""".stripMargin)
+  }
+
+  /** DuckDB's 1-based generate_subscripts maps to posexplode's 0-based
+    * position. */
+  val hInvertedIndexSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS term
+      |  FROM tok)
+      |SELECT term,
+      |  count(DISTINCT doc_id) AS df,
+      |  count(*) AS cf,
+      |  CAST(sum(doc_id * 1000 + pos) AS BIGINT) AS postings_checksum,
+      |  min(doc_id) AS first_doc
+      |FROM pos GROUP BY term
+      |ORDER BY cf DESC, term LIMIT 50""".stripMargin
+
+  // ======================================================= corpus merge
+
+  /** MERGE-style corpus upsert — the ACTION h_corpus_diff's accounting
+    * implies: apply a delta batch (updates, deletes, inserts, all derived
+    * deterministically from the corpus so both engines rebuild the same
+    * delta) to the standing corpus in one pass. Deletes win over updates
+    * when a doc matches both rules (the standard MERGE WHEN-clause
+    * priority). ONE full outer join keyed on doc_id — the natural lake
+    * partition key, so bucketed storage makes it zero-shuffle — with the
+    * action resolved scan-local; per-lang action counts plus post-merge
+    * corpus stats make every row's fate observable. */
+  def hCorpusMerge(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH delta AS (
+        |  SELECT doc_id, lang, CAST(NULL AS STRING) AS text, 'd' AS op
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, regexp_replace(text, '^\\S+\\s+', '') AS text, 'u' AS op
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, concat('ins ', text) AS text, 'i' AS op
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT coalesce(b.lang, d.lang) AS lang,
+        |    CASE WHEN d.op = 'd' THEN 'deleted'
+        |         WHEN d.op = 'u' THEN 'updated'
+        |         WHEN d.op = 'i' THEN 'inserted'
+        |         ELSE 'kept' END AS action,
+        |    CASE WHEN d.op = 'd' THEN NULL
+        |         WHEN d.op IS NOT NULL THEN d.text
+        |         ELSE b.text END AS text
+        |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+        |SELECT lang, action, count(*) AS n,
+        |  sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS total_chars
+        |FROM merged GROUP BY lang, action
+        |ORDER BY lang, action""".stripMargin)
+  }
+
+  val hCorpusMergeSql: String =
+    """WITH delta AS (
+      |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS text, 'd' AS op
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, regexp_replace(text, '^\S+\s+', '') AS text, 'u' AS op
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, lang, concat('ins ', text) AS text, 'i' AS op
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |merged AS (
+      |  SELECT coalesce(b.lang, d.lang) AS lang,
+      |    CASE WHEN d.op = 'd' THEN 'deleted'
+      |         WHEN d.op = 'u' THEN 'updated'
+      |         WHEN d.op = 'i' THEN 'inserted'
+      |         ELSE 'kept' END AS action,
+      |    CASE WHEN d.op = 'd' THEN NULL
+      |         WHEN d.op IS NOT NULL THEN d.text
+      |         ELSE b.text END AS text
+      |  FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+      |SELECT lang, action, count(*) AS n,
+      |  CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS BIGINT) AS total_chars
+      |FROM merged GROUP BY lang, action
+      |ORDER BY lang, action""".stripMargin
+
+  // ============================================================ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_event_funnel" -> (gEventFunnel _),
+    "g_cohort_retention" -> (gCohortRetention _),
+    "g_gap_fill" -> (gGapFill _),
+    "d_regression" -> (dRegression _),
+    "a_compaction_bins" -> (aCompactionBins _),
+    "h_inverted_index" -> (hInvertedIndex _),
+    "h_corpus_merge" -> (hCorpusMerge _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "g_event_funnel" -> gEventFunnelSql,
+    "g_cohort_retention" -> gCohortRetentionSql,
+    "g_gap_fill" -> gGapFillSql,
+    "d_regression" -> dRegressionSql,
+    "a_compaction_bins" -> aCompactionBinsSql,
+    "h_inverted_index" -> hInvertedIndexSql,
+    "h_corpus_merge" -> hCorpusMergeSql
+  )
+}

@@ -295,6 +295,61 @@ class PlanAuditSpec extends SparkSuite {
       s"the diff join must key on doc_id:\n$plan")
   }
 
+  test("g_event_funnel: stage scans are type-pruned and every join keys on user_id") {
+    val plan = AnalyticsOps.gEventFunnel(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("event_type")),
+      s"the per-stage event_type filter must reach the parquet scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel stages must stay equi-joins on user_id:\n$plan")
+  }
+
+  test("g_gap_fill: dense axis generated, sparse side pre-aggregated below the join") {
+    val plan = AnalyticsOps.gGapFill(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      s"the hour axis must come from sequence+explode, not a self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"gap fill must not cross-join the axis:\n$plan")
+  }
+
+  test("d_regression: one aggregate pass, scan pruned to the three used columns") {
+    val plan = AnalyticsOps.dRegression(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"the six-moment reduction must stay a single-pass aggregate:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey"),
+      s"scan must read exactly the regression columns:\n$readSchema")
+  }
+
+  test("a_compaction_bins: the cumulative-sum window partitions by month (no global sort)") {
+    val plan = AnalyticsOps.aCompactionBins(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("month")),
+      s"bin assignment must stay per-month parallel:\n$plan")
+  }
+
+  test("h_inverted_index: partial-aggregated, top-50 as TakeOrderedAndProject, lists never materialize") {
+    val plan = AnalyticsOps.hInvertedIndex(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must plan per-partition top-k, not a global sort:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"posting lists must stay distributed:\n$plan")
+  }
+
+  test("h_corpus_merge: one doc_id-keyed full outer join resolves the merge") {
+    val plan = AnalyticsOps.hCorpusMerge(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"merge needs the full outer join:\n$plan")
+    assert(plan.linesIterator.filter(_.contains("SortMergeJoin")).forall(_.contains("doc_id")),
+      s"the merge join must key on doc_id:\n$plan")
+  }
+
   test("h_chunking: embarrassingly parallel — no join/window, exchanges only for the lang aggregate") {
     val plan = TrainingOps.hChunking(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
