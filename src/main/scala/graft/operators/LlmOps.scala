@@ -72,7 +72,9 @@ object LlmOps {
     * can never sneak past. Both halves of that contract are the output:
     * per-lang batch/dup/new counts plus `no_false_negatives` (must hold by
     * construction) and `fpr_within` (observed FP count ≤ 5 % of the truly
-    * new docs; the 9.585-bits/key sizing puts the analytic rate ≪ 1 %).
+    * new docs; the filter is sized from a count of the actual history keys
+    * at 9.585 bits/key — a 1 % design fpp — so the analytic rate holds at
+    * every scale, never a fixed capacity the data can outgrow).
     *
     * Workload: history = docs with `doc_id % 3 ≠ 0`; the batch is the
     * remaining third plus replayed copies of every 10th history doc (same
@@ -91,11 +93,17 @@ object LlmOps {
       .unionAll(
         d.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 0)
           .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k")))
-    // 9.585 bits/key at the 10k-key estimate (1 % fpp ceiling; ≪ 1 % at
-    // actual corpus sizes) — only the ~12 kB sketch reaches the driver
+    // Size the filter FROM the data, not a constant: one cheap count-only
+    // scan bounds the key population, then bits = ceil(-n·ln p / ln²2) at
+    // the 1 % design fpp (≈9.585 bits/key) — so the 5 % observed-FPR
+    // contract below holds with 5× headroom at ANY corpus scale, and the
+    // sketch stays ~1.2 B/key (a 10⁹-key history is a ~1.2 GB broadcast,
+    // the documented ceiling of this pass; beyond that, shard the filter).
+    val nKeys = math.max(history.count(), 1L)
+    val designBits = math.max(64L, math.ceil(nKeys * 9.585058).toLong)
     val bloomBytes = history
       .select(org.apache.spark.sql.graft.BloomCols
-        .bloomFilterAgg(col("k"), 10000L, 95851L).as("bf"))
+        .bloomFilterAgg(col("k"), nKeys, designBits).as("bf"))
       .head.getAs[Array[Byte]](0)
     val probed = batch.withColumn("flagged",
       org.apache.spark.sql.graft.BloomCols.mightContain(bloomBytes, col("k")))
