@@ -1445,6 +1445,88 @@ object LlmOps {
     * as the n-gram pipelines; the (lang, pair) aggregation map-side
     * combines within-partition repeats before the exchange, so the
     * shuffle carries distinct pairs, not corpus positions. */
+  /** Bigram-LM perplexity filter — the actual CCNet/RedPajama quality
+    * gate shape: TRAIN an n-gram language model on the standing corpus,
+    * SCORE held-out/incoming docs with it, histogram the scores for
+    * threshold tuning. The model is add-one-smoothed bigrams; per-bigram
+    * surprisal is the integer bit-length gap
+    * `floor(log2(ctx(w1)+V)) − floor(log2(cnt(w1,w2)+1))` via
+    * `length(bin(x))−1` — the same exact integer+string path as
+    * [[hLmQuality]], never libm log, so both engines agree bit-for-bit.
+    * Unseen bigrams (cnt=0) and unseen contexts (ctx=0) degrade smoothly
+    * through the +1/+V smoothing instead of dividing by zero. Docs land
+    * in 0.2-bit mean-surprisal buckets spanning 4.0–6.0 bits/bigram.
+    *
+    * Scale shape: the model is a (lang, bigram)-keyed aggregate with
+    * map-side partials (shuffle scales with the model vocabulary, not the
+    * corpus); scoring joins held-out bigrams to the model and context
+    * tables on their aggregation keys; vocab is one tiny per-lang row.
+    * Train/score split by doc_id % 3 — the same deterministic split rule
+    * the dedup passes use. */
+  def hBigramLm(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang,
+        |    concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS bg,
+        |    element_at(t, i) AS w1
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 1)) x AS i
+        |  WHERE size(t) >= 2),
+        |model AS (SELECT lang, bg, count(*) AS n FROM big WHERE doc_id % 3 <> 0 GROUP BY lang, bg),
+        |ctx AS (SELECT lang, w1, count(*) AS cn FROM big WHERE doc_id % 3 <> 0 GROUP BY lang, w1),
+        |voc AS (SELECT lang, count(DISTINCT w1) AS v FROM big WHERE doc_id % 3 <> 0 GROUP BY lang),
+        |held AS (SELECT doc_id, lang, bg, w1 FROM big WHERE doc_id % 3 = 0),
+        |sc AS (
+        |  SELECT h.doc_id, h.lang,
+        |    (length(bin(coalesce(c.cn, 0) + v.v)) - 1)
+        |      - (length(bin(coalesce(m.n, 0) + 1)) - 1) AS s
+        |  FROM held h
+        |  LEFT JOIN model m ON h.lang = m.lang AND h.bg = m.bg
+        |  LEFT JOIN ctx c ON h.lang = c.lang AND h.w1 = c.w1
+        |  JOIN voc v ON h.lang = v.lang),
+        |ds AS (
+        |  SELECT doc_id, lang, sum(s) AS bits, count(*) AS n
+        |  FROM sc GROUP BY doc_id, lang),
+        |m2 AS (
+        |  SELECT lang, CAST(round(1e4 * bits / n) AS BIGINT) AS mx FROM ds)
+        |SELECT lang, least(greatest((mx - 40000) DIV 2000, 0), 9) AS bucket,
+        |  count(*) AS n_docs
+        |FROM m2 GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin)
+  }
+
+  /** DuckDB trains and applies the identical model via list_transform
+    * bigrams; the integer bit-length surprisal path is shared exactly. */
+  val hBigramLmSql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+      |  FROM tok WHERE len(t) >= 2),
+      |model AS (SELECT lang, bg, count(*) AS n FROM big WHERE doc_id % 3 <> 0 GROUP BY lang, bg),
+      |ctx AS (SELECT lang, w1, count(*) AS cn FROM big WHERE doc_id % 3 <> 0 GROUP BY lang, w1),
+      |voc AS (SELECT lang, count(DISTINCT w1) AS v FROM big WHERE doc_id % 3 <> 0 GROUP BY lang),
+      |held AS (SELECT doc_id, lang, bg, w1 FROM big WHERE doc_id % 3 = 0),
+      |sc AS (
+      |  SELECT h.doc_id, h.lang,
+      |    (length(bin(coalesce(c.cn, 0) + v.v)) - 1)
+      |      - (length(bin(coalesce(m.n, 0) + 1)) - 1) AS s
+      |  FROM held h
+      |  LEFT JOIN model m ON h.lang = m.lang AND h.bg = m.bg
+      |  LEFT JOIN ctx c ON h.lang = c.lang AND h.w1 = c.w1
+      |  JOIN voc v ON h.lang = v.lang),
+      |ds AS (
+      |  SELECT doc_id, lang, CAST(sum(s) AS BIGINT) AS bits, count(*) AS n
+      |  FROM sc GROUP BY doc_id, lang),
+      |m2 AS (
+      |  SELECT lang, CAST(round(1e4 * bits / n) AS BIGINT) AS mx FROM ds)
+      |SELECT lang, least(greatest((mx - 40000) // 2000, 0), 9) AS bucket,
+      |  count(*) AS n_docs
+      |FROM m2 GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   def hBpePairs(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -1719,6 +1801,7 @@ object LlmOps {
     "h_vocab_topk" -> (hVocabTopk _),
     "h_tokenize_ids" -> (hTokenizeIds _),
     "h_bpe_pairs" -> (hBpePairs _),
+    "h_bigram_lm" -> (hBigramLm _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_semdedup" -> (hSemDedup _),
@@ -1747,6 +1830,7 @@ object LlmOps {
     "h_vocab_topk" -> hVocabTopkSql,
     "h_tokenize_ids" -> hTokenizeIdsSql,
     "h_bpe_pairs" -> hBpePairsSql,
+    "h_bigram_lm" -> hBigramLmSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_semdedup" -> hSemDedupSql,

@@ -976,12 +976,120 @@ object RelationalQueries {
       |WHERE o_orderkey <= 200
       |ORDER BY o_orderkey""".stripMargin
 
+  // ==================================================== q5 / recursive / lateral
+
+  /** TPC-H Q5 shape — the join-ORDERING showcase: six tables, one selective
+    * dim filter (region), two broadcastable dims (nation/region), and three
+    * fact tables (customer/orders/lineitem/supplier) that must shuffle on
+    * their keys. At 100 TB the plan that survives is exactly what Catalyst
+    * picks here: region∧nation broadcast into the supplier probe, the
+    * customer→orders→lineitem chain shuffled on custkey/orderkey with the
+    * date filter pushed into the orders scan, and AQE free to re-order.
+    * The c_nationkey = s_nationkey residual ("local supplier") rides the
+    * lineitem⋈supplier join rather than forcing an extra exchange. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Recursive CTE (WITH RECURSIVE, new in Spark 4) — transitive closure
+    * over a derived forest: part containment where `p_partkey DIV 8` is
+    * the parent, roots at keys 0–7 (key 0 is its own DIV-8 image, so the
+    * frontier join explicitly excludes anchor keys — the self-loop guard
+    * any closure over real foreign keys needs). Each iteration is ONE distributed
+    * equi-join of the frontier against `part` (never a driver loop), and
+    * the result aggregates per depth — count, exact key checksum, root
+    * count — so only log₈(N) iterations and a bounded result regardless of
+    * corpus size. The iterative-join shape is exactly how the hand-rolled
+    * label-propagation in TrainingOps works; this is the declarative form
+    * now expressible in pure SQL on both engines. */
+  def dRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """WITH RECURSIVE h(p_partkey, root, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 8
+        |  UNION ALL
+        |  SELECT p.p_partkey, h.root, h.depth + 1
+        |  FROM part p JOIN h ON p.p_partkey DIV 8 = h.p_partkey
+        |  WHERE p.p_partkey >= 8)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_parts,
+        |  CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT root) AS n_roots
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val dRecursiveCteSql: String =
+    """WITH RECURSIVE h(p_partkey, root, depth) AS (
+      |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 8
+      |  UNION ALL
+      |  SELECT p.p_partkey, h.root, h.depth + 1
+      |  FROM part p JOIN h ON p.p_partkey // 8 = h.p_partkey
+      |  WHERE p.p_partkey >= 8)
+      |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_parts,
+      |  CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+      |  count(DISTINCT root) AS n_roots
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** LATERAL correlated subquery — per-group top-N as a user writes it:
+    * for each nation, the 3 highest-balance customers via a correlated
+    * ORDER BY … LIMIT subquery. Catalyst decorrelates this into a
+    * partitioned window/top-k over the ONE customer shuffle keyed on
+    * nationkey — never a per-nation rescan of the table, which is the
+    * difference between O(dims·corpus) and O(corpus) at 100 TB. */
+  def dLateralTopn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name, l.c_custkey, l.bal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c.c_acctbal DESC, c_custkey LIMIT 3) l
+        |ORDER BY n.n_name, l.bal DESC, l.c_custkey""".stripMargin)
+  }
+
+  val dLateralTopnSql: String =
+    """SELECT n.n_name, l.c_custkey, l.bal
+      |FROM nation n JOIN LATERAL (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c.c_acctbal DESC, c_custkey LIMIT 3) l ON true
+      |ORDER BY n.n_name, l.bal DESC, l.c_custkey""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q18_top" -> (q18Top _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "d_recursive_cte" -> (dRecursiveCte _),
+    "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
     "b_subquery" -> (bSubquery _),
     "c_join_inner" -> (cJoinInner _),
@@ -1023,6 +1131,9 @@ object RelationalQueries {
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q18_top" -> q18TopSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "d_recursive_cte" -> dRecursiveCteSql,
+    "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,
     "b_subquery" -> bSubquerySql,
     "c_join_inner" -> cJoinInnerSql,

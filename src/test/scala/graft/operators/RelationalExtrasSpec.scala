@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkSuite}
+
+/** Semantic + plan invariants for the round-10 relational additions:
+  * TPC-H Q5 shape, recursive CTE closure, lateral top-n, bigram LM. */
+class RelationalExtrasSpec extends SparkSuite {
+
+  private val sf = SparkSpec.sf0001
+
+  test("q5_local_supplier: revenue positive, descending, and the date filter reaches the orders scan") {
+    val df = RelationalQueries.q5LocalSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5, "at most one row per ASIA nation")
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.forall(_ > 0))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue ordering broken")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders date filter did not push to the parquet scan:\n$plan")
+  }
+
+  test("d_recursive_cte: closure covers every part exactly once, roots only at depth 0") {
+    val rows = RelationalQueries.dRecursiveCte(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val parts = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(total == parts, s"closure visited $total of $parts parts")
+    val depth0 = rows.find(_.getLong(0) == 0L).get
+    assert(depth0.getLong(1) == 8L, "depth 0 must be exactly the 8 anchor keys")
+    assert(depth0.getLong(3) == 8L, "each anchor is its own root")
+    // key conservation: per-depth checksums sum to the full key range sum
+    val keySum = rows.map(_.getLong(2)).sum
+    assert(keySum == (parts - 1) * parts / 2, "key checksum not conserved")
+  }
+
+  test("d_lateral_topn: <=3 rows per nation, balances descend within each, and the plan is decorrelated") {
+    val df = RelationalQueries.dLateralTopn(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (n, rs) =>
+      assert(rs.length <= 3, s"$n returned ${rs.length} rows")
+      val bals = rs.map(_.getDouble(2))
+      assert(bals.zip(bals.tail).forall { case (a, b) => a >= b }, s"$n balance order broken")
+    }
+    // Catalyst must rewrite the correlated LIMIT into one partitioned
+    // window — a nested-loop per-nation rescan is the scale killer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), s"lateral top-n not decorrelated to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("h_bigram_lm: buckets in range, held-out docs conserved") {
+    val rows = LlmOps.hBigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9), "bucket out of range")
+    val scored = rows.map(_.getLong(2)).sum
+    // every held-out doc with >=2 tokens scores into exactly one bucket
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id % 3 = 0 AND size(split(text, ' ')) >= 2").count()
+    assert(scored == expected, s"scored $scored of $expected held-out docs")
+  }
+}
