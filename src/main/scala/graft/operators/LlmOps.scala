@@ -1445,6 +1445,135 @@ object LlmOps {
     * as the n-gram pipelines; the (lang, pair) aggregation map-side
     * combines within-partition repeats before the exchange, so the
     * shuffle carries distinct pairs, not corpus positions. */
+  /** Keyword-taxonomy classification — the domain-tagging pass mixture
+    * construction needs (label every doc so `h_domain_mix`-style
+    * temperature sampling can balance TOPICS, not just source fields).
+    * A broadcast keyword→topic table joins against exploded tokens; per-
+    * (doc, topic) hit counts reduce with map-side partials; argmax per doc
+    * with a deterministic count-desc/topic-asc tiebreak. Docs hitting no
+    * keyword simply drop out (the unlabeled residue a real pipeline routes
+    * to a model classifier). The per-doc window runs over ≤4 topic rows
+    * per doc — aggregation-sized, not corpus-sized. */
+  def hTaxonomyClassify(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH kw AS (
+        |  SELECT * FROM VALUES
+        |    ('table','storage'), ('row','storage'), ('column','storage'), ('scan','storage'),
+        |    ('join','exec'), ('hash','exec'), ('merge','exec'), ('sort','exec'),
+        |    ('stream','streaming'), ('batch','streaming'), ('window','streaming'),
+        |    ('fast','perf'), ('slow','perf') AS kw(tk, topic)),
+        |tokd AS (
+        |  SELECT doc_id, lang, tk
+        |  FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
+        |  LATERAL VIEW explode(t) e AS tk),
+        |hits AS (
+        |  SELECT t.doc_id, t.lang, k.topic, count(*) AS n
+        |  FROM tokd t JOIN kw k ON t.tk = k.tk
+        |  GROUP BY t.doc_id, t.lang, k.topic),
+        |best AS (
+        |  SELECT doc_id, lang, topic, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, topic) AS rnk
+        |  FROM hits)
+        |SELECT lang, topic, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS topic_hits
+        |FROM best WHERE rnk = 1
+        |GROUP BY lang, topic ORDER BY lang, topic""".stripMargin)
+  }
+
+  val hTaxonomyClassifySql: String =
+    """WITH kw AS (
+      |  SELECT * FROM (VALUES
+      |    ('table','storage'), ('row','storage'), ('column','storage'), ('scan','storage'),
+      |    ('join','exec'), ('hash','exec'), ('merge','exec'), ('sort','exec'),
+      |    ('stream','streaming'), ('batch','streaming'), ('window','streaming'),
+      |    ('fast','perf'), ('slow','perf')) AS kw(tk, topic)),
+      |tokd AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |hits AS (
+      |  SELECT t.doc_id, t.lang, k.topic, count(*) AS n
+      |  FROM tokd t JOIN kw k ON t.tk = k.tk
+      |  GROUP BY t.doc_id, t.lang, k.topic),
+      |best AS (
+      |  SELECT doc_id, lang, topic, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, topic) AS rnk
+      |  FROM hits)
+      |SELECT lang, topic, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS topic_hits
+      |FROM best WHERE rnk = 1
+      |GROUP BY lang, topic ORDER BY lang, topic""".stripMargin
+
+  /** Semantic decontamination — the EMBEDDING-space complement of the
+    * 8-gram [[TrainingOps]] decontaminate pass: n-gram overlap misses a
+    * paraphrased benchmark item, but its embedding still sits next to the
+    * original. Benchmark set = vec_id % 17 = 0 (the same held-out rule the
+    * textual pass uses); the train side carries planted ±2 % perturbed
+    * copies of benchmark vectors (cosine ≈ 0.9998 — the "paraphrases").
+    * The sweep is the proven [[hNeardupEmbedding]] machinery: 32×12
+    * sign-LSH bands on BOTH sides, a band-keyed equi-join producing a
+    * candidate set that provably contains every cosine≥0.95 pair on this
+    * corpus (equality with the brute-force oracle is the check), then
+    * exact-cosine verification on candidates only. Per-label flagged/clean
+    * counts — shuffle scales with candidates, never train×bench. */
+  def hContamEmbedding(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bench AS (SELECT * FROM base WHERE vec_id % 17 = 0),
+        |train AS (
+        |  SELECT vec_id, label, v FROM base WHERE vec_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
+        |  FROM bench),
+        |bn AS (SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM bench),
+        |tn AS (SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM train),
+        |bk AS (SELECT vec_id, bkey FROM bn LATERAL VIEW explode(hyperplane_bands(v, 32, 12)) t AS bkey),
+        |tk AS (SELECT vec_id, bkey FROM tn LATERAL VIEW explode(hyperplane_bands(v, 32, 12)) t AS bkey),
+        |cand AS (
+        |  SELECT DISTINCT t.vec_id AS t_id, b.vec_id AS b_id
+        |  FROM tk t JOIN bk b ON t.bkey = b.bkey),
+        |contam AS (
+        |  SELECT DISTINCT c.t_id
+        |  FROM cand c
+        |  JOIN tn t ON t.vec_id = c.t_id
+        |  JOIN bn b ON b.vec_id = c.b_id
+        |  WHERE dot_product(t.v, b.v) / (t.nrm * b.nrm) >= 0.95)
+        |SELECT t.label,
+        |  count(*) AS n_train,
+        |  CAST(sum(CASE WHEN c.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN c.t_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM tn t LEFT JOIN contam c ON t.vec_id = c.t_id
+        |GROUP BY t.label ORDER BY t.label""".stripMargin)
+  }
+
+  /** DuckDB replays the contamination sweep brute-force over every
+    * train×bench pair — equality proves the LSH candidate set lost no
+    * qualifying pair. */
+  val hContamEmbeddingSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bench AS (SELECT * FROM base WHERE vec_id % 17 = 0),
+      |train AS (
+      |  SELECT vec_id, label, v FROM base WHERE vec_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, label,
+      |    list_transform(list_zip(v, range(1, len(v) + 1)),
+      |      p -> p[1] * CASE WHEN p[2] % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
+      |  FROM bench),
+      |bn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM bench),
+      |tn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM train),
+      |contam AS (
+      |  SELECT DISTINCT t.vec_id AS t_id
+      |  FROM tn t JOIN bn b ON true
+      |  WHERE list_dot_product(t.v, b.v) / (t.nrm * b.nrm) >= 0.95)
+      |SELECT t.label,
+      |  count(*) AS n_train,
+      |  CAST(sum(CASE WHEN c.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(CASE WHEN c.t_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM tn t LEFT JOIN contam c ON t.vec_id = c.t_id
+      |GROUP BY t.label ORDER BY t.label""".stripMargin
+
   /** Bigram-LM perplexity filter — the actual CCNet/RedPajama quality
     * gate shape: TRAIN an n-gram language model on the standing corpus,
     * SCORE held-out/incoming docs with it, histogram the scores for
@@ -1802,6 +1931,8 @@ object LlmOps {
     "h_tokenize_ids" -> (hTokenizeIds _),
     "h_bpe_pairs" -> (hBpePairs _),
     "h_bigram_lm" -> (hBigramLm _),
+    "h_taxonomy_classify" -> (hTaxonomyClassify _),
+    "h_contam_embedding" -> (hContamEmbedding _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_semdedup" -> (hSemDedup _),
@@ -1831,6 +1962,8 @@ object LlmOps {
     "h_tokenize_ids" -> hTokenizeIdsSql,
     "h_bpe_pairs" -> hBpePairsSql,
     "h_bigram_lm" -> hBigramLmSql,
+    "h_taxonomy_classify" -> hTaxonomyClassifySql,
+    "h_contam_embedding" -> hContamEmbeddingSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_semdedup" -> hSemDedupSql,

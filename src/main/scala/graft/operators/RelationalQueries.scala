@@ -956,6 +956,38 @@ object RelationalQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** F2: VARIANT (new in Spark 4) — the semi-structured fast path. A JSON
+    * column parses ONCE into a binary variant, then any number of typed
+    * path extractions read the decoded form; `get_json_object` by contrast
+    * re-parses the string per extraction. At 100 TB the difference is a
+    * full decode pass per referenced field. Exercises `parse_json`, typed
+    * `variant_get` (top-level and array-index paths on a constructed
+    * nested document), and `schema_of_variant` introspection. The result
+    * is all plain types — variant never crosses the sink boundary, so any
+    * reader (including the DuckDB oracle) consumes it. */
+  def f2Variant(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """WITH v AS (
+        |  SELECT event_type, parse_json(props) AS pv,
+        |    parse_json(concat('{"arr":[', get_json_object(props, '$.k'), ',',
+        |      CAST(CAST(get_json_object(props, '$.k') AS BIGINT) * 2 AS STRING), ']}')) AS nv
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  sum(variant_get(pv, '$.k', 'bigint')) AS sum_k,
+        |  sum(variant_get(nv, '$.arr[1]', 'bigint')) AS sum_arr1,
+        |  min(schema_of_variant(pv)) AS vschema
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val f2VariantSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS BIGINT) AS sum_arr1,
+      |  'OBJECT<k: BIGINT>' AS vschema
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** F2: map functions — build a map, read it back via map_keys/element_at. */
   def f2Map(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1124,6 +1156,7 @@ object RelationalQueries {
     "f2_math" -> (f2Math _),
     "f2_array" -> (f2Array _),
     "f2_json" -> (f2Json _),
+    "f2_variant" -> (f2Variant _),
     "f2_map" -> (f2Map _)
   )
 
@@ -1168,6 +1201,7 @@ object RelationalQueries {
     "f2_math" -> f2MathSql,
     "f2_array" -> f2ArraySql,
     "f2_json" -> f2JsonSql,
+    "f2_variant" -> f2VariantSql,
     "f2_map" -> f2MapSql
   )
 }

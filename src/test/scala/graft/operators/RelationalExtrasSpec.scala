@@ -50,6 +50,41 @@ class RelationalExtrasSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("f2_variant: one schema for every row, nested array extraction doubles the flat path") {
+    val rows = RelationalQueries.f2Variant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(4) == "OBJECT<k: BIGINT>", s"variant schema drifted: ${r.getString(4)}")
+      assert(r.getLong(3) == 2 * r.getLong(2), "arr[1] extraction must equal 2k")
+    }
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("h_taxonomy_classify: topics stay in the taxonomy, each doc labels at most once") {
+    val rows = LlmOps.hTaxonomyClassify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val topics = rows.map(_.getString(1)).toSet
+    assert(topics.subsetOf(Set("storage", "exec", "streaming", "perf")), topics.toString)
+    val labeled = rows.map(_.getLong(2)).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(labeled <= docs, s"labeled $labeled of $docs docs — a doc got two labels")
+    assert(labeled > 0)
+  }
+
+  test("h_contam_embedding: every planted paraphrase is flagged, totals reconcile") {
+    val rows = LlmOps.hContamEmbedding(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val benchN = emb.where("vec_id % 17 = 0").count()
+    val trainN = emb.where("vec_id % 17 <> 0").count() + benchN // planted copies
+    assert(rows.map(_.getLong(1)).sum == trainN, "train side count drifted")
+    // each planted copy sits at cosine ~0.9998 to its original: must be flagged
+    assert(rows.map(_.getLong(2)).sum >= benchN,
+      s"flagged ${rows.map(_.getLong(2)).sum} < planted $benchN — LSH lost a planted pair")
+    rows.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+  }
+
   test("h_bigram_lm: buckets in range, held-out docs conserved") {
     val rows = LlmOps.hBigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
