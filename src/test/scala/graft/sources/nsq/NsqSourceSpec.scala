@@ -371,6 +371,62 @@ class NsqSourceSpec extends SparkSuite {
     } finally { stream.stop(); flaky.stop(0); server.close() }
   }
 
+  test("restart on the same checkpoint resumes: no loss, no duplicates, no re-FIN replay") {
+    // The production restart story: a query stops (deploy, crash after
+    // quiescence), messages keep arriving, a NEW query starts on the SAME
+    // checkpoint dir. It must (a) pick up the committed epoch instead of
+    // restarting at 0, (b) deliver everything published while it was down,
+    // (c) never re-emit a payload the first incarnation already committed.
+    val server = new NsqMiniServer
+    InMemoryTransport.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nsq-restart").toString
+    def startQuery() = StreamPipeline.build(
+      spark.readStream.format("nsq")
+        .option("host", "127.0.0.1")
+        .option("port", server.port.toString)
+        .option("statsEndpoints", s"127.0.0.1:${server.httpPort}")
+        .option("topic", "t").option("channel", "ch")
+        .load(),
+      new InMemoryTransport,
+      StreamPipeline.Options(streamName = "nsq-restart", checkpoint = ckpt)).start()
+    def drainPayloads(): Vector[String] =
+      InMemoryTransport.drain().flatMap { case (_, e) =>
+        if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+        else Vector(e.data)
+      }.map(new String(_)).toVector
+    var seen = Vector.empty[String]
+    val q1 = startQuery()
+    try {
+      (0 until 10).foreach(i => server.publish(msgId(i), s"gen1-$i".getBytes))
+      eventually(timeoutMs = 30000) {
+        q1.processAllAvailable()
+        seen ++= drainPayloads()
+        assert(seen.toSet === (0 until 10).map(i => s"gen1-$i").toSet)
+      }
+      // quiescent stop: all gen1 FINned, offsets committed
+      eventually(timeoutMs = 30000) {
+        q1.processAllAvailable()
+        assert(server.finned.size >= 10)
+      }
+    } finally q1.stop()
+    // published while no query is running — the broker queues them
+    (0 until 10).foreach(i => server.publish(msgId(100 + i), s"gen2-$i".getBytes))
+    val q2 = startQuery()
+    try {
+      eventually(timeoutMs = 30000) {
+        q2.processAllAvailable()
+        seen ++= drainPayloads()
+        assert(seen.toSet === ((0 until 10).map(i => s"gen1-$i") ++
+          (0 until 10).map(i => s"gen2-$i")).toSet, "restart lost or hallucinated payloads")
+      }
+      // exactly-once to the sink across the restart boundary
+      assert(seen.size === seen.distinct.size,
+        s"duplicate emission across restart: ${seen.groupBy(identity).filter(_._2.size > 1).keys}")
+      // and the second incarnation resumed PAST the committed epoch
+      assert(server.finned.size >= 20)
+    } finally { q2.stop(); server.close() }
+  }
+
   test("a pre-epoch 'position' checkpoint offset fails fast instead of restarting at 0") {
     val server = new NsqMiniServer
     val stream = mkStream(server)
