@@ -414,6 +414,76 @@ object AnalyticsOps {
 
   // ============================================================ registry
 
+  // ============================================== graph centrality
+
+  /** Power-iteration centrality over the customer↔supplier trade graph —
+    * the distributed-graph shape (PageRank/harmonic centrality) crawl
+    * pipelines run for URL quality ranking, expressed on the data at
+    * hand: an undirected bipartite graph with an edge wherever a customer
+    * bought from a supplier (orders ⋈ lineitem, distinct pairs). Nodes
+    * are tagged keys (`2·custkey` / `2·suppkey+1`) so the two id spaces
+    * never collide. Three fixed iterations of
+    * `r′(v) = 150000 + (85 · Σ_u r(u) DIV deg(u)) DIV 100` — the damped
+    * random-walk update in EXACT BIGINT arithmetic: integer division and
+    * integer sums are order- and partitioning-independent, so both
+    * engines agree bit-for-bit where floating-point PageRank never could.
+    * The edge list materializes ONCE (localCheckpoint, released
+    * post-action); each iteration is one edge⋈rank equi-join + one
+    * dst-keyed aggregate with map-side partials — the frontier-join shape
+    * that scales as O(E) per round on any cluster. Output: top-15
+    * suppliers by final rank. */
+  def hSupplierRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val pairs = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = Checkpoints.track(
+      pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .localCheckpoint())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(deg, "src")
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV deg").as("m"))
+      rank = contrib.groupBy(col("dst")).agg(sum(col("m")).as("sm"))
+        .select(col("dst").as("node"), expr("150000L + (85L * sm) DIV 100L").as("r"))
+    }
+    rank.filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("s_suppkey"))
+      .limit(15)
+  }
+
+  /** DuckDB unrolls the same three exact-integer iterations. */
+  val hSupplierRankSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (
+      |  SELECT c AS src, p AS dst FROM pairs
+      |  UNION ALL SELECT p AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      |r1 AS (
+      |  SELECT e.dst AS node, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT e.dst AS node, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT e.dst AS node, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
+      |  GROUP BY e.dst)
+      |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank
+      |FROM r3 WHERE node % 2 = 1
+      |ORDER BY rank DESC, s_suppkey LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_event_funnel" -> (gEventFunnel _),
     "g_cohort_retention" -> (gCohortRetention _),
@@ -421,7 +491,8 @@ object AnalyticsOps {
     "d_regression" -> (dRegression _),
     "a_compaction_bins" -> (aCompactionBins _),
     "h_inverted_index" -> (hInvertedIndex _),
-    "h_corpus_merge" -> (hCorpusMerge _)
+    "h_corpus_merge" -> (hCorpusMerge _),
+    "h_supplier_rank" -> (hSupplierRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,6 +502,7 @@ object AnalyticsOps {
     "d_regression" -> dRegressionSql,
     "a_compaction_bins" -> aCompactionBinsSql,
     "h_inverted_index" -> hInvertedIndexSql,
-    "h_corpus_merge" -> hCorpusMergeSql
+    "h_corpus_merge" -> hCorpusMergeSql,
+    "h_supplier_rank" -> hSupplierRankSql
   )
 }

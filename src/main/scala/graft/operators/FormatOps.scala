@@ -355,6 +355,45 @@ object FormatOps {
       |  true AS within_tolerance
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Count-min-sketch heavy hitters — the last member of the sketch
+    * family ([[dAggApprox]] HLL distinct, [[dApproxQuantile]] KLL
+    * quantiles, `h_dedup_bloom` membership; this is FREQUENCY). The
+    * distributed `count_min_sketch` aggregate builds map-side partial
+    * sketches that merge associatively — only the ~KB sketch reaches the
+    * driver, never per-key state — and the driver probes it for the exact
+    * top-10 keys. The sketch contract is the output: CMS never
+    * under-counts (`est ≥ exact`), and over-counts by at most ε·N with
+    * probability 1−δ (ε=0.001, δ=0.01 ⇒ slack = ⌈0.001·N⌉ — with 10
+    * probes the 1 % per-probe failure bound stays comfortably clear).
+    * The driver-side collect is a bounded top-10 + one sketch row — the
+    * same scale posture as the Bloom build. */
+  def dHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = Tables.load(s, dir, "lineitem")
+    val n = li.count()
+    val sketchBytes = li
+      .select(expr("count_min_sketch(l_partkey, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey")).limit(10).collect()
+    val slack = math.ceil(0.001 * n).toLong
+    import s.implicits._
+    top.toSeq.map { r =>
+      val k = r.getLong(0); val ne = r.getLong(1)
+      val est = cms.estimateCount(java.lang.Long.valueOf(k))
+      (k, ne, est >= ne && est <= ne + slack)
+    }.toDF("l_partkey", "n_exact", "cms_ok")
+      .orderBy(col("n_exact").desc, col("l_partkey"))
+  }
+
+  /** DuckDB supplies the exact top-10; the booleans carry the sketch
+    * verdict (must hold by the CMS bound). */
+  val dHeavyHittersSql: String =
+    """SELECT l_partkey, count(*) AS n_exact, true AS cms_ok
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_csv_roundtrip" -> (aCsvRoundtrip _),
     "a_json_roundtrip" -> (aJsonRoundtrip _),
@@ -367,7 +406,8 @@ object FormatOps {
     "a_zorder_layout" -> (aZorderLayout _),
     "a_schema_evolution" -> (aSchemaEvolution _),
     "d_agg_approx" -> (dAggApprox _),
-    "d_hll_union" -> (dHllUnion _)
+    "d_hll_union" -> (dHllUnion _),
+    "d_heavy_hitters" -> (dHeavyHitters _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -382,6 +422,7 @@ object FormatOps {
     "a_zorder_layout" -> aZorderLayoutSql,
     "a_schema_evolution" -> aSchemaEvolutionSql,
     "d_agg_approx" -> dAggApproxSql,
-    "d_hll_union" -> dHllUnionSql
+    "d_hll_union" -> dHllUnionSql,
+    "d_heavy_hitters" -> dHeavyHittersSql
   )
 }

@@ -85,6 +85,25 @@ class RelationalExtrasSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
   }
 
+  test("d_heavy_hitters: the CMS contract holds for every probed key") {
+    val rows = FormatOps.dHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(2)), "a CMS estimate fell outside [exact, exact + eps*N]")
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "top-10 ordering broken")
+  }
+
+  test("h_supplier_rank: ranks positive and descending, keys are real suppliers") {
+    val rows = AnalyticsOps.hSupplierRank(spark, sf).collect()
+    val supps = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(rows.length == math.min(15, supps.size))
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b }, "rank ordering broken")
+    assert(rows.map(_.getLong(0)).forall(supps.contains), "a ranked key is not a supplier")
+  }
+
   test("h_bigram_lm: buckets in range, held-out docs conserved") {
     val rows = LlmOps.hBigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
