@@ -819,6 +819,58 @@ object RelationalQueries {
       |ORDER BY bal DESC NULLS LAST, c_custkey ASC
       |LIMIT 100""".stripMargin
 
+  /** F: LIMIT … OFFSET pagination (OFFSET is Spark 3.4+) — the page-N
+    * fetch every SQL consumer issues. A global sort + offset is driver-
+    * cheap here because Spark plans it as TakeOrderedAndProject over
+    * limit+offset rows (per-partition heaps, one merge) — but the
+    * Scaladoc caveat a 100 TB user must know: deep offsets degrade
+    * linearly (the engine still ranks offset+limit rows), so production
+    * pagination should be keyset-based (WHERE key > last_seen ORDER BY
+    * key LIMIT n) — which the same plan shape serves with pushdown. */
+  def fLimitOffset(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 20 OFFSET 40""".stripMargin)
+  }
+
+  val fLimitOffsetSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      |FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey
+      |LIMIT 20 OFFSET 40""".stripMargin
+
+  /** C: explicit join-strategy hints — the user-facing control over the
+    * physical join when the optimizer's cost pick is wrong at scale (a
+    * 100 TB deployment tunes exactly this: force SHUFFLE_HASH when sort
+    * spill dominates, MERGE when both sides are pre-sorted bucketed,
+    * BROADCAST when stats under-estimate a dim). The declared query runs
+    * the SHUFFLE_HASH variant — the one strategy no other c_* query
+    * exercises; the spec pins all three hints to their operators and
+    * their results to each other. */
+  def cJoinHints(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
+  val cJoinHintsSql: String =
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   /** F: UNION / INTERSECT / EXCEPT (+ALL) cardinalities in one row — the
     * oracle's scalar-subquery shape as ONE declarative plan (four 1-row
     * aggregates cross-joined), not four driver-side `.count()` actions: a
@@ -1150,6 +1202,8 @@ object RelationalQueries {
     "e_window_frame" -> (eWindowFrame _),
     "e_window_range" -> (eWindowRange _),
     "f_sort_limit" -> (fSortLimit _),
+    "f_limit_offset" -> (fLimitOffset _),
+    "c_join_hints" -> (cJoinHints _),
     "f_set_ops" -> (fSetOps _),
     "f2_string" -> (f2String _),
     "f2_date" -> (f2Date _),
@@ -1195,6 +1249,8 @@ object RelationalQueries {
     "e_window_frame" -> eWindowFrameSql,
     "e_window_range" -> eWindowRangeSql,
     "f_sort_limit" -> fSortLimitSql,
+    "f_limit_offset" -> fLimitOffsetSql,
+    "c_join_hints" -> cJoinHintsSql,
     "f_set_ops" -> fSetOpsSql,
     "f2_string" -> f2StringSql,
     "f2_date" -> f2DateSql,

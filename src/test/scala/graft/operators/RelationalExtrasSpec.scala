@@ -85,6 +85,40 @@ class RelationalExtrasSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
   }
 
+  test("c_join_hints: each strategy hint binds its operator, all three agree") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("customer")
+    def q(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(c) */ c.c_mktsegment, count(*) AS n
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    val expect = Map(
+      "SHUFFLE_HASH" -> "ShuffledHashJoin",
+      "MERGE" -> "SortMergeJoin",
+      "BROADCAST" -> "BroadcastHashJoin")
+    val results = expect.map { case (hint, op) =>
+      val df = q(hint)
+      // AQE may re-plan; the INITIAL plan must honor the user's hint
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains(op), s"$hint hint did not produce $op:\n$plan")
+      hint -> df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(results.values.toSet.size == 1, "hint variants disagree on the result")
+  }
+
+  test("f_limit_offset: page 3 continues exactly where page-by-keyset would") {
+    val page = RelationalQueries.fLimitOffset(spark, sf).collect()
+    assert(page.length == 20)
+    // recompute rows 41-60 from a full sort — the page must equal the slice
+    val full = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment", "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal")
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").desc,
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .limit(60).collect().drop(40)
+    assert(page.map(_.getLong(0)).sameElements(full.map(_.getLong(0))),
+      "OFFSET page drifted from the sorted slice")
+  }
+
   test("d_heavy_hitters: the CMS contract holds for every probed key") {
     val rows = FormatOps.dHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)
