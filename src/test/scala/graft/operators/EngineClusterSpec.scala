@@ -31,7 +31,10 @@ class EngineClusterSpec extends AnyFunSuite {
     "h_ivfpq_search",   // two checkpointed collects + broadcast LUT join
     "a_dpp_prune",      // dynamic partition-pruning subquery cross-process
     "h_dedup_incremental", // checkpointed band index consumed by remote executors
-    "h_semdedup")       // broadcast centroid collect + c_id self-join cross-process
+    "h_semdedup",       // broadcast centroid collect + c_id self-join cross-process
+    "d_recursive_cte",  // recursive-CTE frontier loop across processes
+    "d_heavy_hitters",  // count-min partials merged across executors, driver probe
+    "h_supplier_rank")  // iterative rank loop over a cross-process checkpointed edge list
 
   test("declared queries return identical results under multi-process execution") {
     assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
