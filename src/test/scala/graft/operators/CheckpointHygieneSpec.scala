@@ -68,6 +68,15 @@ class CheckpointHygieneSpec extends SparkSuite {
     assert(leaked == 0, s"$leaked persistent RDDs leaked")
   }
 
+  test("h_supplier_rank leaves no persistent blocks after releaseAll") {
+    // round 10: the rank loop checkpoints the undirected edge list once
+    val leaked = afterRelease {
+      AnalyticsOps.hSupplierRank(spark, SparkSpec.sf0001)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(leaked == 0, s"$leaked persistent RDDs leaked")
+  }
+
   test("superseded label rounds release inside the loop, not only at the end") {
     Checkpoints.releaseAll()
     // while hDupClusters runs, the resident snapshot count must stay

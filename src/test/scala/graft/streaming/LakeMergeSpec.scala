@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+
+/** The streaming → lake bridge: micro-batches MERGE into a versioned
+  * parquet corpus exactly once — upserts land, deletes tombstone,
+  * within-batch conflicts resolve to the last op, replayed batches are
+  * no-ops, and readers only ever see a committed snapshot. */
+class LakeMergeSpec extends SparkSuite {
+
+  private def corpus(dir: String): Map[Long, String] =
+    LakeMerge.readCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("stream MERGE: upsert/delete/conflict semantics, idempotent replay, atomic pointer") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lake-merge").toString
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "op")
+      .writeStream
+      .foreachBatch(LakeMerge.mergeBatch(dir) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lake-merge-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "one", "upsert"), (2L, "two", "upsert"),
+        (3L, "three", "upsert"), (4L, "four", "upsert"))
+      q.processAllAvailable()
+      assert(corpus(dir) === Map(1L -> "one", 2L -> "two", 3L -> "three", 4L -> "four"))
+      val (id0, _) = LakeMerge.latest(dir).get
+
+      // batch 2: update, delete, insert, and a within-batch conflict
+      // (doc 5 deleted then re-upserted -> last op wins)
+      input.addData((2L, "two-v2", "upsert"), (3L, null: String, "delete"),
+        (5L, "five", "upsert"), (5L, null: String, "delete"), (5L, "five-v2", "upsert"))
+      q.processAllAvailable()
+      val expected = Map(1L -> "one", 2L -> "two-v2", 4L -> "four", 5L -> "five-v2")
+      assert(corpus(dir) === expected)
+      val (id1, path1) = LakeMerge.latest(dir).get
+      assert(id1 > id0, "pointer did not advance")
+
+      // at-least-once re-delivery: replaying an ALREADY-APPLIED batch id
+      // (even with different content) must be a no-op
+      LakeMerge.mergeBatch(dir)(
+        Seq((99L, "ghost", "upsert")).toDF("doc_id", "text", "op"), id1)
+      assert(corpus(dir) === expected, "replayed batch mutated the corpus")
+      assert(LakeMerge.latest(dir).get._2 === path1, "replay moved the pointer")
+
+      // the superseded snapshot is still intact on disk (time-travel-style
+      // read), proving the new snapshot never wrote over the old one
+      val v0 = spark.read.parquet(s"$dir/v$id0").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v0 === Map(1L -> "one", 2L -> "two", 3L -> "three", 4L -> "four"))
+    } finally q.stop()
+  }
+}
