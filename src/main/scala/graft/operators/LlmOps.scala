@@ -1445,6 +1445,57 @@ object LlmOps {
     * as the n-gram pipelines; the (lang, pair) aggregation map-side
     * combines within-partition repeats before the exchange, so the
     * shuffle carries distinct pairs, not corpus positions. */
+  /** Quantile winsorization — the p5/p95 outlier-clipping pass quality
+    * pipelines run on length-like features before computing corpus
+    * statistics (a handful of pathological documents otherwise dominate
+    * every mean). Per-lang exact interpolated quantiles of `n_chars`
+    * (the [[RelationalQueries.dPercentile]] `percentile ↔ quantile_cont`
+    * contract) round to BIGINT clip bounds, the clamp is scan-local
+    * integer arithmetic, and the winsorized sums stay exact — no
+    * order-dependent double accumulation anywhere. Output: per-lang clip
+    * bounds, clipped-row counts each side, and the winsorized mean
+    * (×1e4, exact integer division). */
+  def hWinsorize(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH q AS (
+        |  SELECT lang,
+        |    CAST(round(percentile(n_chars, 0.05)) AS BIGINT) AS lo,
+        |    CAST(round(percentile(n_chars, 0.95)) AS BIGINT) AS hi
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT d.lang, q.lo, q.hi,
+        |    least(greatest(d.n_chars, q.lo), q.hi) AS wchars,
+        |    CASE WHEN d.n_chars < q.lo THEN 1 ELSE 0 END AS clow,
+        |    CASE WHEN d.n_chars > q.hi THEN 1 ELSE 0 END AS chigh
+        |  FROM documents d JOIN q ON d.lang = q.lang)
+        |SELECT lang, min(lo) AS clip_lo, min(hi) AS clip_hi,
+        |  count(*) AS n_docs,
+        |  CAST(sum(clow) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(chigh) AS BIGINT) AS n_clipped_high,
+        |  (10000L * sum(wchars)) DIV count(*) AS wmean_x1e4
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val hWinsorizeSql: String =
+    """WITH q AS (
+      |  SELECT lang,
+      |    CAST(round(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
+      |    CAST(round(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT d.lang, q.lo, q.hi,
+      |    least(greatest(d.n_chars, q.lo), q.hi) AS wchars,
+      |    CASE WHEN d.n_chars < q.lo THEN 1 ELSE 0 END AS clow,
+      |    CASE WHEN d.n_chars > q.hi THEN 1 ELSE 0 END AS chigh
+      |  FROM documents d JOIN q ON d.lang = q.lang)
+      |SELECT lang, min(lo) AS clip_lo, min(hi) AS clip_hi,
+      |  count(*) AS n_docs,
+      |  CAST(sum(clow) AS BIGINT) AS n_clipped_low,
+      |  CAST(sum(chigh) AS BIGINT) AS n_clipped_high,
+      |  CAST((10000 * sum(wchars)) // count(*) AS BIGINT) AS wmean_x1e4
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Keyword-taxonomy classification — the domain-tagging pass mixture
     * construction needs (label every doc so `h_domain_mix`-style
     * temperature sampling can balance TOPICS, not just source fields).
@@ -1932,6 +1983,7 @@ object LlmOps {
     "h_bpe_pairs" -> (hBpePairs _),
     "h_bigram_lm" -> (hBigramLm _),
     "h_taxonomy_classify" -> (hTaxonomyClassify _),
+    "h_winsorize" -> (hWinsorize _),
     "h_contam_embedding" -> (hContamEmbedding _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
@@ -1963,6 +2015,7 @@ object LlmOps {
     "h_bpe_pairs" -> hBpePairsSql,
     "h_bigram_lm" -> hBigramLmSql,
     "h_taxonomy_classify" -> hTaxonomyClassifySql,
+    "h_winsorize" -> hWinsorizeSql,
     "h_contam_embedding" -> hContamEmbeddingSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,

@@ -1020,7 +1020,52 @@ object TrainingOps {
       |  CAST(sum(len(list_filter(qv, x -> abs(x) = 127))) AS BIGINT) AS n_saturated
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** Incremental rollup maintenance — the materialized-view refresh every
+    * corpus dashboard needs: the standing per-lang statistics rollup
+    * (docs, tokens, chars — all DISTRIBUTIVE aggregates, plus an
+    * ALGEBRAIC mean derived from the maintained sums) absorbs an ingest
+    * batch by merging the batch's delta rollup, WITHOUT rescanning
+    * history. Here the standing rollup derives from the history split
+    * (in production it is the persisted table this query maintains); the
+    * merge is `standing UNION ALL delta → re-aggregate` — rollup-sized
+    * inputs only, the re-aggregation property [[FormatOps.dHllUnion]]
+    * proves for sketches applied to exact counters. The DuckDB oracle
+    * recomputes the rollup from the FULL corpus; equality proves the
+    * maintenance algebra loses nothing. */
+  def hRollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH standing AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(size(split(text, ' '))) AS n_tokens,
+        |    sum(n_chars) AS chars
+        |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang),
+        |delta AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(size(split(text, ' '))) AS n_tokens,
+        |    sum(n_chars) AS chars
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY lang),
+        |merged AS (
+        |  SELECT lang, sum(n_docs) AS n_docs, sum(n_tokens) AS n_tokens,
+        |    sum(chars) AS chars
+        |  FROM (SELECT * FROM standing UNION ALL SELECT * FROM delta)
+        |  GROUP BY lang)
+        |SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(chars AS BIGINT) AS chars,
+        |  (10000L * n_tokens) DIV n_docs AS mean_tokens_x1e4
+        |FROM merged ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB recomputes from the full corpus — no incremental path. */
+  val hRollupIncrementalSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST((10000 * sum(len(string_split(text, ' ')))) // count(*) AS BIGINT) AS mean_tokens_x1e4
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_rollup_incremental" -> (hRollupIncremental _),
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
     "h_sample_split" -> (hSampleSplit _),
@@ -1039,6 +1084,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_rollup_incremental" -> hRollupIncrementalSql,
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,
     "h_sample_split" -> hSampleSplitSql,

@@ -138,6 +138,37 @@ class RelationalExtrasSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).forall(supps.contains), "a ranked key is not a supplier")
   }
 
+  test("h_rollup_incremental: the maintained rollup equals a full recompute") {
+    val rows = LlmOps.hWinsorize(spark, sf) // warm the documents view path
+    rows.take(1)
+    val merged = TrainingOps.hRollupIncremental(spark, sf).collect()
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "size(split(text, ' ')) AS t", "n_chars")
+      .groupBy("lang").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("t").as("tok"),
+        org.apache.spark.sql.functions.sum("n_chars").as("ch"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    merged.foreach { r =>
+      val (n, tok, ch) = full(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tok && r.getLong(3) == ch,
+        s"${r.getString(0)}: incremental merge drifted from full recompute")
+    }
+  }
+
+  test("h_winsorize: bounds ordered, clipping bounded, winsorized mean inside the clip range") {
+    val rows = LlmOps.hWinsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo <= hi)
+      assert(r.getLong(4) + r.getLong(5) < n, "everything clipped — quantiles degenerate")
+      val wmean = r.getLong(6)
+      assert(wmean >= 10000 * lo && wmean <= 10000 * hi,
+        s"winsorized mean $wmean outside [${10000 * lo}, ${10000 * hi}]")
+    }
+  }
+
   test("h_bigram_lm: buckets in range, held-out docs conserved") {
     val rows = LlmOps.hBigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
