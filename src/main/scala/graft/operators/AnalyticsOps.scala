@@ -414,6 +414,61 @@ object AnalyticsOps {
 
   // ============================================================ registry
 
+  // ============================================== anomaly detection
+
+  /** Z-score anomaly detection on the hourly purchase-volume series — the
+    * alerting pass that runs downstream of [[gGapFill]]-style resampling:
+    * flag days whose total deviates from the mean by more than 3σ. The
+    * trick is EXACT integer arithmetic end-to-end: totals in whole
+    * dollars (BIGINT) and the z-test algebraically cleared of divisions —
+    * `(n·x − S)² > 9·n·(n·Q − S²)` where S=Σx, Q=Σx² — so both engines
+    * evaluate the same integer comparison and there is no float σ to
+    * disagree on. Daily grain keeps n small (the calendar bounds it)
+    * while per-day magnitudes grow with corpus density: every term stays
+    * < 2⁶³ through sf≥1 (documented bound; an hourly-grain variant at
+    * cents precision overflows the cleared form — rescale before
+    * regraining). One daily pre-aggregate, a 1-row moment aggregate
+    * broadcast back, flags scan-local. */
+  def gAnomaly(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH daily AS (
+        |  SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS day,
+        |    sum(CAST(round(value) AS BIGINT)) AS dollars
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1),
+        |mo AS (
+        |  SELECT count(*) AS n, sum(dollars) AS s, sum(dollars * dollars) AS q
+        |  FROM daily),
+        |flagged AS (
+        |  SELECT d.day, d.dollars,
+        |    (mo.n * d.dollars - mo.s) * (mo.n * d.dollars - mo.s)
+        |      > 9 * mo.n * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
+        |  FROM daily d CROSS JOIN mo)
+        |SELECT day, CAST(dollars AS BIGINT) AS day_dollars, is_anomaly
+        |FROM flagged
+        |ORDER BY day""".stripMargin)
+  }
+
+  val gAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS dollars
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1),
+      |mo AS (
+      |  SELECT count(*) AS n, CAST(sum(dollars) AS BIGINT) AS s,
+      |    CAST(sum(dollars * dollars) AS BIGINT) AS q
+      |  FROM daily),
+      |flagged AS (
+      |  SELECT d.day, d.dollars,
+      |    (mo.n * d.dollars - mo.s) * (mo.n * d.dollars - mo.s)
+      |      > 9 * mo.n * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
+      |  FROM daily d CROSS JOIN mo)
+      |SELECT day, CAST(dollars AS BIGINT) AS day_dollars, is_anomaly
+      |FROM flagged
+      |ORDER BY day""".stripMargin
+
   // ============================================== graph centrality
 
   /** Power-iteration centrality over the customer↔supplier trade graph —
@@ -503,7 +558,8 @@ object AnalyticsOps {
     "a_compaction_bins" -> (aCompactionBins _),
     "h_inverted_index" -> (hInvertedIndex _),
     "h_corpus_merge" -> (hCorpusMerge _),
-    "h_supplier_rank" -> (hSupplierRank _)
+    "h_supplier_rank" -> (hSupplierRank _),
+    "g_anomaly" -> (gAnomaly _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,6 +570,7 @@ object AnalyticsOps {
     "a_compaction_bins" -> aCompactionBinsSql,
     "h_inverted_index" -> hInvertedIndexSql,
     "h_corpus_merge" -> hCorpusMergeSql,
-    "h_supplier_rank" -> hSupplierRankSql
+    "h_supplier_rank" -> hSupplierRankSql,
+    "g_anomaly" -> gAnomalySql
   )
 }

@@ -1445,6 +1445,44 @@ object LlmOps {
     * as the n-gram pipelines; the (lang, pair) aggregation map-side
     * combines within-partition repeats before the exchange, so the
     * shuffle carries distinct pairs, not corpus positions. */
+  /** Matryoshka truncation QA — before an index switches to truncated
+    * embeddings (MRL-style first-k dimensions at k=16 of 64), measure how
+    * much cosine geometry survives: for every vector, the similarity
+    * between the full vector and its truncated self (zero-padded), i.e.
+    * ‖v₁₆‖/‖v‖ in cosine form. Per-label histogram of the rounded metric —
+    * the go/no-go table for cutting index memory 4×. Scan-local per row
+    * (two dot products, one sqrt, one round — the same exact IEEE path
+    * both engines share in [[hNeardupEmbedding]]); the only exchange is
+    * the (label, bucket) accounting aggregate. */
+  def hEmbedTruncate(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label,
+        |    CAST(round(1e4 * sqrt(dot_product(slice(v, 1, 16), slice(v, 1, 16))
+        |                          / dot_product(v, v))) AS BIGINT) AS keep_x1e4
+        |  FROM base WHERE dot_product(v, v) > CAST(0 AS DOUBLE))
+        |SELECT label, keep_x1e4 DIV 1000 AS bucket, count(*) AS n_vecs
+        |FROM m GROUP BY label, bucket
+        |ORDER BY label, bucket""".stripMargin)
+  }
+
+  /** DuckDB replays the truncation metric with list slicing. */
+  val hEmbedTruncateSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT label,
+      |    CAST(round(1e4 * sqrt(list_dot_product(v[1:16], v[1:16])
+      |                          / list_dot_product(v, v))) AS BIGINT) AS keep_x1e4
+      |  FROM base WHERE list_dot_product(v, v) > 0)
+      |SELECT label, keep_x1e4 // 1000 AS bucket, count(*) AS n_vecs
+      |FROM m GROUP BY label, bucket
+      |ORDER BY label, bucket""".stripMargin
+
   /** Quantile winsorization — the p5/p95 outlier-clipping pass quality
     * pipelines run on length-like features before computing corpus
     * statistics (a handful of pathological documents otherwise dominate
@@ -1984,6 +2022,7 @@ object LlmOps {
     "h_bigram_lm" -> (hBigramLm _),
     "h_taxonomy_classify" -> (hTaxonomyClassify _),
     "h_winsorize" -> (hWinsorize _),
+    "h_embed_truncate" -> (hEmbedTruncate _),
     "h_contam_embedding" -> (hContamEmbedding _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
@@ -2016,6 +2055,7 @@ object LlmOps {
     "h_bigram_lm" -> hBigramLmSql,
     "h_taxonomy_classify" -> hTaxonomyClassifySql,
     "h_winsorize" -> hWinsorizeSql,
+    "h_embed_truncate" -> hEmbedTruncateSql,
     "h_contam_embedding" -> hContamEmbeddingSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,

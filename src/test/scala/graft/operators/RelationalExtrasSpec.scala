@@ -169,6 +169,24 @@ class RelationalExtrasSpec extends SparkSuite {
     }
   }
 
+  test("h_embed_truncate: keep-ratio buckets bounded by 1.0, every vector accounted") {
+    val rows = LlmOps.hEmbedTruncate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10),
+      "a truncation keep-ratio exceeded 1.0 — norms are broken")
+    val total = rows.map(_.getLong(2)).sum
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total <= vecs && total > 0)
+  }
+
+  test("g_anomaly: the z-test flags a strict minority of days") {
+    val rows = AnalyticsOps.gAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.count(_.getBoolean(2))
+    assert(flagged < rows.length, "every day anomalous — the moments are broken")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("h_bigram_lm: buckets in range, held-out docs conserved") {
     val rows = LlmOps.hBigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
