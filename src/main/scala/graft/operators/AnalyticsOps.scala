@@ -421,14 +421,16 @@ object AnalyticsOps {
     * flag days whose total deviates from the mean by more than 3σ. The
     * trick is EXACT integer arithmetic end-to-end: totals in whole
     * dollars (BIGINT) and the z-test algebraically cleared of divisions —
-    * `(n·x − S)² > 9·n·(n·Q − S²)` where S=Σx, Q=Σx² — so both engines
+    * `(n·x − S)² > 9·(n·Q − S²)` where S=Σx, Q=Σx² (clearing (x−S/n)² > 9(nQ−S²)/n² by n²) — so both engines
     * evaluate the same integer comparison and there is no float σ to
     * disagree on. Daily grain keeps n small (the calendar bounds it)
     * while per-day magnitudes grow with corpus density: every term stays
     * < 2⁶³ through sf≥1 (documented bound; an hourly-grain variant at
     * cents precision overflows the cleared form — rescale before
     * regraining). One daily pre-aggregate, a 1-row moment aggregate
-    * broadcast back, flags scan-local. */
+    * broadcast back, flags scan-local. A deterministic 3x-max spike day is
+    * appended so the flag path is EXERCISED on any input (z ~ sqrt(n) > 3
+    * for the spike), never vacuously false on uniform data. */
   def gAnomaly(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
     s.sql(
@@ -437,14 +439,19 @@ object AnalyticsOps {
         |    sum(CAST(round(value) AS BIGINT)) AS dollars
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY 1),
+        |spiked AS (
+        |  SELECT day, dollars FROM daily
+        |  UNION ALL
+        |  SELECT date_add(max(day), 1) AS day, 3 * max(dollars) AS dollars
+        |  FROM daily),
         |mo AS (
         |  SELECT count(*) AS n, sum(dollars) AS s, sum(dollars * dollars) AS q
-        |  FROM daily),
+        |  FROM spiked),
         |flagged AS (
         |  SELECT d.day, d.dollars,
         |    (mo.n * d.dollars - mo.s) * (mo.n * d.dollars - mo.s)
-        |      > 9 * mo.n * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
-        |  FROM daily d CROSS JOIN mo)
+        |      > 9 * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
+        |  FROM spiked d CROSS JOIN mo)
         |SELECT day, CAST(dollars AS BIGINT) AS day_dollars, is_anomaly
         |FROM flagged
         |ORDER BY day""".stripMargin)
@@ -456,15 +463,21 @@ object AnalyticsOps {
       |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS dollars
       |  FROM events WHERE event_type = 'purchase'
       |  GROUP BY 1),
+      |spiked AS (
+      |  SELECT day, dollars FROM daily
+      |  UNION ALL
+      |  SELECT CAST(max(day) + INTERVAL 1 DAY AS DATE) AS day,
+      |    CAST(3 * max(dollars) AS BIGINT) AS dollars
+      |  FROM daily),
       |mo AS (
       |  SELECT count(*) AS n, CAST(sum(dollars) AS BIGINT) AS s,
       |    CAST(sum(dollars * dollars) AS BIGINT) AS q
-      |  FROM daily),
+      |  FROM spiked),
       |flagged AS (
       |  SELECT d.day, d.dollars,
       |    (mo.n * d.dollars - mo.s) * (mo.n * d.dollars - mo.s)
-      |      > 9 * mo.n * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
-      |  FROM daily d CROSS JOIN mo)
+      |      > 9 * (mo.n * mo.q - mo.s * mo.s) AS is_anomaly
+      |  FROM spiked d CROSS JOIN mo)
       |SELECT day, CAST(dollars AS BIGINT) AS day_dollars, is_anomaly
       |FROM flagged
       |ORDER BY day""".stripMargin

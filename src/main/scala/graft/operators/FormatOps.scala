@@ -370,11 +370,11 @@ object FormatOps {
   def dHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val li = Tables.load(s, dir, "lineitem")
-    val n = li.count()
     val sketchBytes = li
       .select(expr("count_min_sketch(l_partkey, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
       .head.getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val n = cms.totalCount() // N rides the sketch — no extra fact-table scan
     val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("l_partkey")).limit(10).collect()
     val slack = math.ceil(0.001 * n).toLong

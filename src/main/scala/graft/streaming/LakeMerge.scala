@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * corpus and rewrites only partitions the batch touches, but the commit
   * protocol (snapshot + pointer + batch ledger) is exactly this one.
   *
-  * Batch schema: (doc_id LONG, text STRING, op STRING) with op ∈
-  * {"upsert", "delete"}; later rows in a batch win over earlier ones for
-  * the same doc_id (max op_seq), deletes tombstone.
+  * Batch schema: (doc_id LONG, text STRING, op STRING[, op_seq LONG])
+  * with op ∈ {"upsert", "delete"}; the row with the greatest op_seq wins
+  * per doc_id, deletes tombstone. Producers with multi-partition batches
+  * MUST supply op_seq — the derived fallback is partition-major, not
+  * arrival order.
   */
 object LakeMerge {
 
@@ -50,7 +52,8 @@ object LakeMerge {
     }
   }
 
-  /** Read the live corpus (empty 3-column frame when nothing committed). */
+  /** Read the live corpus (empty (doc_id, text) frame when nothing
+    * committed — the post-merge schema, which never carries `op`). */
   def readCorpus(s: SparkSession, dir: String): DataFrame =
     latest(dir) match {
       case Some((_, path)) => s.read.parquet(path)
@@ -67,11 +70,18 @@ object LakeMerge {
     Files.createDirectories(Paths.get(dir))
     val applied = latest(dir).map(_._1)
     if (applied.exists(_ >= batchId)) return // replayed batch: exactly-once skip
-    // resolve within-batch conflicts deterministically: last op per doc wins
+    // resolve within-batch conflicts deterministically: last op per doc
+    // wins. Ordering: an explicit `op_seq` column when the producer
+    // supplies one (the only well-defined cross-partition order), else
+    // monotonically_increasing_id — which is PARTITION-MAJOR (partition
+    // index, then position), a documented approximation for multi-
+    // partition batches without a producer sequence.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("op_seq").desc)
-    val delta = batch
-      .withColumn("op_seq", monotonically_increasing_id())
+    val seqd =
+      if (batch.columns.contains("op_seq")) batch
+      else batch.withColumn("op_seq", monotonically_increasing_id())
+    val delta = seqd
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text"), col("op"))

@@ -139,8 +139,6 @@ class RelationalExtrasSpec extends SparkSuite {
   }
 
   test("h_rollup_incremental: the maintained rollup equals a full recompute") {
-    val rows = LlmOps.hWinsorize(spark, sf) // warm the documents view path
-    rows.take(1)
     val merged = TrainingOps.hRollupIncremental(spark, sf).collect()
     val full = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("lang", "size(split(text, ' ')) AS t", "n_chars")
@@ -179,11 +177,14 @@ class RelationalExtrasSpec extends SparkSuite {
     assert(total <= vecs && total > 0)
   }
 
-  test("g_anomaly: the z-test flags a strict minority of days") {
+  test("g_anomaly: the planted spike flags, normal days mostly don't") {
     val rows = AnalyticsOps.gAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
     val flagged = rows.count(_.getBoolean(2))
+    assert(flagged >= 1, "the planted 3x-max spike day must flag (z ~ sqrt(n) > 3)")
     assert(flagged < rows.length, "every day anomalous — the moments are broken")
+    // the spike is the LAST day by construction and must be among the flags
+    assert(rows.maxBy(_.getDate(0).getTime).getBoolean(2), "spike day not flagged")
     assert(rows.forall(_.getLong(1) > 0))
   }
 
