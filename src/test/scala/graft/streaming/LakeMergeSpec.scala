@@ -57,4 +57,21 @@ class LakeMergeSpec extends SparkSuite {
       assert(v0 === Map(1L -> "one", 2L -> "two", 3L -> "three", 4L -> "four"))
     } finally q.stop()
   }
+
+  test("explicit op_seq wins across partitions — the multi-partition ordering contract") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lake-merge-seq").toString
+    // two partitions, with the doc's LATER op (delete, op_seq=2) placed in
+    // partition 0 and the earlier upsert (op_seq=1) in partition 1 — the
+    // partition-major fallback would resurrect the doc; op_seq must not
+    val batch = Seq(
+      (7L, null.asInstanceOf[String], "delete", 2L),
+      (7L, "resurrected?", "upsert", 1L),
+      (8L, "eight", "upsert", 1L))
+      .toDF("doc_id", "text", "op", "op_seq")
+      .repartition(2, org.apache.spark.sql.functions.col("op_seq"))
+    LakeMerge.mergeBatch(dir)(batch, 0L)
+    assert(corpus(dir) === Map(8L -> "eight"),
+      "a later delete lost to an earlier upsert — op_seq ordering broken")
+  }
 }
