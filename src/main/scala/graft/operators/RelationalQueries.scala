@@ -871,6 +871,65 @@ object RelationalQueries {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
 
+  /** D: LISTAGG (SQL:2016, new in Spark 4) — ordered string aggregation,
+    * the report-layer staple. The WITHIN GROUP ordering makes the result
+    * deterministic; group size is bounded by construction (nations per
+    * region), which is the discipline listagg needs at scale — an
+    * unbounded listagg materializes a group-sized string per group. */
+  def dListagg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql(
+      """SELECT r.r_name,
+        |  count(*) AS n_nations,
+        |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS members
+        |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+  }
+
+  val dListaggSql: String =
+    """SELECT r.r_name,
+      |  count(*) AS n_nations,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+      |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
+
+  /** F2: ANSI-mode safe arithmetic — `try_divide` / `try_add` /
+    * `try_cast` / `try_element_at`. Spark 4 runs ANSI SQL: overflow and
+    * bad casts are ERRORS, so production queries over dirty data reach
+    * for the try_* family to degrade to NULL instead of failing the job —
+    * exactly the posture a 100 TB ingest needs (one malformed row must
+    * not kill a stage). The query counts each NULL-degradation class per
+    * order status; DuckDB reproduces the same counts via its own
+    * TRY_CAST and guard predicates. */
+  def f2Try(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  sum(CASE WHEN try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS DOUBLE)) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_div_null,
+        |  sum(CASE WHEN try_add(9223372036854775807L, o_orderkey) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_add_overflow,
+        |  sum(CASE WHEN try_cast(o_orderpriority AS INT) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_cast_null,
+        |  sum(CASE WHEN try_element_at(split(o_orderpriority, '-'), 3) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_elem_null
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** DuckDB: division by zero on DOUBLE yields inf, so the div guard is
+    * the predicate itself; bigint-max + k overflows iff k > 0 (one order carries key 0); TRY_CAST matches Spark's; the 2-token split never has a 3rd
+    * element. */
+  val f2TrySql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(sum(CASE WHEN o_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+      |  CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+      |  count(*) AS n_elem_null
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** F: UNION / INTERSECT / EXCEPT (+ALL) cardinalities in one row — the
     * oracle's scalar-subquery shape as ONE declarative plan (four 1-row
     * aggregates cross-joined), not four driver-side `.count()` actions: a
@@ -1211,6 +1270,8 @@ object RelationalQueries {
     "f2_array" -> (f2Array _),
     "f2_json" -> (f2Json _),
     "f2_variant" -> (f2Variant _),
+    "f2_try" -> (f2Try _),
+    "d_listagg" -> (dListagg _),
     "f2_map" -> (f2Map _)
   )
 
@@ -1258,6 +1319,8 @@ object RelationalQueries {
     "f2_array" -> f2ArraySql,
     "f2_json" -> f2JsonSql,
     "f2_variant" -> f2VariantSql,
+    "f2_try" -> f2TrySql,
+    "d_listagg" -> dListaggSql,
     "f2_map" -> f2MapSql
   )
 }
