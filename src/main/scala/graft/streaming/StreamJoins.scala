@@ -35,6 +35,30 @@ object StreamJoins {
       .drop(r(key))
   }
 
+  /** LEFT OUTER variant of [[enrichWithin]] — the harder semantics: an
+    * unmatched left row cannot emit when it ARRIVES (its partner may
+    * still come); it emits with NULL right columns only once the
+    * watermark proves no in-window partner can ever arrive. That makes
+    * null-emission timing a function of watermark progress, not data
+    * order — the part teams get wrong when porting batch left joins to
+    * streams (an outer result that "misses" rows usually just hasn't
+    * crossed the watermark yet). Same state-eviction bound as the inner
+    * form; the only extra cost is holding unmatched left rows until
+    * expiry, which the watermark caps. */
+  def enrichWithinOuter(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Stream-static enrichment: left-join each micro-batch against a
     * broadcast dimension table — the most common streaming join in
     * practice (events × user/device/geo metadata), and entirely STATELESS:

@@ -48,6 +48,42 @@ class StreamJoinsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched rows emit with nulls only after watermark expiry") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+
+    val joined = StreamJoins.enrichWithinOuter(
+      clicks.toDF(), purchases.toDF(),
+      key = "user", leftTs = "cts", rightTs = "pts", window = "30 seconds")
+
+    val q = joined
+      .selectExpr("user", "page", "amount")
+      .writeStream.format("memory").queryName("sj_outer").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click("alice", ts(0), "home"),   // will match
+        Click("bob", ts(10), "search"))  // never matches -> null emission
+      purchases.addData(Purchase("alice", ts(15), 9.99))
+      q.processAllAvailable()
+      // BEFORE the watermark passes bob's window, bob must NOT have emitted:
+      // an outer result this early would be wrong (his partner could still come)
+      val early = spark.table("sj_outer").collect().map(_.getString(0)).toSet
+      assert(!early.contains("bob"),
+        s"bob emitted before his window could be proven empty: $early")
+      // advance both watermarks past bob's window+lateness -> null emission
+      clicks.addData(Click("zz", ts(500), "x"))
+      purchases.addData(Purchase("zz2", ts(500), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_outer").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSet
+      assert(rows.contains(("alice", "home", Some(9.99))), s"matched pair missing: $rows")
+      assert(rows.contains(("bob", "search", None)),
+        s"unmatched left row never emitted its null-padded result: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension and keeps unmatched rows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
