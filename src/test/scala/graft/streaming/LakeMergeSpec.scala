@@ -58,6 +58,30 @@ class LakeMergeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("model check: random batch sequences equal a sequential Map fold") {
+    import spark.implicits._
+    // deterministic pseudo-random workload (fixed seed — reproducible)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val dir = java.nio.file.Files.createTempDirectory("lake-merge-model").toString
+    var model = Map.empty[Long, String]
+    for (batchId <- 0L until 6L) {
+      val ops = (0 until 1 + rnd.nextInt(7)).map { i =>
+        val id = rnd.nextInt(9).toLong
+        if (rnd.nextBoolean()) (id, s"b$batchId-r$i", "upsert", i.toLong)
+        else (id, null.asInstanceOf[String], "delete", i.toLong)
+      }
+      // reference semantics: per doc, the op with the greatest op_seq wins
+      ops.groupBy(_._1).foreach { case (id, rows) =>
+        val last = rows.maxBy(_._4)
+        model = if (last._3 == "delete") model - id else model + (id -> last._2)
+      }
+      LakeMerge.mergeBatch(dir)(
+        rnd.shuffle(ops).toDF("doc_id", "text", "op", "op_seq"), batchId)
+      assert(corpus(dir) === model, s"batch $batchId: corpus drifted from the model")
+    }
+    assert(model.nonEmpty, "degenerate workload — seed produced an empty corpus")
+  }
+
   test("explicit op_seq wins across partitions — the multi-partition ordering contract") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lake-merge-seq").toString
