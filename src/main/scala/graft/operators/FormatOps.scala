@@ -355,6 +355,37 @@ object FormatOps {
       |  true AS within_tolerance
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Hidden metadata columns (`_metadata.file_path`) — row-level file
+    * provenance, the lineage question every corpus audit asks ("which
+    * input file produced this row?") answered without any bookkeeping
+    * column in the data. The query recovers each row's partition value
+    * from its file path and proves it consistent with the data column —
+    * per partition, every row's path must embed its own event_type. The
+    * metadata struct is populated at scan time from the file index (no
+    * extra IO); the consistency flag collapses in the partial aggregate. */
+  def aProvenance(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripDir(dir, "partitioned")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .select(col("event_type"),
+        regexp_extract(col("_metadata.file_path"), "event_type=([^/]+)/", 1)
+          .as("from_path"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(when(col("from_path") === col("event_type"), 0).otherwise(1)) === 0)
+          .as("path_consistent"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB supplies the exact counts; path consistency must hold by
+    * construction of the Hive-partitioned layout. */
+  val aProvenanceSql: String =
+    """SELECT event_type, count(*) AS n, true AS path_consistent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Count-min-sketch heavy hitters — the last member of the sketch
     * family ([[dAggApprox]] HLL distinct, [[dApproxQuantile]] KLL
     * quantiles, `h_dedup_bloom` membership; this is FREQUENCY). The
@@ -407,7 +438,8 @@ object FormatOps {
     "a_schema_evolution" -> (aSchemaEvolution _),
     "d_agg_approx" -> (dAggApprox _),
     "d_hll_union" -> (dHllUnion _),
-    "d_heavy_hitters" -> (dHeavyHitters _)
+    "d_heavy_hitters" -> (dHeavyHitters _),
+    "a_provenance" -> (aProvenance _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -423,6 +455,7 @@ object FormatOps {
     "a_schema_evolution" -> aSchemaEvolutionSql,
     "d_agg_approx" -> dAggApproxSql,
     "d_hll_union" -> dHllUnionSql,
-    "d_heavy_hitters" -> dHeavyHittersSql
+    "d_heavy_hitters" -> dHeavyHittersSql,
+    "a_provenance" -> aProvenanceSql
   )
 }

@@ -34,7 +34,11 @@ object StreamPipeline {
       streamName: String = "graft",
       dedupWindow: String = "4 minutes",   // 2 × 120 s generations, main.go:113
       triggerMs: Long = 1000L,             // MaxDelay default, kinesis_writer.go:42-44
-      checkpoint: String = "/tmp/graft-checkpoint")
+      checkpoint: String = "/tmp/graft-checkpoint",
+      // Trigger.AvailableNow: drain everything available, then STOP — the
+      // backfill/catch-up mode (reprocess a backlog with streaming
+      // semantics and exactly the same code path, without a standing job)
+      availableNow: Boolean = false)
 
   /** Expects columns: id STRING, ts TIMESTAMP, attempts INT, body BINARY,
     * and optionally key STRING (invalid/missing keys fall back to the body
@@ -91,7 +95,9 @@ object StreamPipeline {
             opts: Options = Options()): DataStreamWriter[org.apache.spark.sql.Row] =
     transform(stream, opts.dedupWindow).writeStream
       .queryName(s"graft-${opts.streamName}")
-      .trigger(Trigger.ProcessingTime(opts.triggerMs))
+      .trigger(
+        if (opts.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(opts.triggerMs))
       .option("checkpointLocation", opts.checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         deliverBatch(batch, transport, opts.streamName)

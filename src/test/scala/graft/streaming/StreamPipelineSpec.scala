@@ -42,6 +42,29 @@ class StreamPipelineSpec extends SparkSuite {
       distinct.map(m => new String(m.body, "UTF-8")).toSet)
   }
 
+  test("Trigger.AvailableNow drains the backlog then terminates on its own") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    InMemoryTransport.clear()
+    val input = MemoryStream[Msg]
+    input.addData((0 until 40).map(i => msg(i, s"backlog-$i")))
+    val q = StreamPipeline.build(input.toDF(), new InMemoryTransport,
+      StreamPipeline.Options(streamName = "drain",
+        checkpoint = java.nio.file.Files.createTempDirectory("drain-ckpt").toString,
+        availableNow = true)).start()
+    try {
+      // the backfill mode must finish WITHOUT stop(): the trigger drains
+      // what was available at start and terminates the query itself
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      val bodies = InMemoryTransport.drain().flatMap { case (_, e) =>
+        if (KplProtobuf.isAggregated(e.data)) KplProtobuf.deframe(e.data).records.map(_.data)
+        else Vector(e.data)
+      }.map(new String(_)).toSet
+      assert(bodies === (0 until 40).map(i => s"backlog-$i").toSet,
+        "backfill drain lost or duplicated bodies")
+    } finally q.stop()
+  }
+
   test("oversize bodies are dropped by the stream filter") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
