@@ -364,13 +364,16 @@ object FormatOps {
     * metadata struct is populated at scan time from the file index (no
     * extra IO); the consistency flag collapses in the partial aggregate. */
   def aProvenance(s: SparkSession, dir: String): DataFrame = {
-    val out = roundtripDir(dir, "partitioned")
+    val out = roundtripDir(dir, "provenance")
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
     s.read.parquet(out)
       .select(col("event_type"),
-        regexp_extract(col("_metadata.file_path"), "event_type=([^/]+)/", 1)
+        // Hive layouts %-escape special chars in directory names —
+        // url_decode recovers the raw value (null partitions would land
+        // in __HIVE_DEFAULT_PARTITION__ and are absent from this fixture)
+        url_decode(regexp_extract(col("_metadata.file_path"), "event_type=([^/]+)/", 1))
           .as("from_path"))
       .groupBy(col("event_type"))
       .agg(

@@ -24,16 +24,8 @@ object StreamJoins {
   def enrichWithin(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame = {
-    val l = left.withWatermark(leftTs, lateness)
-    val r = right.withWatermark(rightTs, lateness)
-    l.join(r,
-      l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"),
-      "inner")
-      .drop(r(key))
-  }
+      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame =
+    enrichImpl(left, right, key, leftTs, rightTs, window, lateness, "inner")
 
   /** LEFT OUTER variant of [[enrichWithin]] — the harder semantics: an
     * unmatched left row cannot emit when it ARRIVES (its partner may
@@ -48,14 +40,22 @@ object StreamJoins {
   def enrichWithinOuter(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame = {
+      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame =
+    enrichImpl(left, right, key, leftTs, rightTs, window, lateness, "left_outer")
+
+  /** Shared watermark + symmetric-interval condition for both join types —
+    * one place to change the window semantics. */
+  private def enrichImpl(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      window: String, lateness: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"),
-      "left_outer")
+      joinType)
       .drop(r(key))
   }
 

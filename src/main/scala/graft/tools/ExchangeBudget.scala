@@ -3,10 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Shuffle-exchange census: `sbt "runMain graft.tools.ExchangeBudget [sfDir]"`
-  * prints one `name count` line per declared query — the number of SHUFFLE
-  * exchanges (hash/range/single-partition/round-robin; broadcasts excluded)
-  * in the initial physical plan at the given scale. The output is the
-  * source of truth for `src/test/resources/exchange_budgets.txt`, which
+  * prints one `BUDGET name count` line per declared query — the number of
+  * SHUFFLE exchanges (hash/range/single-partition/round-robin; broadcasts
+  * excluded) in the initial physical plan at the given scale. Regenerate
+  * the checked-in census with:
+  * {{{
+  *   java -cp "target/scala-2.13/classes:<spark-jars-glob>" \
+  *     graft.tools.ExchangeBudget 2>/dev/null | grep '^BUDGET ' \
+  *     | sed 's,^BUDGET ,,' | sort > src/test/resources/exchange_budgets.txt
+  * }}}
+  * (spark-jars-glob = every jar under /opt/spark/jars — a literal glob
+  * can't appear in this comment)
+  * (the spec also tolerates unstripped `BUDGET`-prefixed lines and skips
+  * ERR lines). That file is the source of truth, which
   * `ExchangeBudgetSpec` enforces as a per-query ceiling: a code change
   * that silently adds a shuffle to ANY of the declared queries fails the
   * suite. Regenerate (and review the diff!) when adding queries or
@@ -37,7 +46,8 @@ object ExchangeBudget {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         println(s"BUDGET $n ${countShuffles(plan)}")
-      } catch { case e: Throwable => println(s"BUDGET $n ERR ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable =>
+        println(s"BUDGET $n ERR ${String.valueOf(e.getMessage).take(80)}") }
       finally graft.operators.Checkpoints.releaseAll()
     }
     spark.stop()

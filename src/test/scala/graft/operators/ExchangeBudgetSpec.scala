@@ -17,23 +17,31 @@ class ExchangeBudgetSpec extends SparkSuite {
 
   private lazy val budgets: Map[String, Int] = {
     val src = scala.io.Source.fromResource("exchange_budgets.txt")
-    try src.getLines().filter(_.nonEmpty).map { l =>
-      val Array(n, c) = l.split(' '); n -> c.toInt
-    }.toMap
+    try src.getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .map(l => if (l.startsWith("BUDGET ")) l.drop(7) else l) // unstripped tool output
+      .map(_.split(' '))
+      .collect { case Array(n, c) if c.forall(_.isDigit) => n -> c.toInt } // skip ERR lines
+      .toMap
     finally src.close()
   }
 
   test("every declared query stays within its shuffle-exchange budget") {
     val over = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, SparkSpec.sf0001).queryExecution.executedPlan.toString
+      val planned =
+        try Right(fn(spark, SparkSpec.sf0001).queryExecution.executedPlan.toString)
+        catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(120)) }
         finally Checkpoints.releaseAll()
-      val n = ExchangeBudget.countShuffles(plan)
-      budgets.get(name) match {
-        case None => over += s"$name: no budget row (census it: runMain graft.tools.ExchangeBudget)"
-        case Some(b) if n > b => over += s"$name: $n shuffles > budget $b"
-        case _ => ()
+      planned match {
+        case Left(err) => over += s"$name: planning failed: $err"
+        case Right(plan) =>
+          val n = ExchangeBudget.countShuffles(plan)
+          budgets.get(name) match {
+            case None => over += s"$name: no budget row (census it: runMain graft.tools.ExchangeBudget)"
+            case Some(b) if n > b => over += s"$name: $n shuffles > budget $b"
+            case _ => ()
+          }
       }
     }
     assert(over.isEmpty, s"shuffle regressions:\n${over.mkString("\n")}")
