@@ -563,7 +563,134 @@ object AnalyticsOps {
       |FROM r3 WHERE node % 2 = 1
       |ORDER BY rank DESC, s_suppkey LIMIT 15""".stripMargin
 
+  // ==================================================== peak concurrency
+
+  /** Sweep-line peak concurrency — "how many sessions were open at once"
+    * per day, the capacity-planning number every serving deployment
+    * tracks. Each event opens a session of deterministic length
+    * 60 + event_id % 540 seconds; the classic sweep turns each interval
+    * into a +1 (open) and −1 (close) point, orders points by
+    * (time, delta) — closes before opens at the same instant, i.e.
+    * half-open intervals — and takes the max of the running sum.
+    *
+    * Scale shape: ONE shuffle keyed on the day partition, then a
+    * partitioned running-sum window — each day sorts independently, so
+    * a year of 100 TB telemetry is 365 independent sorts that AQE sizes.
+    * The default RANGE UNBOUNDED PRECEDING frame makes peer rows (same
+    * time, same delta) share one cumulative value, so the max is
+    * order-independent — the determinism the spec relies on. */
+  def gConcurrency(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(concurrencyBody(
+      "SELECT event_id, ts div 1000 AS tus FROM events",
+      "CAST(to_date(timestamp_micros(start_us)) AS DATE)"))
+  }
+
+  private def concurrencyBody(eventsSelect: String, dayExpr: String): String =
+    s"""WITH e AS ($eventsSelect),
+      |sess AS (
+      |  SELECT event_id, tus AS start_us,
+      |    tus + (60 + event_id % 540) * 1000000 AS end_us
+      |  FROM e),
+      |pts AS (
+      |  SELECT $dayExpr AS day, start_us AS t, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT $dayExpr AS day, end_us AS t, -1 AS delta FROM sess),
+      |run AS (
+      |  SELECT day, delta,
+      |    CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS BIGINT) AS conc
+      |  FROM pts)
+      |SELECT day, max(conc) AS peak_concurrency,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM run GROUP BY day ORDER BY day""".stripMargin
+
+  val gConcurrencySql: String = concurrencyBody(
+    "SELECT event_id, epoch_us(ts) AS tus FROM events",
+    "CAST(make_timestamp(start_us) AS DATE)")
+
+  // ==================================================== triangle counting
+
+  /** Triangle counting + global clustering coefficient over the supplier
+    * co-supply graph (edge ⇔ two suppliers share an order) — the graph
+    * statistic crawl/link pipelines compute to find tightly-knit link
+    * farms. Uses the DEGREE-ORDERED orientation (each undirected edge
+    * directed low-(deg,id) → high-(deg,id)): every triangle then appears
+    * as exactly one directed wedge e1=(a,b), e2=(b,c) closed by e3=(a,c),
+    * and — the scale argument — each node's out-degree is bounded by
+    * O(√E), so the wedge join is O(E^1.5) worst case instead of the
+    * Σ deg² blow-up a random orientation suffers on skewed graphs
+    * (Suri & Vassilvitskii, WWW'11). All counts exact BIGINT; the
+    * clustering coefficient ships in millis via integer division. */
+  def hGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    val degIn = pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val fwd = col("du.d") < col("dv.d") || (col("du.d") === col("dv.d") && col("u") < col("v"))
+    // The oriented edge list materializes ONCE (the build is two shuffles
+    // over the corpus); everything downstream — degree table, wedge count,
+    // the triangle join — derives from this edge-sized table.
+    val edges = Checkpoints.track(
+      pairs.join(degIn.as("du"), col("u") === col("du.node"))
+        .join(degIn.as("dv"), col("v") === col("dv.node"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        .localCheckpoint())
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val wed = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    wed.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        expr("3 * n_triangles * 1000 DIV n_wedges").as("clustering_millis"))
+  }
+
+  /** DuckDB recomputes the whole chain declaratively (its CTEs
+    * materialize, so the repeated references are cheap there). */
+  val hGraphTrianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) x
+      |  GROUP BY node),
+      |o AS (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+      |           THEN u ELSE v END AS src,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+      |           THEN v ELSE u END AS dst
+      |  FROM pairs JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |    JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |wed AS (
+      |  SELECT count(*) AS n_nodes,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT wed.n_nodes, CAST((SELECT count(*) FROM o) AS BIGINT) AS n_edges,
+      |  CAST(tri.n_triangles AS BIGINT) AS n_triangles, wed.n_wedges,
+      |  CAST(3 * tri.n_triangles * 1000 // wed.n_wedges AS BIGINT) AS clustering_millis
+      |FROM tri CROSS JOIN wed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_concurrency" -> (gConcurrency _),
+    "h_graph_triangles" -> (hGraphTriangles _),
     "g_event_funnel" -> (gEventFunnel _),
     "g_cohort_retention" -> (gCohortRetention _),
     "g_gap_fill" -> (gGapFill _),
@@ -576,6 +703,8 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_concurrency" -> gConcurrencySql,
+    "h_graph_triangles" -> hGraphTrianglesSql,
     "g_event_funnel" -> gEventFunnelSql,
     "g_cohort_retention" -> gCohortRetentionSql,
     "g_gap_fill" -> gGapFillSql,

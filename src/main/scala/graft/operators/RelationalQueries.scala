@@ -1224,12 +1224,67 @@ object RelationalQueries {
       |  ORDER BY c.c_acctbal DESC, c_custkey LIMIT 3) l ON true
       |ORDER BY n.n_name, l.bal DESC, l.c_custkey""".stripMargin
 
+  /** TPC-H Q21 shape (reference semantics: the hardest decorrelation case
+    * in the suite) — "suppliers who kept orders waiting": for finished
+    * orders, late lineitems whose supplier was the ONLY late supplier on a
+    * multi-supplier order. One correlated EXISTS (another supplier shipped
+    * on the same order) AND one correlated NOT EXISTS (no OTHER supplier
+    * was late) over the same derived table. This schema has no
+    * commit/receipt dates, so "late" is the row-local predicate
+    * `l_shipdate > o_orderdate + 60 days` — same shape, same plan problem.
+    *
+    * Scale shape: Catalyst decorrelates the EXISTS into a left-semi and
+    * the NOT EXISTS into a left-anti join, BOTH keyed on `l_orderkey` —
+    * the key the base `lo` table is already partitioned on from its own
+    * lineitem⋈orders join. So the whole query is one orderkey-partitioned
+    * pipeline (semi and anti reuse the co-partitioning; AQE coalesces the
+    * tails) plus a broadcast of the filtered nation dim into the supplier
+    * probe (the filter is on stable nation KEYS, so the query is
+    * meaningful at every scale factor). A plan that rescans lineitem per outer row — what a
+    * naive nested-loop translation would do — is O(corpus²) at 100 TB;
+    * the decorrelated plan is three co-partitioned passes. */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "supplier", "nation").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(q21Body(spark = true))
+  }
+
+  private def q21Body(spark: Boolean): String = {
+    // identical text modulo the date-add idiom
+    val late =
+      if (spark) "CAST(l.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 60)"
+      else "CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60"
+    s"""WITH lo AS (
+      |  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+      |    CASE WHEN $late THEN 1 ELSE 0 END AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F')
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_nationkey < 13
+      |JOIN lo l1 ON s.s_suppkey = l1.skey
+      |WHERE l1.late = 1
+      |  AND EXISTS (
+      |    SELECT 1 FROM lo l2
+      |    WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lo l3
+      |    WHERE l3.okey = l1.okey AND l3.skey <> l1.skey AND l3.late = 1)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+  }
+
+  val q21WaitingSql: String = q21Body(spark = false)
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q18_top" -> (q18Top _),
+    "q21_waiting" -> (q21Waiting _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
@@ -1279,6 +1334,7 @@ object RelationalQueries {
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q18_top" -> q18TopSql,
+    "q21_waiting" -> q21WaitingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,

@@ -115,4 +115,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(byAction("inserted") == inserted)
     assert(byAction("kept") == total - deleted - updated)
   }
+
+  test("g_concurrency: peaks bounded by opens, session totals conserve the event log") {
+    val rows = AnalyticsOps.gConcurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, sessions) = (r.getLong(1), r.getLong(2))
+      assert(peak >= 1, s"day ${r.getDate(0)}: peak < 1 with $sessions sessions")
+      assert(peak <= sessions, s"day ${r.getDate(0)}: peak $peak exceeds opens $sessions")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == events, s"sessions $total != events $events — the sweep lost intervals")
+  }
+
+  test("h_graph_triangles: closed wedges bounded, coefficient in [0, 1000]") {
+    val r = AnalyticsOps.hGraphTriangles(spark, sf).collect()(0)
+    val (nodes, edges, tris, wedges, cc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes * (nodes - 1) / 2, "more edges than node pairs")
+    assert(tris > 0, "co-supply graph is dense — zero triangles means the orientation broke")
+    assert(3 * tris <= wedges, "each triangle closes exactly 3 wedges; count exceeds wedges")
+    assert(cc >= 0 && cc <= 1000, s"clustering coefficient out of range: $cc")
+  }
 }

@@ -198,4 +198,22 @@ class RelationalExtrasSpec extends SparkSuite {
       .where("doc_id % 3 = 0 AND size(split(text, ' ')) >= 2").count()
     assert(scored == expected, s"scored $scored of $expected held-out docs")
   }
+
+  test("q21_waiting: decorrelated to semi+anti joins, waits positive and descending") {
+    val df = RelationalQueries.q21Waiting(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val waits = rows.map(_.getLong(1))
+    assert(waits.forall(_ > 0))
+    assert(waits.zip(waits.tail).forall { case (a, b) => a >= b }, "numwait ordering broken")
+    // the EXISTS/NOT EXISTS must become join operators, never a per-row rescan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every reported supplier is real and from a nation below the key cut
+    val ok = spark.read.parquet(s"$sf/supplier.parquet")
+      .where("s_nationkey < 13").select("s_name").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => ok(r.getString(0))), "supplier outside the nation-key cut")
+  }
 }
