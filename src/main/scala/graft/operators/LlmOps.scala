@@ -1778,6 +1778,89 @@ object LlmOps {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  /** Iterative BPE training — the actual tokenizer-training LOOP, not just
+    * one round's candidates (that's h_bpe_pairs): three merge rounds where
+    * each round counts adjacent-pair frequencies over the CURRENT corpus,
+    * picks the global argmax pair (count desc, then lexicographic — fully
+    * deterministic), and rewrites every document by greedy left-to-right
+    * non-overlapping merge of that pair before the next round counts.
+    * Output is the merge table — exactly what a BPE tokenizer persists.
+    *
+    * Scale shape per round: ONE distributed pair-count aggregate (explode
+    * → two-level hash agg keyed on the pair; shuffle volume scales with
+    * vocabulary², not corpus), a 1-row argmax broadcast into the rewrite,
+    * and the rewrite itself is a scan-local `aggregate()` fold per
+    * document — no shuffle. The merged corpus materializes once per round
+    * (localCheckpoint via Checkpoints.track, the supplier_rank
+    * discipline), so round k+1 reads round k's RDD instead of re-deriving
+    * the whole merge chain — linear, not quadratic, in rounds.
+    *
+    * The fold carries a string accumulator whose last space-separated
+    * token is the merge candidate; merged symbols join with '+' (absent
+    * from the corpus vocabulary) so later rounds can merge merged symbols
+    * further. DuckDB replays the identical fold via list_reduce, seeded
+    * with the first token — equivalent to the empty-string seed here. */
+  def hBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr, lit, size, split}
+    var toks = graft.Tables.load(s, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to 3) {
+      val counts = toks
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr("sequence(1, size(toks) - 1)")).as("i"), col("toks"))
+        .select(expr("element_at(toks, i)").as("a"), expr("element_at(toks, i + 1)").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val top = Checkpoints.track(
+        counts.orderBy(col("n").desc, col("a"), col("b")).limit(1).localCheckpoint())
+      rounds += top.select(lit(k.toLong).as("merge_round"),
+        col("a").as("lhs"), col("b").as("rhs"), col("n"))
+      if (k < 3)
+        toks = Checkpoints.track(
+          toks.crossJoin(broadcast(top))
+            .select(split(expr(bpeFold), " ").as("toks"))
+            .localCheckpoint())
+    }
+    rounds.reduce(_ unionAll _).orderBy("merge_round")
+  }
+
+  /** Greedy left-to-right non-overlapping application of the (a, b) merge:
+    * the accumulator is the rewritten prefix; merging replaces its last
+    * token when it equals `a` and the incoming token is `b`. */
+  private val bpeFold: String =
+    """aggregate(toks, '', (acc, t) -> CASE
+      |  WHEN t = b AND (acc = a OR acc LIKE concat('% ', a))
+      |  THEN CASE WHEN acc = a THEN concat(a, '+', b)
+      |       ELSE concat(left(acc, length(acc) - length(a) - 1), ' ', a, '+', b) END
+      |  ELSE CASE WHEN acc = '' THEN t ELSE concat(acc, ' ', t) END END)""".stripMargin
+
+  /** DuckDB unrolls the three rounds as CTE chains with the same fold
+    * via list_reduce (seeded with the first token — equivalent). */
+  val hBpeTrainSql: String = {
+    def round(k: Int): String = {
+      val prev = s"t${k - 1}"
+      s"""p$k AS (
+        |  SELECT z.p[1] AS a, z.p[2] AS b, count(*) AS n
+        |  FROM (SELECT unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS p FROM $prev) z
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+        |t$k AS (
+        |  SELECT string_split(list_reduce($prev.toks, (acc, t) -> CASE
+        |    WHEN t = m$k.b AND (acc = m$k.a OR acc LIKE '% ' || m$k.a)
+        |    THEN CASE WHEN acc = m$k.a THEN m$k.a || '+' || m$k.b
+        |         ELSE left(acc, length(acc) - length(m$k.a) - 1) || ' ' || m$k.a || '+' || m$k.b END
+        |    ELSE acc || ' ' || t END), ' ') AS toks
+        |  FROM $prev CROSS JOIN m$k)""".stripMargin
+    }
+    "WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),\n" +
+      Seq(1, 2, 3).map(round).mkString(",\n") + "\n" +
+      """SELECT CAST(r AS BIGINT) AS merge_round, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 1 AS r, a, b, n FROM m1
+        |  UNION ALL SELECT 2, a, b, n FROM m2
+        |  UNION ALL SELECT 3, a, b, n FROM m3)
+        |ORDER BY merge_round""".stripMargin
+  }
+
   /** Redaction accounting — the mechanics of a PII-scrub pass (pattern →
     * replacement token), exercised on function words since the synthetic
     * corpus plants no true PII: per lang, how many docs were touched and
@@ -2019,6 +2102,7 @@ object LlmOps {
     "h_vocab_topk" -> (hVocabTopk _),
     "h_tokenize_ids" -> (hTokenizeIds _),
     "h_bpe_pairs" -> (hBpePairs _),
+    "h_bpe_train" -> (hBpeTrain _),
     "h_bigram_lm" -> (hBigramLm _),
     "h_taxonomy_classify" -> (hTaxonomyClassify _),
     "h_winsorize" -> (hWinsorize _),
@@ -2052,6 +2136,7 @@ object LlmOps {
     "h_vocab_topk" -> hVocabTopkSql,
     "h_tokenize_ids" -> hTokenizeIdsSql,
     "h_bpe_pairs" -> hBpePairsSql,
+    "h_bpe_train" -> hBpeTrainSql,
     "h_bigram_lm" -> hBigramLmSql,
     "h_taxonomy_classify" -> hTaxonomyClassifySql,
     "h_winsorize" -> hWinsorizeSql,

@@ -43,7 +43,20 @@ object StreamJoins {
       window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame =
     enrichImpl(left, right, key, leftTs, rightTs, window, lateness, "left_outer")
 
-  /** Shared watermark + symmetric-interval condition for both join types —
+  /** FULL OUTER variant — both directions of [[enrichWithinOuter]]'s
+    * contract at once: an unmatched row on EITHER side emits null-padded
+    * for the other side's columns only after the watermark proves its
+    * window empty. The join key is projected as `coalesce(left, right)`
+    * so right-only rows still carry their key (the naive `.drop` of one
+    * side's key column would null it for exactly those rows). State cost
+    * is symmetric: both sides hold unmatched rows until watermark expiry. */
+  def enrichWithinFull(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      window: String = "30 seconds", lateness: String = "10 seconds"): DataFrame =
+    enrichImpl(left, right, key, leftTs, rightTs, window, lateness, "full_outer")
+
+  /** Shared watermark + symmetric-interval condition for all join types —
     * one place to change the window semantics. */
   private def enrichImpl(
       left: DataFrame, right: DataFrame,
@@ -51,12 +64,16 @@ object StreamJoins {
       window: String, lateness: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
-    l.join(r,
+    val joined = l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"),
       joinType)
-      .drop(r(key))
+    if (joinType == "full_outer") {
+      val others = left.columns.filterNot(_ == key).map(l(_)) ++
+        right.columns.filterNot(_ == key).map(r(_))
+      joined.select((coalesce(l(key), r(key)).as(key) +: others.toSeq): _*)
+    } else joined.drop(r(key))
   }
 
   /** Stream-static enrichment: left-join each micro-batch against a

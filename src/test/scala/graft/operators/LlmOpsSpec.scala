@@ -132,4 +132,28 @@ class LlmOpsSpec extends SparkSuite {
       assert(cos > 0.99, s"planted-pair cosine should clear tau, got $cos")
     }
   }
+
+  test("h_bpe_train: three rounds, counts non-increasing, round 1 is the true argmax") {
+    val rows = LlmOps.hBpeTrain(spark, SparkSpec.sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val ns = rows.map(_.getLong(3))
+    assert(ns.forall(_ > 0))
+    // merging the argmax pair can only shrink or preserve every other
+    // pair's count, so the chosen counts are monotone non-increasing
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased across rounds: ${ns.toSeq}")
+    // independent recount of round 1's winner on the raw corpus
+    val top = spark.read.parquet(s"${SparkSpec.sf0001}/documents.parquet")
+      .selectExpr("split(text, ' ') AS t")
+      .where("size(t) >= 2")
+      .selectExpr("explode(sequence(1, size(t) - 1)) AS i", "t")
+      .selectExpr("element_at(t, i) AS a", "element_at(t, i + 1) AS b")
+      .groupBy("a", "b").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("b"))
+      .head()
+    assert(rows(0).getString(1) == top.getString(0) && rows(0).getString(2) == top.getString(1),
+      s"round-1 merge ${rows(0)} is not the corpus argmax $top")
+    assert(rows(0).getLong(3) == top.getLong(2), "round-1 count mismatch")
+  }
 }

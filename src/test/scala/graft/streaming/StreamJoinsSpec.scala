@@ -84,6 +84,44 @@ class StreamJoinsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: unmatched rows on BOTH sides emit nulls after expiry") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+
+    val joined = StreamJoins.enrichWithinFull(
+      clicks.toDF(), purchases.toDF(),
+      key = "user", leftTs = "cts", rightTs = "pts", window = "30 seconds")
+
+    val q = joined
+      .selectExpr("user", "page", "amount")
+      .writeStream.format("memory").queryName("sj_full").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click("alice", ts(0), "home"),   // will match
+        Click("bob", ts(10), "search"))  // left-only -> null amount
+      purchases.addData(
+        Purchase("alice", ts(15), 9.99),
+        Purchase("carol", ts(20), 4.50)) // right-only -> null page, key kept
+      q.processAllAvailable()
+      // neither unmatched side may emit before its window is provably empty
+      val early = spark.table("sj_full").collect().map(_.getString(0)).toSet
+      assert(!early.contains("bob") && !early.contains("carol"),
+        s"unmatched rows emitted before watermark expiry: $early")
+      clicks.addData(Click("zz", ts(500), "x"))
+      purchases.addData(Purchase("zz2", ts(500), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sj_full").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), Option(r.get(2)))).toSet
+      assert(rows.contains(("alice", Some("home"), Some(9.99))), s"matched pair missing: $rows")
+      assert(rows.contains(("bob", Some("search"), None)),
+        s"left-only row never emitted: $rows")
+      assert(rows.contains(("carol", None, Some(4.50))),
+        s"right-only row lost its key or never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension and keeps unmatched rows") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
