@@ -15,8 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark won't read
-      // natively; surface it as BIGINT nanos (queries convert as needed)
+      // events.parquet's physical ts encoding has drifted across data
+      // generations (INT64 nanos / TIMESTAMP_MICROS / TIMESTAMP_NTZ);
+      // nanosAsLong keeps the nanos generation readable, and
+      // Tables.eventsCanonical normalizes whatever arrives to `tus`
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")

@@ -37,8 +37,10 @@ import graft.Tables
   */
 object AnalyticsOps {
 
+  // Canonical events view: `tus` BIGINT epoch-micros, physical-encoding
+  // agnostic (Tables.registerEvents owns the ts-type dispatch).
   private def events(s: SparkSession, dir: String): Unit =
-    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerEvents(s, dir)
 
   private def docs(s: SparkSession, dir: String): Unit =
     Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
@@ -55,12 +57,12 @@ object AnalyticsOps {
     * selective — and co-partitioned merge joins when it is not. */
   def gEventFunnel(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
-    s.sql(funnelBody("SELECT user_id, event_type, ts div 1000 AS tus FROM events"))
+    s.sql(funnelBody("SELECT user_id, event_type, tus FROM events"))
   }
 
   /** Stage ordering runs on epoch-micros BIGINT on both engines (the
-    * parquet timestamps are nanos-as-long on the Spark side, TIMESTAMP in
-    * DuckDB — the established `ts div 1000` ↔ `epoch_us(ts)` bridge). */
+    * canonical `tus` column on the Spark side — whatever the parquet's
+    * physical encoding — and `epoch_us(ts)` in DuckDB). */
   private def funnelBody(eventsSelect: String): String =
     s"""WITH e AS ($eventsSelect),
       |v AS (
@@ -94,7 +96,7 @@ object AnalyticsOps {
     events(s, dir)
     s.sql(
       """WITH e AS (
-        |  SELECT user_id, timestamp_micros(ts div 1000) AS t FROM events),
+        |  SELECT user_id, timestamp_micros(tus) AS t FROM events),
         |f AS (
         |  SELECT user_id, CAST(date_trunc('week', min(t)) AS DATE) AS cohort_week
         |  FROM e GROUP BY user_id),
@@ -135,7 +137,7 @@ object AnalyticsOps {
     events(s, dir)
     s.sql(
       """WITH e AS (
-        |  SELECT timestamp_micros(ts div 1000) AS t, event_type, value FROM events),
+        |  SELECT timestamp_micros(tus) AS t, event_type, value FROM events),
         |bounds AS (
         |  SELECT date_trunc('hour', min(t)) AS lo, date_trunc('hour', max(t)) AS hi
         |  FROM e),
@@ -435,7 +437,7 @@ object AnalyticsOps {
     events(s, dir)
     s.sql(
       """WITH daily AS (
-        |  SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS day,
+        |  SELECT CAST(timestamp_micros(tus) AS DATE) AS day,
         |    sum(CAST(round(value) AS BIGINT)) AS dollars
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY 1),
@@ -582,7 +584,7 @@ object AnalyticsOps {
   def gConcurrency(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
     s.sql(concurrencyBody(
-      "SELECT event_id, ts div 1000 AS tus FROM events",
+      "SELECT event_id, tus FROM events",
       "CAST(to_date(timestamp_micros(start_us)) AS DATE)"))
   }
 
@@ -611,25 +613,48 @@ object AnalyticsOps {
   // ==================================================== triangle counting
 
   /** Triangle counting + global clustering coefficient over the supplier
-    * co-supply graph (edge ⇔ two suppliers share an order) — the graph
-    * statistic crawl/link pipelines compute to find tightly-knit link
-    * farms. Uses the DEGREE-ORDERED orientation (each undirected edge
-    * directed low-(deg,id) → high-(deg,id)): every triangle then appears
-    * as exactly one directed wedge e1=(a,b), e2=(b,c) closed by e3=(a,c),
-    * and — the scale argument — each node's out-degree is bounded by
+    * co-supply graph — the graph statistic crawl/link pipelines compute to
+    * find tightly-knit link farms. An edge means a REPEATED relationship:
+    * two suppliers sharing ≥ 2 distinct orders inside a one-year window
+    * (precedent: [[hSupplierRank]]'s 1996 window). The threshold is the
+    * scale decision, not a nicety: "shared any order ever" is 91% dense at
+    * sf0.1 (453,588 of 499,500 pairs, 411M wedges — measured), and NO
+    * triangle algorithm survives a near-clique because the output wedge
+    * set itself is Θ(V³)-shaped; repeated-co-supply-in-window is 5.3%
+    * dense (26,270 edges, avg degree ~52) and stays near-linear in
+    * supplier count as the corpus grows — each order touches O(1)
+    * suppliers, so windowed pair co-occurrence concentrates instead of
+    * saturating. On the sparse graph the DEGREE-ORDERED orientation (each
+    * undirected edge directed low-(deg,id) → high-(deg,id)) does the rest:
+    * every triangle appears as exactly one directed wedge e1=(a,b),
+    * e2=(b,c) closed by e3=(a,c), and each node's out-degree is bounded by
     * O(√E), so the wedge join is O(E^1.5) worst case instead of the
     * Σ deg² blow-up a random orientation suffers on skewed graphs
     * (Suri & Vassilvitskii, WWW'11). All counts exact BIGINT; the
     * clustering coefficient ships in millis via integer division. */
   def hGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord96 = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(ord96, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // (order, u, v) dedup then a (u, v)-keyed count — both aggregations
+    // run with map-side partials; the HAVING >= 2 is what keeps the edge
+    // list (and everything downstream) sparse.
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
       .distinct()
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("u"), col("v"))
     val degIn = pairs.select(col("u").as("node"))
       .unionAll(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -662,10 +687,17 @@ object AnalyticsOps {
   /** DuckDB recomputes the whole chain declaratively (its CTEs
     * materialize, so the repeated references are cheap there). */
   val hGraphTrianglesSql: String =
-    """WITH pairs AS (
-      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a JOIN lineitem b
+    """WITH li AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |copresent AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |pairs AS (
+      |  SELECT u, v FROM copresent GROUP BY u, v HAVING count(*) >= 2),
       |deg AS (
       |  SELECT node, count(*) AS d FROM (
       |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) x

@@ -204,14 +204,15 @@ object PipelineQueries {
     * The declarative islands form (lag → flag → running sum) shuffles once
     * on user_id and reuses that partitioning for both windows and the final
     * aggregate — the exact layout `session_window()` uses in streaming.
-    * Times stay in epoch micros (BIGINT) end-to-end: `events.ts` is raw
-    * nanos on the Spark side (nanosAsLong) and TIMESTAMP_NS in DuckDB, so
-    * integer micros are the cross-engine-stable representation. */
+    * Times stay in epoch micros (BIGINT) end-to-end via the canonical
+    * `tus` column (Tables.registerEvents owns the physical-encoding
+    * dispatch); integer micros are the cross-engine-stable
+    * representation. */
   def gSessionWindow(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerEvents(s, dir)
     s.sql(
       """WITH e AS (
-        |  SELECT user_id, event_id, ts div 1000 AS tus FROM events),
+        |  SELECT user_id, event_id, tus FROM events),
         |flagged AS (
         |  SELECT user_id, event_id, tus,
         |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
@@ -257,8 +258,8 @@ object PipelineQueries {
     * Times leave as epoch micros (BIGINT) for cross-engine stability; the
     * oracle replays the assignment as a two-shift union. */
   def gSlidingWindow(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("t"),
+    Tables.eventsCanonical(s, dir)
+      .select(timestamp_micros(col("tus")).as("t"),
         col("event_type"), col("value"))
       .groupBy(window(col("t"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(
@@ -292,11 +293,11 @@ object PipelineQueries {
     * shard-partitioned window, so the replay parallelizes per shard — no
     * global sort. */
   def gLateData(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerEvents(s, dir)
     s.sql(
       """WITH e AS (
         |  SELECT event_id, event_id % 4 AS shard, event_type,
-        |    ts div 1000 - CASE WHEN event_id % 13 = 0 THEN 3600000000 ELSE 0 END AS tus
+        |    tus - CASE WHEN event_id % 13 = 0 THEN 3600000000 ELSE 0 END AS tus
         |  FROM events),
         |w AS (SELECT event_type, tus,
         |        max(tus) OVER (PARTITION BY shard ORDER BY event_id
@@ -327,10 +328,10 @@ object PipelineQueries {
     * shuffle, never a cross product; the same key layout the watermarked
     * streaming join maintains in its state store. */
   def gIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerEvents(s, dir)
     s.sql(
       """WITH e AS (
-        |  SELECT event_id, user_id, event_type, ts div 1000 AS tus FROM events),
+        |  SELECT event_id, user_id, event_type, tus FROM events),
         |err AS (SELECT * FROM e WHERE event_type = 'error'),
         |clk AS (SELECT * FROM e WHERE event_type = 'click')
         |SELECT err.event_id AS err_id, clk.event_id AS click_id, err.user_id,

@@ -116,9 +116,8 @@ object ScaleOps {
     * click and the max event_id purchase last, which is exactly the row
     * the carry keeps. */
   def cJoinAsof(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tus"), col("event_type"))
+    val e = Tables.eventsCanonical(s, dir)
+      .select(col("event_id"), col("user_id"), col("tus"), col("event_type"))
     val clk = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("tus"), lit(1).as("kind"),
         col("event_id").as("click_id"),
@@ -195,13 +194,14 @@ object ScaleOps {
 
   // ---------------------------------------------------------------- event-time over ns stream
 
-  /** Per-minute event rates over the nanosecond-timestamped events table
-    * (ts is BIGINT nanos on the Spark side — see the nanosAsLong session
-    * conf; DuckDB reads the same column as TIMESTAMP_NS natively). */
+  /** Per-minute event rates over the events table. Event time comes from
+    * the canonical `tus` epoch-micros column (Tables.eventsCanonical owns
+    * the physical-encoding dispatch; DuckDB reads the same column natively
+    * as a timestamp). */
   def gEventRate(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
+    Tables.eventsCanonical(s, dir)
       .select(
-        date_trunc("minute", expr("timestamp_micros(ts div 1000)")).as("minute"),
+        date_trunc("minute", timestamp_micros(col("tus"))).as("minute"),
         col("event_type"), col("value"))
       .groupBy(col("minute"), col("event_type"))
       .agg(

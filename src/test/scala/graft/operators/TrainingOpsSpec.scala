@@ -64,8 +64,8 @@ class TrainingOpsSpec extends SparkSuite {
   test("c_join_asof: matched purchase is the latest at-or-before each click") {
     val out = ScaleOps.cJoinAsof(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
-    val e = Tables.load(spark, SparkSpec.sf0001, "events")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    val e = Tables.eventsCanonical(spark, SparkSpec.sf0001)
+      .select(col("event_id"), col("user_id"), col("tus"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val purchases = e.filter(_._4 == "purchase")
     out.foreach { r =>
