@@ -909,24 +909,38 @@ object RelationalQueries {
         |  count(*) AS n,
         |  sum(CASE WHEN try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS DOUBLE)) IS NULL
         |      THEN 1 ELSE 0 END) AS n_div_null,
-        |  sum(CASE WHEN try_add(9223372036854775807L, o_orderkey) IS NULL
+        |  sum(CASE WHEN try_add(CASE WHEN o_orderkey % 1000 = 0 THEN 9223372036854775807L ELSE 0L END,
+        |                        o_orderkey) IS NULL
         |      THEN 1 ELSE 0 END) AS n_add_overflow,
-        |  sum(CASE WHEN try_cast(o_orderpriority AS INT) IS NULL
+        |  sum(CASE WHEN try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority
+        |                              ELSE CAST(o_orderkey AS STRING) END AS INT) IS NULL
         |      THEN 1 ELSE 0 END) AS n_cast_null,
         |  sum(CASE WHEN try_element_at(split(o_orderpriority, '-'), 3) IS NULL
         |      THEN 1 ELSE 0 END) AS n_elem_null
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  /** DuckDB: division by zero on DOUBLE yields inf, so the div guard is
-    * the predicate itself; bigint-max + k overflows iff k > 0 (one order carries key 0); TRY_CAST matches Spark's; the 2-token split never has a 3rd
-    * element. */
+  /** DuckDB: division by zero on DOUBLE yields inf, so the div guard is the
+    * predicate itself; bigint-max + k overflows iff k > 0; the priority
+    * string never casts to INT while the stringified key always does; the
+    * 2-token split never has a 3rd element.
+    *
+    * Failure rates are deliberately RARE (overflow 1‰ of keys, bad cast 1%):
+    * Spark's TryEval recovers from a failing row by catching the thrown
+    * ArithmeticException/NumberFormatException, so each failure costs a JVM
+    * exception (~tens of µs with stack fill-in). That is exactly the
+    * posture the try_* family exists for — a handful of malformed rows in a
+    * 100 TB scan must neither kill the stage nor tax the clean rows — but an
+    * every-row-fails column turns the scan into an exception storm (the
+    * original all-rows-overflow shape cost 4 s at sf0.1, ~30× the clean
+    * path; measured round 11). try_divide/try_element_at return NULL via
+    * value checks, no exception, so their every-row paths stay cheap. */
   val f2TrySql: String =
     """SELECT o_orderstatus,
       |  count(*) AS n,
       |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
-      |  CAST(sum(CASE WHEN o_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
-      |  CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+      |  CAST(sum(CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+      |  CAST(sum(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
       |  count(*) AS n_elem_null
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

@@ -129,6 +129,33 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(total == events, s"sessions $total != events $events — the sweep lost intervals")
   }
 
+  test("g_concurrency: planted overlaps produce the hand-computed peaks, half-open at the boundary") {
+    // Sessions are 60 + event_id % 540 seconds; ids ≡ 0 (mod 540) pin every
+    // planted session to exactly 60 s so the sweep is hand-checkable.
+    // Day 1 (2024-01-02): starts at +0/+10/+20 s triple-overlap (peak 3);
+    // a fourth starts at +60 s, exactly when the first ends — the close
+    // must sort before the open (half-open intervals), so the peak stays 3.
+    // Day 2 (2024-01-03): two back-to-back sessions [0,60) and [60,120) —
+    // peak 1 iff the boundary is half-open (a closed-interval sweep says 2).
+    import org.apache.spark.sql.functions._
+    val day1 = 1704196800000000L // 2024-01-02 12:00:00 UTC in micros
+    val day2 = day1 + 86400L * 1000000L
+    val planted = Seq(
+      (0L, day1), (540L, day1 + 10000000L), (1080L, day1 + 20000000L),
+      (1620L, day1 + 60000000L),
+      (2160L, day2), (2700L, day2 + 60000000L))
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-concur").toString
+    planted.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = AnalyticsOps.gConcurrency(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("2024-01-02", 3L, 4L), ("2024-01-03", 1L, 2L)),
+      s"planted sweep mismatch: ${rows.toSeq}")
+  }
+
   test("h_graph_triangles: closed wedges bounded, coefficient in [0, 1000]") {
     val r = AnalyticsOps.hGraphTriangles(spark, sf).collect()(0)
     val (nodes, edges, tris, wedges, cc) =
