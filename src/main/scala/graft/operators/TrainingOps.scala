@@ -1064,7 +1064,200 @@ object TrainingOps {
       |  CAST((10000 * sum(len(string_split(text, ' ')))) // count(*) AS BIGINT) AS mean_tokens_x1e4
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ================================================= stratified sampling
+
+  /** Exact-k stratified sampling — the eval-holdout constructor: exactly
+    * 10 documents per (lang, source) stratum, chosen by a deterministic
+    * content-hash ranking (md5 prefix, doc_id tie-break) so the sample is
+    * stable under re-partitioning, re-runs, and corpus re-ordering. The
+    * report carries each stratum's population next to its sample's
+    * id-sum/char-sum so the draw itself is hash-pinned cross-engine.
+    *
+    * Scale shape: the rank-filter `row_number() <= 10` is planned as
+    * WindowGroupLimit (plan-pinned in spec) — each map task keeps only its
+    * local top-10 per stratum BEFORE the exchange, so the window shuffle
+    * carries O(k · strata · tasks) rows, not the corpus; the stratum
+    * population count is a separate map-side-partial aggregate. At 100 TB
+    * that is the difference between shuffling ~kilobytes and sorting the
+    * corpus. */
+  def hStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH r AS (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT), doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, source, count(*) AS n_sampled,
+        |    CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |  FROM r WHERE rn <= 10 GROUP BY lang, source),
+        |pop AS (
+        |  SELECT lang, source, count(*) AS n_stratum
+        |  FROM documents GROUP BY lang, source)
+        |SELECT pop.lang, pop.source, pop.n_stratum,
+        |  k.n_sampled, k.sampled_id_sum, k.sampled_chars
+        |FROM pop JOIN k ON pop.lang = k.lang AND pop.source = k.source
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** DuckDB: same rank, hex prefix via the concat-0x cast. */
+  val hStratifiedSampleSql: String =
+    """WITH r AS (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY CAST(concat('0x', substring(md5(text), 1, 6)) AS BIGINT), doc_id) AS rn
+      |  FROM documents),
+      |k AS (
+      |  SELECT lang, source, count(*) AS n_sampled,
+      |    CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum,
+      |    CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+      |  FROM r WHERE rn <= 10 GROUP BY lang, source),
+      |pop AS (
+      |  SELECT lang, source, count(*) AS n_stratum
+      |  FROM documents GROUP BY lang, source)
+      |SELECT pop.lang, pop.source, pop.n_stratum,
+      |  k.n_sampled, k.sampled_id_sum, k.sampled_chars
+      |FROM pop JOIN k ON pop.lang = k.lang AND pop.source = k.source
+      |ORDER BY pop.lang, pop.source""".stripMargin
+
+  // ============================================== MinHash calibration audit
+
+  /** MinHash calibration audit — the empirical check that signature
+    * agreement tracks exact Jaccard, run before trusting an LSH threshold
+    * at 100 TB: E[agree/k] = J for a k-perm MinHash, and a corpus whose
+    * observed curve bends away from the diagonal (degenerate shingles,
+    * skewed token distributions) needs its banding re-tuned.
+    *
+    * Uses an 8-perm ENGINE-AGNOSTIC MinHash (per-perm hash = first 15 hex
+    * chars of md5(perm|shingle), min over the doc's word-3-gram shingles) —
+    * unlike the production `minhash_signature` expression, this one DuckDB
+    * replays verbatim, so the audit's every pair is hash-pinned, not
+    * summary-checked. Pairs come from deterministic (lang, doc_id mod 100)
+    * blocks over the replay-doubled corpus: the planted stripped copies
+    * (J ≈ 0.95) land in-block (10^6 ≡ 0 mod 100) and the rest of each
+    * block contributes J ≈ 0 pairs, covering both ends of the curve.
+    * Per agreement level (0..8): pair count and mean exact Jaccard in
+    * millis, all integer arithmetic.
+    *
+    * Scale shape: the shingle table is materialized ONCE (localCheckpoint,
+    * same discipline as [[LlmOps.shingleTable]]), signatures come from an
+    * explode → 8-flat-column min aggregate — per-shingle md5 runs inside
+    * whole-stage codegen instead of an interpreted nested `transform`
+    * lambda (the lambda form measured 7.3 s at sf0.1, this form 2.8 s;
+    * same lesson as h_decontaminate), two 60-bit hashes per digest so
+    * each shingle pays 4 md5 calls for 8 perms, and map-side partial
+    * mins so the exchange carries 8 longs per doc. The exact
+    * intersection count rides a gram-co-occurrence equi-join (narrow
+    * codegen rows), not per-pair `array_intersect` hash-set builds, and
+    * the pair join itself carries only scalars. Pair volume is
+    * Σ block² — an equi-join on the block key, never corpus² — and the
+    * final table is 9 rows. */
+  def hMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, regexp_replace(text, '^\\S+\\s+', '')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, split(text, ' ') AS tokens FROM corpus)
+        |SELECT doc_id, lang, doc_id % 100 AS blk,
+        |  array_distinct(transform(sequence(1, size(tokens) - 2),
+        |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1),
+        |                '|', element_at(tokens, i + 2)))) AS shingles
+        |FROM tok WHERE size(tokens) >= 3""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("cal_sh")
+    s.sql(
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    md5(concat('0|', s)) AS m0, md5(concat('1|', s)) AS m1,
+        |    md5(concat('2|', s)) AS m2, md5(concat('3|', s)) AS m3
+        |  FROM cal_sh LATERAL VIEW explode(shingles) t AS s),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(CAST(conv(substring(m0, 1, 15), 16, 10) AS BIGINT)) AS h0,
+        |    min(CAST(conv(substring(m0, 17, 15), 16, 10) AS BIGINT)) AS h1,
+        |    min(CAST(conv(substring(m1, 1, 15), 16, 10) AS BIGINT)) AS h2,
+        |    min(CAST(conv(substring(m1, 17, 15), 16, 10) AS BIGINT)) AS h3,
+        |    min(CAST(conv(substring(m2, 1, 15), 16, 10) AS BIGINT)) AS h4,
+        |    min(CAST(conv(substring(m2, 17, 15), 16, 10) AS BIGINT)) AS h5,
+        |    min(CAST(conv(substring(m3, 1, 15), 16, 10) AS BIGINT)) AS h6,
+        |    min(CAST(conv(substring(m3, 17, 15), 16, 10) AS BIGINT)) AS h7
+        |  FROM g GROUP BY doc_id),
+        |j AS (
+        |  SELECT sh.doc_id, sh.lang, sh.blk, size(sh.shingles) AS n_sh,
+        |    sig.h0, sig.h1, sig.h2, sig.h3, sig.h4, sig.h5, sig.h6, sig.h7
+        |  FROM cal_sh sh JOIN sig ON sh.doc_id = sig.doc_id),
+        |g2 AS (
+        |  SELECT doc_id, lang, blk, s
+        |  FROM cal_sh LATERAL VIEW explode(shingles) t AS s),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        |  FROM g2 a JOIN g2 b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.s = b.s
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT CAST(
+        |      (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    coalesce(i.ni, 0L) AS ni,
+        |    a.n_sh + b.n_sh - coalesce(i.ni, 0L) AS nu
+        |  FROM j a JOIN j b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |  LEFT JOIN inter i ON i.a_id = a.doc_id AND i.b_id = b.doc_id)
+        |SELECT agree, count(*) AS n_pairs,
+        |  CAST(sum(1000L * ni DIV nu) AS BIGINT) AS sum_jacc_millis,
+        |  CAST(sum(1000L * ni DIV nu) DIV count(*) AS BIGINT) AS mean_jacc_millis
+        |FROM pairs WHERE nu > 0
+        |GROUP BY agree ORDER BY agree""".stripMargin)
+  }
+
+  /** DuckDB replays the identical md5-digest-slice signatures and blocks
+    * (two 60-bit hashes per digest, positions 1–15 and 17–31). */
+  val hMinhashCalibrationSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, lang, doc_id % 100 AS blk,
+      |    list_distinct(list_transform(range(len(tokens) - 2),
+      |      i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3])) AS shingles
+      |  FROM tok WHERE len(tokens) >= 3),
+      |sig AS (
+      |  SELECT doc_id, lang, blk, shingles,
+      |    flatten(list_transform(range(4), p -> [
+      |      list_min(list_transform(shingles,
+      |        s -> CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', s)), 1, 15)) AS BIGINT))),
+      |      list_min(list_transform(shingles,
+      |        s -> CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', s)), 17, 15)) AS BIGINT)))])) AS sig
+      |  FROM sh),
+      |pairs AS (
+      |  SELECT len(list_filter(range(8), i -> a.sig[i + 1] = b.sig[i + 1])) AS agree,
+      |    len(list_intersect(a.shingles, b.shingles)) AS ni,
+      |    len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS nu
+      |  FROM sig a JOIN sig b
+      |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT CAST(agree AS BIGINT) AS agree, count(*) AS n_pairs,
+      |  CAST(sum(1000 * ni // nu) AS BIGINT) AS sum_jacc_millis,
+      |  CAST(sum(1000 * ni // nu) // count(*) AS BIGINT) AS mean_jacc_millis
+      |FROM pairs WHERE nu > 0
+      |GROUP BY agree ORDER BY agree""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_stratified_sample" -> (hStratifiedSample _),
+    "h_minhash_calibration" -> (hMinhashCalibration _),
     "h_rollup_incremental" -> (hRollupIncremental _),
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
@@ -1084,6 +1277,8 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_stratified_sample" -> hStratifiedSampleSql,
+    "h_minhash_calibration" -> hMinhashCalibrationSql,
     "h_rollup_incremental" -> hRollupIncrementalSql,
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,

@@ -350,6 +350,26 @@ class PlanAuditSpec extends SparkSuite {
       s"the merge join must key on doc_id:\n$plan")
   }
 
+  test("h_stratified_sample: rank filter plans as WindowGroupLimit (map-side top-k per stratum)") {
+    val plan = TrainingOps.hStratifiedSample(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // rn <= 10 must push a partial group-limit below the window exchange:
+    // each map task forwards only its local top-10 per (lang, source), so
+    // the shuffle carries O(k·strata·tasks), never the corpus
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank filter must plan as WindowGroupLimit, not a full stratum sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("h_minhash_calibration: block equi-joins only, no per-pair array_intersect") {
+    val df = TrainingOps.hMinhashCalibration(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the (lang, blk) equi-join:\n$plan")
+    assert(!plan.contains("array_intersect"),
+      s"the exact intersection must come from the gram co-occurrence join:\n$plan")
+  }
+
   test("h_chunking: embarrassingly parallel — no join/window, exchanges only for the lang aggregate") {
     val plan = TrainingOps.hChunking(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
