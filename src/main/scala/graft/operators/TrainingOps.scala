@@ -1153,7 +1153,14 @@ object TrainingOps {
     * codegen rows), not per-pair `array_intersect` hash-set builds, and
     * the pair join itself carries only scalars. Pair volume is
     * Σ block² — an equi-join on the block key, never corpus² — and the
-    * final table is 9 rows. */
+    * final table is 9 rows.
+    *
+    * The block modulus (100) is the SAMPLING-RATE knob: the audit needs a
+    * bounded, similarity-spanning pair sample, not all pairs, and expected
+    * pair volume is corpus² / (langs · modulus). At a larger corpus, raise
+    * the modulus proportionally so expected block size — and per-block
+    * pair cost — stays constant; the planted in-block property only needs
+    * the modulus to divide the 10^6 replay offset. */
   def hMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     Checkpoints.track(s.sql(

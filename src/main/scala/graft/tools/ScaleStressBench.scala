@@ -40,7 +40,12 @@ object ScaleStressBench {
     "h_text_stats", "h_dedup_exact", "h_neardup_minhash", "h_dup_clusters",
     "h_dedup_survivors", "h_dedup_spans", "h_dup_ngrams", "h_decontaminate",
     "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes",
-    "h_ivfpq_search", "h_lm_quality", "h_tfidf")
+    "h_ivfpq_search", "h_lm_quality", "h_tfidf", "h_stratified_sample")
+  // h_minhash_calibration is deliberately NOT in the stress set: its block
+  // modulus is a fixed sampling-rate knob (see its Scaladoc), so K-fold
+  // replication multiplies block size by K and pair volume by K² — that
+  // measures a mis-tuned audit, not the operator's scaling; at real scale
+  // the modulus grows with the corpus to hold block size constant.
 
   private val stride = 10000L
 
