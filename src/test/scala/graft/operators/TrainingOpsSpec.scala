@@ -61,6 +61,27 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("h_minhash_calibration: agreement separates the similarity ends") {
+    // Strict monotonicity is too strong on any finite sample (mid-range
+    // agreement levels can hold 1-2 pairs), but the CALIBRATION property —
+    // high signature agreement means high exact Jaccard, zero agreement
+    // means near-zero — must hold on any input, or the LSH thresholds the
+    // dedup family trusts are uncalibrated.
+    val rows = TrainingOps.hMinhashCalibration(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (agree, n, mean_millis)
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, n, m) =>
+      assert(a >= 0 && a <= 8 && n > 0 && m >= 0 && m <= 1000, s"out of range: ($a,$n,$m)")
+    }
+    val byAgree = rows.map(r => r._1 -> r._3).toMap
+    // the planted stripped copies (J≈0.95) dominate full agreement...
+    assert(byAgree.get(8).exists(_ >= 800),
+      s"full signature agreement must mean near-duplicate: $byAgree")
+    // ...and unrelated block pairs dominate zero agreement
+    assert(byAgree.get(0).exists(_ <= 200),
+      s"zero signature agreement must mean near-disjoint: $byAgree")
+  }
+
   test("c_join_asof: matched purchase is the latest at-or-before each click") {
     val out = ScaleOps.cJoinAsof(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
