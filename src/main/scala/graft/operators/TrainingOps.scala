@@ -1122,6 +1122,82 @@ object TrainingOps {
       |FROM pop JOIN k ON pop.lang = k.lang AND pop.source = k.source
       |ORDER BY pop.lang, pop.source""".stripMargin
 
+  // ================================================== token-budget mixture
+
+  /** Token-BUDGET mixture — the shape pretraining data mixing actually
+    * runs: each language gets a token budget (√-scaled shares over a
+    * global 50 % budget, the [[hDomainMix]] temperature), and documents
+    * are admitted in deterministic content-hash order until the budget is
+    * exhausted. [[hDomainMix]] answers "keep this doc with what
+    * probability" (doc-count shares, stateless per doc); this operator
+    * answers "keep which PREFIX of the hash-ordered corpus so the kept
+    * TOKENS hit the budget" — the difference matters because doc length
+    * varies 100× and a training run buys tokens, not documents.
+    *
+    * The cut is a per-lang running token sum over (draw, doc_id) order: a
+    * doc is kept iff its cumulative sum stays within budget, so the
+    * selection is exact, deterministic, and re-derivable (re-running on
+    * re-partitioned data keeps the identical set — same argument as
+    * [[hStratifiedSample]]'s bottom-k). Per-lang utilization ships in
+    * millis via integer division.
+    *
+    * Scale shape: one map-side-partial aggregate for per-lang token
+    * totals, a broadcast-sized budget table joined back, and ONE lang-
+    * keyed window sort for the running sum — languages cut independently
+    * (the [[hSeqPacking]] layout); nothing corpus-sized crosses a second
+    * exchange. */
+  def hTokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT lang, doc_id, size(split(text, ' ')) AS toks,
+        |    CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) AS draw
+        |  FROM documents),
+        |tl AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS t FROM d GROUP BY lang),
+        |w AS (SELECT lang, t, CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS rw FROM tl),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s,
+        |               CAST(sum(t) * 5 DIV 10 AS BIGINT) AS b FROM w),
+        |budget AS (
+        |  SELECT w.lang, w.t, (t2.b * w.rw) DIV t2.s AS bl
+        |  FROM w CROSS JOIN tot t2),
+        |run AS (
+        |  SELECT d.lang, d.toks, b.bl,
+        |    sum(d.toks) OVER (PARTITION BY d.lang ORDER BY d.draw, d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d JOIN budget b ON d.lang = b.lang)
+        |SELECT lang, min(bl) AS budget_tokens,
+        |  CAST(sum(CASE WHEN cum <= bl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= bl THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN cum <= bl THEN toks ELSE 0 END) * 1000 DIV min(bl) AS BIGINT)
+        |    AS utilization_millis
+        |FROM run GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB replays the identical budgets, order, and prefix cut. */
+  val hTokenBudgetMixSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS toks,
+      |    CAST(concat('0x', substring(md5(text), 1, 6)) AS BIGINT) AS draw
+      |  FROM documents),
+      |tl AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS t FROM d GROUP BY lang),
+      |w AS (SELECT lang, t, CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS rw FROM tl),
+      |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s,
+      |               CAST(sum(t) * 5 // 10 AS BIGINT) AS b FROM w),
+      |budget AS (
+      |  SELECT w.lang, w.t, (t2.b * w.rw) // t2.s AS bl
+      |  FROM w CROSS JOIN tot t2),
+      |run AS (
+      |  SELECT d.lang, d.toks, b.bl,
+      |    sum(d.toks) OVER (PARTITION BY d.lang ORDER BY d.draw, d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d JOIN budget b ON d.lang = b.lang)
+      |SELECT lang, CAST(min(bl) AS BIGINT) AS budget_tokens,
+      |  CAST(sum(CASE WHEN cum <= bl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN cum <= bl THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(CASE WHEN cum <= bl THEN toks ELSE 0 END) * 1000 // min(bl) AS BIGINT)
+      |    AS utilization_millis
+      |FROM run GROUP BY lang ORDER BY lang""".stripMargin
+
   // ============================================== MinHash calibration audit
 
   /** MinHash calibration audit — the empirical check that signature
@@ -1265,6 +1341,7 @@ object TrainingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_stratified_sample" -> (hStratifiedSample _),
     "h_minhash_calibration" -> (hMinhashCalibration _),
+    "h_token_budget_mix" -> (hTokenBudgetMix _),
     "h_rollup_incremental" -> (hRollupIncremental _),
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
@@ -1286,6 +1363,7 @@ object TrainingOps {
   def oracle: Map[String, String] = Map(
     "h_stratified_sample" -> hStratifiedSampleSql,
     "h_minhash_calibration" -> hMinhashCalibrationSql,
+    "h_token_budget_mix" -> hTokenBudgetMixSql,
     "h_rollup_incremental" -> hRollupIncrementalSql,
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,

@@ -61,6 +61,22 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("h_token_budget_mix: prefix cut respects every budget and wastes at most one document") {
+    val rows = TrainingOps.hTokenBudgetMix(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, budget, nKept, keptToks, utilMillis) =>
+      assert(budget > 0 && nKept > 0, s"$lang: empty selection")
+      assert(keptToks <= budget, s"$lang: kept $keptToks tokens over budget $budget")
+      assert(utilMillis == keptToks * 1000 / budget, s"$lang: utilization arithmetic drifted")
+      // the cut is a maximal prefix: the only waste is the one document
+      // that would have crossed the line — so the gap is bounded by the
+      // largest doc, loosely bounded here by the budget itself
+      assert(utilMillis >= 500,
+        s"$lang: utilization $utilMillis millis — prefix cut is leaving budget unspent")
+    }
+  }
+
   test("h_minhash_calibration: agreement separates the similarity ends") {
     // Strict monotonicity is too strong on any finite sample (mid-range
     // agreement levels can hold 1-2 pairs), but the CALIBRATION property —
