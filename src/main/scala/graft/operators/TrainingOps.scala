@@ -1122,6 +1122,73 @@ object TrainingOps {
       |FROM pop JOIN k ON pop.lang = k.lang AND pop.source = k.source
       |ORDER BY pop.lang, pop.source""".stripMargin
 
+  // ===================================================== n-gram novelty
+
+  /** N-gram NOVELTY rate — the crawl-freshness KPI a recurring ingest
+    * pipeline tracks: what fraction of the incoming batch's distinct word
+    * 8-grams has the standing corpus never seen? A collapsing novelty
+    * trend means the crawl is re-fetching known content (time to widen
+    * seeds); a spike means a new content family (time to re-check quality
+    * gates). Batch = `doc_id % 3 = 0`, standing corpus = the rest — the
+    * same deterministic split [[hRollupIncremental]] and `h_bigram_lm`
+    * use.
+    *
+    * Scale shape: both gram streams are explode-projections inside
+    * whole-stage codegen ([[hDecontaminate]]'s 11× lesson); each side
+    * dedups in a (lang, gram)-keyed hash aggregate with map-side
+    * partials, and novelty is ONE left-anti-shaped join on the
+    * aggregation key (here a LEFT JOIN + null test so seen and novel
+    * both count in one pass). Nothing corpus-sized crosses a second
+    * exchange; the result is langs-many rows. */
+  def hNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |batch AS (
+        |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 = 0),
+        |standing AS (
+        |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 <> 0)
+        |SELECT b.lang,
+        |  count(*) AS n_batch_grams,
+        |  CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT)
+        |    AS novelty_millis
+        |FROM batch b LEFT JOIN standing st
+        |  ON b.lang = st.lang AND b.gram = st.gram
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin)
+  }
+
+  /** DuckDB replays the identical split, gram streams, and join. */
+  val hNgramNoveltySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |gr AS (
+      |  SELECT doc_id, lang,
+      |    t[i + 1] || '|' || t[i + 2] || '|' || t[i + 3] || '|' || t[i + 4] || '|' ||
+      |    t[i + 5] || '|' || t[i + 6] || '|' || t[i + 7] || '|' || t[i + 8] AS gram
+      |  FROM tok, unnest(range(len(t) - 7)) AS x(i)
+      |  WHERE len(t) >= 8),
+      |batch AS (
+      |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 = 0),
+      |standing AS (
+      |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 <> 0)
+      |SELECT b.lang,
+      |  count(*) AS n_batch_grams,
+      |  CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+      |    AS novelty_millis
+      |FROM batch b LEFT JOIN standing st
+      |  ON b.lang = st.lang AND b.gram = st.gram
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
   // ================================================== token-budget mixture
 
   /** Token-BUDGET mixture — the shape pretraining data mixing actually
@@ -1342,6 +1409,7 @@ object TrainingOps {
     "h_stratified_sample" -> (hStratifiedSample _),
     "h_minhash_calibration" -> (hMinhashCalibration _),
     "h_token_budget_mix" -> (hTokenBudgetMix _),
+    "h_ngram_novelty" -> (hNgramNovelty _),
     "h_rollup_incremental" -> (hRollupIncremental _),
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
@@ -1364,6 +1432,7 @@ object TrainingOps {
     "h_stratified_sample" -> hStratifiedSampleSql,
     "h_minhash_calibration" -> hMinhashCalibrationSql,
     "h_token_budget_mix" -> hTokenBudgetMixSql,
+    "h_ngram_novelty" -> hNgramNoveltySql,
     "h_rollup_incremental" -> hRollupIncrementalSql,
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,

@@ -61,6 +61,17 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("h_ngram_novelty: novelty is a valid fraction of the batch gram set") {
+    val rows = TrainingOps.hNgramNovelty(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, total, novel, millis) =>
+      assert(total > 0, s"$lang: empty batch gram set")
+      assert(novel >= 0 && novel <= total, s"$lang: novel $novel outside [0, $total]")
+      assert(millis == novel * 1000 / total, s"$lang: novelty arithmetic drifted")
+    }
+  }
+
   test("h_token_budget_mix: prefix cut respects every budget and wastes at most one document") {
     val rows = TrainingOps.hTokenBudgetMix(spark, SparkSpec.sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
