@@ -31,6 +31,16 @@ object StreamingStratifiedSampler {
   final case class DocRow(
       doc_id: Long, lang: String, source: String, n_chars: Long, draw: Long)
   final case class SampleEntry(draw: Long, doc_id: Long, n_chars: Long)
+
+  /** The bottom-k merge: k smallest entries by (draw, doc_id) from the
+    * union of two samples. This single function carries the sketch's
+    * algebra — it is commutative, associative, and idempotent with
+    * `mergeBottomK(s, Vector.empty, k) = s` for any k-bounded s, so any
+    * arrival order, batching, re-sharding, or replay converges to the
+    * same sample (property-tested in StreamingStratifiedSamplerSpec). */
+  def mergeBottomK(
+      a: Vector[SampleEntry], b: Vector[SampleEntry], k: Int): Vector[SampleEntry] =
+    (a ++ b).distinct.sortBy(e => (e.draw, e.doc_id)).take(k)
   /** Matches the batch query's per-stratum report columns. */
   final case class StratumSample(
       lang: String, source: String, n_stratum: Long, n_sampled: Long,
@@ -60,10 +70,10 @@ object StreamingStratifiedSampler {
         b.result()
       }
       // bottom-k merge on (draw, doc_id) — identical to the batch
-      // row_number() ORDER BY draw, doc_id ranking
-      val merged = (current ++ incoming.map(d => SampleEntry(d.draw, d.doc_id, d.n_chars)))
-        .sortBy(e => (e.draw, e.doc_id))
-        .take(k)
+      // row_number() ORDER BY draw, doc_id ranking; dedup makes the merge
+      // idempotent, so at-least-once redelivery cannot double-fill a slot
+      val merged = mergeBottomK(
+        current, incoming.map(d => SampleEntry(d.draw, d.doc_id, d.n_chars)), k)
       val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
       seen.update(n)
       if (merged != current) {
