@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -17,8 +17,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Logical-instant columns per table: fact-date columns that queries
+    * compare against day-granularity literals, group on, or output. Their
+    * PHYSICAL parquet encoding is owned by the data generator and may
+    * drift between generations exactly like `events.ts` did in round 10
+    * (the schema contract's envelope: DATE, TIMESTAMP, TIMESTAMP_NTZ, or
+    * INT64 nanos surfaced as BIGINT under `nanosAsLong`). [[load]] routes
+    * each through [[instantColumn]] so every consumer — DataFrame-API call
+    * sites and SQL temp views alike — binds to a canonical TIMESTAMP
+    * regardless of what the file holds. */
+  private val instantCols: Map[String, Seq[String]] = Map(
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Canonical instant as a Spark TIMESTAMP, whatever the physical type.
+    * The NTZ and nanos branches rely on the session running in UTC (all
+    * graft entrypoints set `spark.sql.session.timeZone=UTC`), making the
+    * reinterpretation exact and matching DuckDB's reading of the same
+    * file. Purely a projection — scan pushdown and pruning are unaffected,
+    * and when the physical type is already TIMESTAMP the column passes
+    * through untouched (today's plans stay bit-identical). */
+  def instantColumn(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType    => col(c)
+      case DateType         => col(c).cast(TimestampType)
+      case TimestampNTZType => col(c).cast(TimestampType)
+      case LongType         => expr(s"timestamp_micros($c div 1000)") // INT64 nanos
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for instant column $c: $other")
+    }
+
+  /** Replace each declared instant column with its canonical TIMESTAMP
+    * form (same name, same position). No-op projection when the file
+    * already encodes TIMESTAMP, so the common case adds nothing to the
+    * plan. */
+  private def canonicalize(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == TimestampType) d
+      else d.withColumn(c, instantColumn(d, c))
+    }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    canonicalize(raw, instantCols.getOrElse(name, Nil))
+  }
 
   /** The canonical event-time column: `tus`, epoch-micros BIGINT.
     *

@@ -913,7 +913,7 @@ object RelationalQueries {
         |                        o_orderkey) IS NULL
         |      THEN 1 ELSE 0 END) AS n_add_overflow,
         |  sum(CASE WHEN try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderpriority
-        |                              ELSE CAST(o_orderkey AS STRING) END AS INT) IS NULL
+        |                              ELSE CAST(o_orderkey AS STRING) END AS BIGINT) IS NULL
         |      THEN 1 ELSE 0 END) AS n_cast_null,
         |  sum(CASE WHEN try_element_at(split(o_orderpriority, '-'), 3) IS NULL
         |      THEN 1 ELSE 0 END) AS n_elem_null
@@ -922,8 +922,10 @@ object RelationalQueries {
 
   /** DuckDB: division by zero on DOUBLE yields inf, so the div guard is the
     * predicate itself; bigint-max + k overflows iff k > 0; the priority
-    * string never casts to INT while the stringified key always does; the
-    * 2-token split never has a 3rd element.
+    * string never casts to BIGINT while the stringified key always does
+    * (BIGINT, not INT, so keys past INT32 range at large scale factors
+    * still cast cleanly and the oracle's `% 100` predicate stays exact);
+    * the 2-token split never has a 3rd element.
     *
     * Failure rates are deliberately RARE (overflow 1‰ of keys, bad cast 1%):
     * Spark's TryEval recovers from a failing row by catching the thrown

@@ -20,6 +20,17 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * re-derives the same sample; two shards' samples union-and-truncate to
   * the global one (the classic distributed-bottom-k merge).
   *
+  * Guarantee split under at-least-once delivery: the SAMPLE itself is
+  * redelivery-stable (the merge dedups on (draw, doc_id), so a replayed
+  * row cannot double-fill a slot), but the `n_stratum` population counter
+  * is a plain row count and counts each delivery — under source replay it
+  * is an UPPER BOUND on the distinct population, exact only under
+  * exactly-once delivery (Kafka/file sources with checkpointing, and the
+  * spec's MemoryStream). An exact duplicate-proof count would need
+  * per-id state (no longer O(k)); pipelines that need a distinct count
+  * under replay should pair the sampler with a per-stratum
+  * approx_count_distinct aggregate instead.
+  *
   * Scale posture: state is k entries + one counter per stratum,
   * hash-partitioned across executors by stratum key; per-row work is an
   * O(k) in-memory merge. Emission is OutputMode.Update — one summary row
@@ -71,7 +82,10 @@ object StreamingStratifiedSampler {
       }
       // bottom-k merge on (draw, doc_id) — identical to the batch
       // row_number() ORDER BY draw, doc_id ranking; dedup makes the merge
-      // idempotent, so at-least-once redelivery cannot double-fill a slot
+      // idempotent, so at-least-once redelivery cannot double-fill a slot.
+      // `seen` deliberately counts deliveries, not distinct ids (see the
+      // object Scaladoc's guarantee split): exact under exactly-once,
+      // an upper bound under replay.
       val merged = mergeBottomK(
         current, incoming.map(d => SampleEntry(d.draw, d.doc_id, d.n_chars)), k)
       val n = (if (seen.exists()) seen.get() else 0L) + incoming.size

@@ -11,17 +11,21 @@ import org.apache.spark.sql.types._
   * with opaque analysis errors.
   *
   * Envelopes are deliberately wider than one generation's exact types:
-  * instants may arrive as TIMESTAMP, TIMESTAMP_NTZ, or (under the
-  * session's nanosAsLong) BIGINT nanos — every query consumes them
-  * through an adapter (`Tables.eventsCanonical`) rather than binding to
-  * one encoding. A type OUTSIDE the envelope means a new drift class:
-  * extend the adapter and the envelope together.
+  * instants may arrive as TIMESTAMP, TIMESTAMP_NTZ, DATE, or (under the
+  * session's nanosAsLong) BIGINT nanos — and every member of that
+  * envelope has a consuming adapter: `Tables.eventsCanonical` for
+  * `events.ts` and the canonicalizing `Tables.load` for
+  * `orders.o_orderdate` / `lineitem.l_shipdate` (DateCanonSpec proves
+  * each envelope member loads to the identical canonical TIMESTAMP).
+  * The envelope here and the adapters' match arms must move together; a
+  * type OUTSIDE the envelope is a new drift class and fails here first,
+  * with the table/column/type named.
   */
 class SchemaContractSpec extends SparkSuite {
 
   // acceptable physical types per logical column kind
   private val instant: Set[DataType] =
-    Set(TimestampType, TimestampNTZType, LongType)
+    Set(TimestampType, TimestampNTZType, DateType, LongType)
   private val integral: Set[DataType] = Set(IntegerType, LongType)
 
   private def exactly(t: DataType): Set[DataType] = Set(t)
@@ -61,7 +65,10 @@ class SchemaContractSpec extends SparkSuite {
 
   for ((table, cols) <- contract.toSeq.sortBy(_._1))
     test(s"$table: columns present with types inside the drift envelope") {
-      val schema = Tables.load(spark, SparkSpec.sf0001, table).schema
+      // RAW parquet schema, not Tables.load — load canonicalizes the
+      // instant columns, which would mask exactly the drift this contract
+      // exists to name
+      val schema = spark.read.parquet(s"${SparkSpec.sf0001}/$table.parquet").schema
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
       val missing = cols.map(_._1).filterNot(byName.contains)
       assert(missing.isEmpty,
@@ -75,9 +82,19 @@ class SchemaContractSpec extends SparkSuite {
       }
     }
 
-  test("instant envelope matches what Tables.tusColumn can adapt") {
-    // the events adapter must accept every member of the instant envelope —
-    // if someone widens one without the other, fail here, not in 11 queries
-    assert(instant == Set(TimestampType, TimestampNTZType, LongType))
+  test("instant envelope matches what the adapters can adapt") {
+    // adapters must accept every member of the instant envelope — if
+    // someone widens one without the other, fail here, not in 11 queries.
+    // Tables.tusColumn handles TIMESTAMP/NTZ/nanos (events.ts never
+    // arrives day-granular); Tables.instantColumn additionally handles
+    // DATE (DateCanonSpec exercises all four end-to-end).
+    assert(instant == Set(TimestampType, TimestampNTZType, DateType, LongType))
+  }
+
+  test("canonical load always surfaces fact-date columns as TIMESTAMP") {
+    assert(Tables.load(spark, SparkSpec.sf0001, "orders")
+      .schema("o_orderdate").dataType == TimestampType)
+    assert(Tables.load(spark, SparkSpec.sf0001, "lineitem")
+      .schema("l_shipdate").dataType == TimestampType)
   }
 }
