@@ -361,6 +361,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("h_token_budget_mix: running sum is bucket-local, never a bare-lang corpus window") {
+    val plan = TrainingOps.hTokenBudgetMix(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // The skewed-key scale killer is `SUM(toks) OVER (PARTITION BY lang
+    // ORDER BY draw, ...)`: one task sorts the dominant language's entire
+    // corpus. The two-pass plan must window the corpus only over
+    // (lang, bkt) — so every window spec that orders by `draw` has to
+    // carry `bkt` in its partition key. (The tiny per-bucket offset
+    // window partitions by lang alone but orders by bkt, not draw.)
+    val draws = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("draw")).toSeq
+    assert(draws.nonEmpty, s"expected the bucket-local running-sum window:\n$plan")
+    assert(draws.forall(_.contains("bkt")),
+      s"corpus running sum regressed to a bare-lang window partition:\n$plan")
+    // offsets and budgets must come back as broadcasts, not corpus shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset/budget tables must broadcast-join back to the corpus:\n$plan")
+  }
+
   test("h_minhash_calibration: block equi-joins only, no per-pair array_intersect") {
     val df = TrainingOps.hMinhashCalibration(spark, SparkSpec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
