@@ -40,12 +40,16 @@ object ScaleStressBench {
     "h_text_stats", "h_dedup_exact", "h_neardup_minhash", "h_dup_clusters",
     "h_dedup_survivors", "h_dedup_spans", "h_dup_ngrams", "h_decontaminate",
     "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes",
-    "h_ivfpq_search", "h_lm_quality", "h_tfidf", "h_stratified_sample")
-  // h_minhash_calibration is deliberately NOT in the stress set: its block
-  // modulus is a fixed sampling-rate knob (see its Scaladoc), so K-fold
-  // replication multiplies block size by K and pair volume by K² — that
-  // measures a mis-tuned audit, not the operator's scaling; at real scale
-  // the modulus grows with the corpus to hold block size constant.
+    "h_ivfpq_search", "h_lm_quality", "h_tfidf", "h_stratified_sample",
+    "h_token_budget_mix", "h_ngram_novelty", "h_minhash_calibration")
+  // h_minhash_calibration entered the stress set in round 12, when its
+  // block modulus became auto-sized from the corpus count (see its
+  // Scaladoc): with the earlier fixed modulus, K-fold replication
+  // multiplied block size by K and pair volume by K² — measuring a
+  // mis-tuned audit, not the operator's scaling. The derived modulus
+  // rides the power-of-10 ladder with corpus size (K=10 here crosses
+  // 100 → 1000), holding expected block size — and per-block pair cost —
+  // roughly constant.
 
   private val stride = 10000L
 
