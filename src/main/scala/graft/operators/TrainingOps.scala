@@ -1189,6 +1189,91 @@ object TrainingOps {
       |  ON b.lang = st.lang AND b.gram = st.gram
       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
 
+  /** INCREMENTAL novelty — the OPERATIONAL shape of [[hNgramNovelty]] at
+    * 100 TB (the [[LlmOps.hDedupIncremental]] pattern): a recurring
+    * ingest never re-derives the standing corpus's gram inventory per
+    * run — it maintains a stored (lang, gram) INDEX table, joins each
+    * batch against it, and appends the batch's novel grams as the index
+    * update. Here the index is materialized once behind a tracked
+    * localCheckpoint (standing in for the stored table); the report adds
+    * the index-growth accounting an operator watches: index size before,
+    * novel grams arriving, index size after the append.
+    *
+    * Scale shape: the index is read twice (per-lang size + the novelty
+    * join) but COMPUTED once — at a real deployment it is a bucketed
+    * table on (lang, gram), so the batch⋈index join co-locates without a
+    * corpus-side shuffle and the append is partition-aligned. Batch-side
+    * work — explode + codegen grams, (lang, gram) distinct with map-side
+    * partials, ONE equi-join — scales with BATCH size; standing-side work
+    * is the one-time index build, exactly the term the per-run form pays
+    * repeatedly. */
+  def hNoveltyIncremental(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 3 <> 0)
+        |SELECT DISTINCT lang,
+        |  concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |    element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |    element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |WHERE size(t) >= 8""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("gram_index")
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT DISTINCT lang,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |idx AS (SELECT lang, count(*) AS n_index FROM gram_index GROUP BY lang),
+        |nov AS (
+        |  SELECT b.lang, count(*) AS n_batch,
+        |    CAST(sum(CASE WHEN i.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM batch b LEFT JOIN gram_index i
+        |    ON b.lang = i.lang AND b.gram = i.gram
+        |  GROUP BY b.lang)
+        |SELECT nov.lang, idx.n_index AS n_index_grams,
+        |  nov.n_batch AS n_batch_grams, nov.n_novel,
+        |  idx.n_index + nov.n_novel AS n_index_after,
+        |  CAST(nov.n_novel * 1000 DIV nov.n_batch AS BIGINT) AS novelty_millis
+        |FROM nov JOIN idx ON nov.lang = idx.lang
+        |ORDER BY nov.lang""".stripMargin)
+  }
+
+  /** DuckDB rebuilds both sides brute-force — no index shortcut. */
+  val hNoveltyIncrementalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |gr AS (
+      |  SELECT doc_id, lang,
+      |    t[i + 1] || '|' || t[i + 2] || '|' || t[i + 3] || '|' || t[i + 4] || '|' ||
+      |    t[i + 5] || '|' || t[i + 6] || '|' || t[i + 7] || '|' || t[i + 8] AS gram
+      |  FROM tok, unnest(range(len(t) - 7)) AS x(i)
+      |  WHERE len(t) >= 8),
+      |batch AS (
+      |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 = 0),
+      |standing AS (
+      |  SELECT DISTINCT lang, gram FROM gr WHERE doc_id % 3 <> 0),
+      |idx AS (SELECT lang, count(*) AS n_index FROM standing GROUP BY lang),
+      |nov AS (
+      |  SELECT b.lang, count(*) AS n_batch,
+      |    CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM batch b LEFT JOIN standing st
+      |    ON b.lang = st.lang AND b.gram = st.gram
+      |  GROUP BY b.lang)
+      |SELECT nov.lang, idx.n_index AS n_index_grams,
+      |  nov.n_batch AS n_batch_grams, nov.n_novel,
+      |  idx.n_index + nov.n_novel AS n_index_after,
+      |  CAST(nov.n_novel * 1000 // nov.n_batch AS BIGINT) AS novelty_millis
+      |FROM nov JOIN idx ON nov.lang = idx.lang
+      |ORDER BY nov.lang""".stripMargin
+
   // ================================================== token-budget mixture
 
   /** Token-BUDGET mixture — the shape pretraining data mixing actually
@@ -1467,6 +1552,7 @@ object TrainingOps {
     "h_minhash_calibration" -> (hMinhashCalibration _),
     "h_token_budget_mix" -> (hTokenBudgetMix _),
     "h_ngram_novelty" -> (hNgramNovelty _),
+    "h_novelty_incremental" -> (hNoveltyIncremental _),
     "h_rollup_incremental" -> (hRollupIncremental _),
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
@@ -1490,6 +1576,7 @@ object TrainingOps {
     "h_minhash_calibration" -> hMinhashCalibrationSql,
     "h_token_budget_mix" -> hTokenBudgetMixSql,
     "h_ngram_novelty" -> hNgramNoveltySql,
+    "h_novelty_incremental" -> hNoveltyIncrementalSql,
     "h_rollup_incremental" -> hRollupIncrementalSql,
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,
