@@ -467,6 +467,106 @@ object TrainingOps {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Split-LEAKAGE audit — the eval-integrity check a training pipeline
+    * runs after constructing its held-out sets: how many val/test
+    * documents share verbatim content (any word-8-gram, the
+    * [[hDecontaminate]] overlap rule) with the TRAIN split? A
+    * content-hash split ([[hSampleSplit]]) makes exact-duplicate leakage
+    * impossible by construction — identical text hashes to the same
+    * split — so the remaining channel is NEAR-duplicates whose hashes
+    * differ; left unaudited they quietly inflate held-out scores. The
+    * corpus is replay-doubled with first-word-stripped copies (the
+    * [[hMinhashCalibration]] device) so the audit has real near-dup mass
+    * whose members can land on opposite sides of the split boundary;
+    * per lang: eval population, leaky eval docs, shared-gram hits, and
+    * the leak rate in millis.
+    *
+    * Scale shape: NO pair materialization — leakage is detected at the
+    * GRAM level, not the pair level: the train side dedups into a
+    * (lang, gram) index (map-side partial distinct), the eval side's
+    * gram stream equi-joins it on the aggregation key, and the verdict
+    * is a per-(lang, doc) count — the same one-join discipline as
+    * [[hNgramNovelty]], so shuffle volume scales with distinct gram
+    * volume, never candidate pairs². Both gram streams are explode
+    * projections inside whole-stage codegen. */
+  def hSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, regexp_replace(text, '^\\S+\\s+', '')
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
+        |         ELSE 'test' END AS spl
+        |  FROM corpus),
+        |tok AS (SELECT doc_id, lang, spl, split(text, ' ') AS t FROM sp),
+        |gr AS (
+        |  SELECT doc_id, lang, spl,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |tg AS (SELECT DISTINCT lang, gram FROM gr WHERE spl = 'train'),
+        |ev AS (SELECT DISTINCT doc_id, lang, gram FROM gr WHERE spl <> 'train'),
+        |leak AS (
+        |  SELECT ev.lang, ev.doc_id, count(*) AS n_shared
+        |  FROM ev JOIN tg ON ev.lang = tg.lang AND ev.gram = tg.gram
+        |  GROUP BY ev.lang, ev.doc_id),
+        |evd AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_eval
+        |  FROM gr WHERE spl <> 'train' GROUP BY lang)
+        |SELECT evd.lang, evd.n_eval AS n_eval_docs,
+        |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaky_docs,
+        |  CAST(coalesce(sum(leak.n_shared), 0L) AS BIGINT) AS n_shared_gram_hits,
+        |  CAST(count(leak.doc_id) * 1000 DIV evd.n_eval AS BIGINT) AS leak_millis
+        |FROM evd LEFT JOIN leak ON evd.lang = leak.lang
+        |GROUP BY evd.lang, evd.n_eval
+        |ORDER BY evd.lang""".stripMargin)
+  }
+
+  /** DuckDB replays the identical split, gram streams, and gram-level
+    * leak join. */
+  val hSplitLeakageSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+      |         WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
+      |         ELSE 'test' END AS spl
+      |  FROM corpus),
+      |tok AS (SELECT doc_id, lang, spl, string_split(text, ' ') AS t FROM sp),
+      |gr AS (
+      |  SELECT doc_id, lang, spl,
+      |    t[i + 1] || '|' || t[i + 2] || '|' || t[i + 3] || '|' || t[i + 4] || '|' ||
+      |    t[i + 5] || '|' || t[i + 6] || '|' || t[i + 7] || '|' || t[i + 8] AS gram
+      |  FROM tok, unnest(range(len(t) - 7)) AS x(i)
+      |  WHERE len(t) >= 8),
+      |tg AS (SELECT DISTINCT lang, gram FROM gr WHERE spl = 'train'),
+      |ev AS (SELECT DISTINCT doc_id, lang, gram FROM gr WHERE spl <> 'train'),
+      |leak AS (
+      |  SELECT ev.lang, ev.doc_id, count(*) AS n_shared
+      |  FROM ev JOIN tg ON ev.lang = tg.lang AND ev.gram = tg.gram
+      |  GROUP BY ev.lang, ev.doc_id),
+      |evd AS (
+      |  SELECT lang, count(DISTINCT doc_id) AS n_eval
+      |  FROM gr WHERE spl <> 'train' GROUP BY lang)
+      |SELECT evd.lang, evd.n_eval AS n_eval_docs,
+      |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaky_docs,
+      |  CAST(coalesce(sum(leak.n_shared), 0) AS BIGINT) AS n_shared_gram_hits,
+      |  CAST(count(leak.doc_id) * 1000 // evd.n_eval AS BIGINT) AS leak_millis
+      |FROM evd LEFT JOIN leak ON evd.lang = leak.lang
+      |GROUP BY evd.lang, evd.n_eval
+      |ORDER BY evd.lang""".stripMargin
+
   // ==================================================== sequence packing
 
   /** Sequence packing: concatenate documents (per language, in doc_id order)
@@ -1557,6 +1657,7 @@ object TrainingOps {
     "h_decontaminate" -> (hDecontaminate _),
     "h_dup_clusters" -> (hDupClusters _),
     "h_sample_split" -> (hSampleSplit _),
+    "h_split_leakage" -> (hSplitLeakage _),
     "h_seq_packing" -> (hSeqPacking _),
     "h_chunking" -> (hChunking _),
     "h_corpus_diff" -> (hCorpusDiff _),
@@ -1581,6 +1682,7 @@ object TrainingOps {
     "h_decontaminate" -> hDecontaminateSql,
     "h_dup_clusters" -> hDupClustersSql,
     "h_sample_split" -> hSampleSplitSql,
+    "h_split_leakage" -> hSplitLeakageSql,
     "h_seq_packing" -> hSeqPackingSql,
     "h_chunking" -> hChunkingSql,
     "h_corpus_diff" -> hCorpusDiffSql,
