@@ -428,7 +428,75 @@ object FormatOps {
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin
 
+  /** ANALYZE-style column statistics — the optimizer-stats collection
+    * pass: per column, distinct-value count, null count, and min/max in
+    * a type-stable string representation. These are exactly the CBO
+    * inputs that drive join reorder, broadcast-threshold, and
+    * filter-selectivity decisions; an engine that cannot collect them
+    * cannot feed its own optimizer. Profiled over `orders` across all
+    * four type classes (BIGINT key, low-cardinality STRING, DOUBLE
+    * measure in floor-cents, TIMESTAMP in yyyy-MM-dd).
+    *
+    * Scale shape: ONE scan — the four `count(DISTINCT)`s plan as a
+    * single Expand (×4) aggregate with map-side partial distincts, so
+    * the exchange carries per-column ndv-sized partials, never rows.
+    * Exact ndv is kept for cross-engine determinism (the oracle must
+    * hash-match); a production ANALYZE at 100 TB swaps in the mergeable
+    * HLL this engine also ships (`d_agg_approx`/`d_hll_union`) for the
+    * high-cardinality columns — same plan shape, sketch-sized exchange. */
+  def aColumnStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS ndv1, count(o_orderkey) AS nn1,
+        |    CAST(min(o_orderkey) AS STRING) AS mn1, CAST(max(o_orderkey) AS STRING) AS mx1,
+        |    count(DISTINCT o_orderstatus) AS ndv2, count(o_orderstatus) AS nn2,
+        |    min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+        |    count(DISTINCT o_totalprice) AS ndv3, count(o_totalprice) AS nn3,
+        |    CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS STRING) AS mn3,
+        |    CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS STRING) AS mx3,
+        |    count(DISTINCT o_orderdate) AS ndv4, count(o_orderdate) AS nn4,
+        |    date_format(min(o_orderdate), 'yyyy-MM-dd') AS mn4,
+        |    date_format(max(o_orderdate), 'yyyy-MM-dd') AS mx4
+        |  FROM orders)
+        |SELECT stack(4,
+        |  'o_orderkey',    ndv1, n - nn1, mn1, mx1,
+        |  'o_orderstatus', ndv2, n - nn2, mn2, mx2,
+        |  'o_totalprice',  ndv3, n - nn3, mn3, mx3,
+        |  'o_orderdate',   ndv4, n - nn4, mn4, mx4
+        |) AS (col_name, ndv, n_nulls, min_repr, max_repr)
+        |FROM a ORDER BY col_name""".stripMargin)
+  }
+
+  /** DuckDB stacks via UNION ALL from the same 1-row aggregate. */
+  val aColumnStatsSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(DISTINCT o_orderkey) AS ndv1, count(o_orderkey) AS nn1,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+      |    count(DISTINCT o_orderstatus) AS ndv2, count(o_orderstatus) AS nn2,
+      |    min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+      |    count(DISTINCT o_totalprice) AS ndv3, count(o_totalprice) AS nn3,
+      |    CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn3,
+      |    CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx3,
+      |    count(DISTINCT o_orderdate) AS ndv4, count(o_orderdate) AS nn4,
+      |    strftime(min(o_orderdate), '%Y-%m-%d') AS mn4,
+      |    strftime(max(o_orderdate), '%Y-%m-%d') AS mx4
+      |  FROM orders)
+      |SELECT col_name, ndv, n_nulls, min_repr, max_repr FROM (
+      |  SELECT 'o_orderkey' AS col_name, ndv1 AS ndv, n - nn1 AS n_nulls,
+      |    mn1 AS min_repr, mx1 AS max_repr FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', ndv2, n - nn2, mn2, mx2 FROM a
+      |  UNION ALL
+      |  SELECT 'o_totalprice', ndv3, n - nn3, mn3, mx3 FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderdate', ndv4, n - nn4, mn4, mx4 FROM a)
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_column_stats" -> (aColumnStats _),
     "a_csv_roundtrip" -> (aCsvRoundtrip _),
     "a_json_roundtrip" -> (aJsonRoundtrip _),
     "a_parquet_roundtrip" -> (aParquetRoundtrip _),
@@ -446,6 +514,7 @@ object FormatOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "a_column_stats" -> aColumnStatsSql,
     "a_csv_roundtrip" -> aggShapeSql,
     "a_json_roundtrip" -> aggShapeSql,
     "a_parquet_roundtrip" -> aggShapeSql,

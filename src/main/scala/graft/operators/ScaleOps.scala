@@ -217,12 +217,73 @@ object ScaleOps {
       |GROUP BY 1, 2
       |ORDER BY minute, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- skew profile
+
+  /** Shuffle-key SKEW profiler — the diagnostic that tells you whether a
+    * key needs [[saltedJoin]]/AQE treatment BEFORE the 100 TB job runs,
+    * instead of discovering the straggler at hour three. For each
+    * profiled key: distinct-key count, row count, the heaviest key's
+    * mass, the max/avg skew ratio in millis, and a concrete salt factor —
+    * ceil(max_mass / target_partition_mass) with target = rows/32 (the
+    * deployment's shuffle-partition count; the knob a real run sets to
+    * its own parallelism). salt_factor 1 = no salting needed; N = the
+    * hot key must spread over N reducers. Profiled here: the two keys
+    * this engine's own query surface shuffles on hardest —
+    * `events.user_id` (session/funnel/asof exchanges) and
+    * `documents.lang` (every per-lang curation aggregate; langs are
+    * Zipfian, so this row is the one that reads hot).
+    *
+    * Scale shape: each profile is a per-key count with map-side partials
+    * (exchange carries ndv-sized partial counts, never rows) followed by
+    * an ndv-sized aggregate — the same two-level shape `ANALYZE` runs.
+    * The profiles union AFTER aggregation: two tiny 1-row tables. */
+  def aSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events_raw")
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """WITH f1 AS (SELECT user_id AS k, count(*) AS c FROM events_raw GROUP BY user_id),
+        |p1 AS (
+        |  SELECT 'events.user_id' AS key_name, count(*) AS ndv,
+        |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_mass
+        |  FROM f1),
+        |f2 AS (SELECT lang AS k, count(*) AS c FROM documents GROUP BY lang),
+        |p2 AS (
+        |  SELECT 'documents.lang' AS key_name, count(*) AS ndv,
+        |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_mass
+        |  FROM f2),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |SELECT key_name, ndv, n_rows, max_mass,
+        |  CAST(1000 * max_mass * ndv DIV n_rows AS BIGINT) AS skew_ratio_millis,
+        |  CAST((max_mass + (n_rows + 31) DIV 32 - 1) DIV ((n_rows + 31) DIV 32) AS BIGINT)
+        |    AS salt_factor
+        |FROM u ORDER BY key_name""".stripMargin)
+  }
+
+  val aSkewProfileSql: String =
+    """WITH f1 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
+      |p1 AS (
+      |  SELECT 'events.user_id' AS key_name, count(*) AS ndv,
+      |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_mass
+      |  FROM f1),
+      |f2 AS (SELECT lang AS k, count(*) AS c FROM documents GROUP BY lang),
+      |p2 AS (
+      |  SELECT 'documents.lang' AS key_name, count(*) AS ndv,
+      |    CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_mass
+      |  FROM f2),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT key_name, ndv, n_rows, max_mass,
+      |  CAST(1000 * max_mass * ndv // n_rows AS BIGINT) AS skew_ratio_millis,
+      |  CAST((max_mass + (n_rows + 31) // 32 - 1) // ((n_rows + 31) // 32) AS BIGINT)
+      |    AS salt_factor
+      |FROM u ORDER BY key_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_join_bucketed" -> (cJoinBucketed _),
     "c_join_salted" -> (cJoinSalted _),
     "c_join_asof" -> (cJoinAsof _),
     "c_join_bloom" -> (cJoinBloom _),
-    "g_event_rate" -> (gEventRate _)
+    "g_event_rate" -> (gEventRate _),
+    "a_skew_profile" -> (aSkewProfile _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -230,6 +291,7 @@ object ScaleOps {
     "c_join_salted" -> cJoinSaltedSql,
     "c_join_asof" -> cJoinAsofSql,
     "c_join_bloom" -> cJoinBloomSql,
-    "g_event_rate" -> gEventRateSql
+    "g_event_rate" -> gEventRateSql,
+    "a_skew_profile" -> aSkewProfileSql
   )
 }
