@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsOps, FormatOps, GovernanceOps, LlmOps, Multimodal, PipelineQueries, RelationalQueries, ScaleOps, TrainingOps}
+import graft.operators.{AnalyticsOps, CorpusOps, FormatOps, GovernanceOps, LlmOps, Multimodal, PipelineQueries, RelationalQueries, ScaleOps, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++ LlmOps.queries ++
       Multimodal.queries ++ FormatOps.queries ++ ScaleOps.queries ++
-      TrainingOps.queries ++ AnalyticsOps.queries ++ GovernanceOps.queries
+      TrainingOps.queries ++ AnalyticsOps.queries ++ GovernanceOps.queries ++
+      CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle ++ LlmOps.oracle ++
       Multimodal.oracle ++ FormatOps.oracle ++ ScaleOps.oracle ++
-      TrainingOps.oracle ++ AnalyticsOps.oracleSql ++ GovernanceOps.oracleSql
+      TrainingOps.oracle ++ AnalyticsOps.oracleSql ++ GovernanceOps.oracleSql ++
+      CorpusOps.oracle
 }

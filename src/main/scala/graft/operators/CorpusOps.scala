@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Corpus-level retrieval scoring and mixture-planning operators — the
+  * round-12 additions on top of [[TrainingOps]]' curation pipelines.
+  *
+  * Scale posture (all three):
+  *  - every per-document decision is scan-local or rides an aggregation
+  *    key ((lang, term) / (doc, term) / lang), so shuffles carry
+  *    vocabulary- or doc-count-sized rows, never pairs;
+  *  - all reported numbers are exact BIGINT arithmetic (integer DIV,
+  *    bit-length logs), so Spark and DuckDB agree bit-for-bit with no
+  *    float summation order to diverge;
+  *  - the only windows are top-k (`rn <= k`) forms that plan as
+  *    WindowGroupLimit — map-side top-k before the exchange.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+  }
+
+  // ======================================================== BM25 retrieval
+
+  /** BM25 scoring — the retrieval-quality complement to [[LlmOps.hTfidf]]
+    * (which ranks terms per doc; this ranks DOCS per query). The query per
+    * language is its own top-3 document-frequency terms (deterministic:
+    * df desc, then lexicographic), each matching doc scores
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * standard k1=1.2, b=0.75, and the top-5 docs per language report.
+    *
+    * Exact-integer form: idf is the bit-length log `length(bin(N DIV df))`
+    * (= ⌊log2(N/df)⌋+1, the same integer-idf [[LlmOps.hTfidf]] uses), and
+    * with avg = (1000·T) DIV N (milli-tokens mean doc length) the term
+    * score in millis reduces to
+    * `(44000·idf·tf·avg) DIV (20·avg·tf + 6·avg + 18000·dl)` — every
+    * factor BIGINT, both engines land the identical quotient. Bounds:
+    * the numerator stays inside BIGINT while idf·tf·avg < 2·10^14, i.e.
+    * mean doc length up to ~10^8 milli-tokens with tf ≤ 10^4 — far past
+    * any real corpus row.
+    *
+    * Scale shape: the doc length dl folds into the (doc, term)-keyed tf
+    * aggregate scan-locally (`size(split(..))` before the explode), so no
+    * separate per-doc aggregate exists; per-lang N/avgdl come from one
+    * explode-free corpus scan; df aggregates tf (vocabulary-sized, not
+    * corpus-sized); the 3-terms-per-lang query table is tiny and joins
+    * back onto tf; the per-doc score sum rides a doc-keyed aggregate; and
+    * both `rn <= k` windows are WindowGroupLimit top-k, so the final
+    * exchanges carry k·strata rows. Spark inlines the tf CTE into its two
+    * consumers (df and the score join) — two explode passes, each a pure
+    * map-side-combined aggregate; nothing is ever pairwise. */
+  def hBm25(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH x AS (
+        |  SELECT doc_id, lang, size(t) AS dl, tk
+        |  FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
+        |  LATERAL VIEW explode(t) e AS tk),
+        |tf AS (
+        |  SELECT doc_id, lang, tk, count(*) AS tf, CAST(max(dl) AS BIGINT) AS dl
+        |  FROM x GROUP BY doc_id, lang, tk),
+        |st AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(1000L * sum(size(split(text, ' '))) DIV count(*) AS BIGINT) AS avg
+        |  FROM documents GROUP BY lang),
+        |df AS (SELECT lang, tk, count(*) AS df FROM tf GROUP BY lang, tk),
+        |q AS (
+        |  SELECT lang, tk, df FROM (
+        |    SELECT lang, tk, df,
+        |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, tk) AS rn
+        |    FROM df)
+        |  WHERE rn <= 3),
+        |term_scores AS (
+        |  SELECT t.doc_id, t.lang,
+        |    (44000L * (length(bin(st.n DIV q.df))) * t.tf * st.avg)
+        |      DIV (20L * st.avg * t.tf + 6L * st.avg + 18000L * t.dl) AS sc
+        |  FROM tf t
+        |  JOIN q ON t.lang = q.lang AND t.tk = q.tk
+        |  JOIN st ON t.lang = st.lang),
+        |doc_scores AS (
+        |  SELECT lang, doc_id, CAST(sum(sc) AS BIGINT) AS score_milli,
+        |    count(*) AS n_terms
+        |  FROM term_scores GROUP BY lang, doc_id)
+        |SELECT lang, doc_id, score_milli, n_terms, CAST(rn AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT lang, doc_id, score_milli, n_terms,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score_milli DESC, doc_id) AS rn
+        |  FROM doc_scores)
+        |WHERE rn <= 5
+        |ORDER BY lang, rnk""".stripMargin)
+  }
+
+  val hBm25Sql: String =
+    """WITH x AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, tk, count(*) AS tf, CAST(max(dl) AS BIGINT) AS dl
+      |  FROM x GROUP BY doc_id, lang, tk),
+      |st AS (
+      |  SELECT lang, count(*) AS n,
+      |    CAST(1000 * sum(len(string_split(text, ' '))) // count(*) AS BIGINT) AS avg
+      |  FROM documents GROUP BY lang),
+      |df AS (SELECT lang, tk, count(*) AS df FROM tf GROUP BY lang, tk),
+      |q AS (
+      |  SELECT lang, tk, df FROM (
+      |    SELECT lang, tk, df,
+      |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, tk) AS rn
+      |    FROM df)
+      |  WHERE rn <= 3),
+      |term_scores AS (
+      |  SELECT t.doc_id, t.lang,
+      |    (44000 * length(bin(st.n // q.df)) * t.tf * st.avg)
+      |      // (20 * st.avg * t.tf + 6 * st.avg + 18000 * t.dl) AS sc
+      |  FROM tf t
+      |  JOIN q ON t.lang = q.lang AND t.tk = q.tk
+      |  JOIN st ON t.lang = st.lang),
+      |doc_scores AS (
+      |  SELECT lang, doc_id, CAST(sum(sc) AS BIGINT) AS score_milli,
+      |    count(*) AS n_terms
+      |  FROM term_scores GROUP BY lang, doc_id)
+      |SELECT lang, doc_id, score_milli, n_terms, CAST(rn AS BIGINT) AS rnk
+      |FROM (
+      |  SELECT lang, doc_id, score_milli, n_terms,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY score_milli DESC, doc_id) AS rn
+      |  FROM doc_scores)
+      |WHERE rn <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ============================================== quality-gate waterfall
+
+  /** First-failing-gate rejection waterfall — the audit table a curation
+    * report publishes next to its filter stack (the Dolma/RefinedWeb-style
+    * "why was each doc dropped" breakdown). Gates apply IN ORDER and each
+    * rejected doc is attributed to the FIRST gate it fails, so the
+    * per-verdict counts sum exactly to the corpus and re-ordering the
+    * stack visibly reallocates mass between rows — the property that makes
+    * the waterfall actionable when tuning thresholds:
+    *   1. too_short   — under 16 whitespace tokens
+    *   2. too_long    — over 2,000 whitespace tokens
+    *   3. low_diversity — distinct/total token ratio < 35 %
+    *   4. low_stopword  — function-word density < 2 %
+    *   5. pass
+    *
+    * Every signal is scan-local (split + array ops inside whole-stage
+    * codegen — no UDF, no join), densities are exact-integer comparisons
+    * cross-multiplied to avoid float thresholds (100·distinct < 35·total),
+    * and the single exchange is the (lang, verdict)-keyed final aggregate
+    * with map-side partials. 100 TB: a pure map-reduce with a ≤
+    * 5·langs-row result. */
+  def hQualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH sig AS (
+        |  SELECT lang,
+        |    size(split(text, ' ')) AS n_tok,
+        |    size(array_distinct(split(text, ' '))) AS n_distinct,
+        |    size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+        |  FROM documents),
+        |verdicts AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN n_tok < 16 THEN 'too_short'
+        |         WHEN n_tok > 2000 THEN 'too_long'
+        |         WHEN 100L * n_distinct < 35L * n_tok THEN 'low_diversity'
+        |         WHEN 100L * n_stop < 2L * n_tok THEN 'low_stopword'
+        |         ELSE 'pass' END AS verdict
+        |  FROM sig)
+        |SELECT lang, verdict, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM verdicts
+        |GROUP BY lang, verdict
+        |ORDER BY lang, verdict""".stripMargin)
+  }
+
+  val hQualityEnsembleSql: String =
+    """WITH sig AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      |  FROM documents),
+      |verdicts AS (
+      |  SELECT lang, n_tok,
+      |    CASE WHEN n_tok < 16 THEN 'too_short'
+      |         WHEN n_tok > 2000 THEN 'too_long'
+      |         WHEN 100 * n_distinct < 35 * n_tok THEN 'low_diversity'
+      |         WHEN 100 * n_stop < 2 * n_tok THEN 'low_stopword'
+      |         ELSE 'pass' END AS verdict
+      |  FROM sig)
+      |SELECT lang, verdict, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM verdicts
+      |GROUP BY lang, verdict
+      |ORDER BY lang, verdict""".stripMargin
+
+  // ============================================ data-constrained epochs
+
+  /** Multi-epoch repetition planning under a token budget — the
+    * data-constrained-scaling allocation (Muennighoff et al. 2023,
+    * arXiv:2305.16264): when the training budget exceeds the unique-token
+    * supply of some languages, those languages repeat for multiple epochs
+    * (capped — returns diminish past ~4 epochs) and the freed budget
+    * redistributes to languages that still have unique data. Complements
+    * [[TrainingOps.hDomainMix]] (probability reweighting) and
+    * [[TrainingOps.hTokenBudgetMix]] (single-epoch prefix cut): this is
+    * the plan for budgets LARGER than the corpus.
+    *
+    * Allocation, all in exact milli-token BIGINT arithmetic:
+    *   1. budget B = 2× total corpus tokens; each language's initial share
+    *      is ∝ ⌊√U⌋ of its unique tokens U (the same √-temperature weight
+    *      hDomainMix uses);
+    *   2. a language whose share exceeds cap = 4·U trains capped at 4
+    *      epochs; the surplus pools;
+    *   3. the pool redistributes ∝ ⌊√U⌋ over uncapped languages (one
+    *      round — with a 4-epoch cap and B = 2×supply a second round
+    *      cannot re-cap: post-redistribution shares stay under cap unless
+    *      ALL languages cap, which B < 4×supply forbids).
+    * Reported per language: unique tokens, final allocated tokens, epochs
+    * in millis (1000 = one pass), and whether the cap bound.
+    *
+    * Scale shape: ONE corpus scan into a lang-keyed map-side-partial
+    * aggregate, localCheckpointed at langs rows so the CTE chain (which
+    * consumes it four times: weights, totals, first pass, pool) cannot
+    * re-expand into repeat corpus scans; everything after runs on the
+    * langs-sized table. The 100 TB cost is the single scan. */
+  def hRepeatEpochs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT lang, CAST(sum(size(split(text, ' '))) AS BIGINT) AS uniq
+        |FROM documents GROUP BY lang""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("epoch_u")
+    s.sql(
+      """WITH w AS (SELECT lang, uniq,
+        |        CAST(floor(sqrt(CAST(uniq AS DOUBLE))) AS BIGINT) AS rw FROM epoch_u),
+        |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s,
+        |               CAST(2 * sum(uniq) AS BIGINT) AS b FROM w),
+        |first_pass AS (
+        |  SELECT w.lang, w.uniq, w.rw,
+        |    t.b * w.rw DIV t.s AS share,
+        |    CASE WHEN t.b * w.rw DIV t.s > 4 * w.uniq THEN 1 ELSE 0 END AS capped
+        |  FROM w CROSS JOIN tot t),
+        |pool AS (
+        |  SELECT CAST(sum(CASE WHEN capped = 1 THEN share - 4 * uniq ELSE 0 END) AS BIGINT) AS surplus,
+        |         CAST(sum(CASE WHEN capped = 0 THEN rw ELSE 0 END) AS BIGINT) AS open_rw
+        |  FROM first_pass),
+        |alloc AS (
+        |  SELECT f.lang, f.uniq, f.capped,
+        |    CASE WHEN f.capped = 1 THEN 4 * f.uniq
+        |         ELSE f.share + CASE WHEN p.open_rw > 0
+        |                             THEN p.surplus * f.rw DIV p.open_rw
+        |                             ELSE 0L END
+        |    END AS tokens
+        |  FROM first_pass f CROSS JOIN pool p)
+        |SELECT lang, uniq AS unique_tokens, CAST(tokens AS BIGINT) AS alloc_tokens,
+        |  CAST(1000 * tokens DIV uniq AS BIGINT) AS epochs_milli,
+        |  CAST(capped AS BIGINT) AS capped
+        |FROM alloc
+        |ORDER BY lang""".stripMargin)
+  }
+
+  val hRepeatEpochsSql: String =
+    """WITH u AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS uniq
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, uniq,
+      |        CAST(floor(sqrt(CAST(uniq AS DOUBLE))) AS BIGINT) AS rw FROM u),
+      |tot AS (SELECT CAST(sum(rw) AS BIGINT) AS s,
+      |               CAST(2 * sum(uniq) AS BIGINT) AS b FROM w),
+      |first_pass AS (
+      |  SELECT w.lang, w.uniq, w.rw,
+      |    t.b * w.rw // t.s AS share,
+      |    CASE WHEN t.b * w.rw // t.s > 4 * w.uniq THEN 1 ELSE 0 END AS capped
+      |  FROM w CROSS JOIN tot t),
+      |pool AS (
+      |  SELECT CAST(sum(CASE WHEN capped = 1 THEN share - 4 * uniq ELSE 0 END) AS BIGINT) AS surplus,
+      |         CAST(sum(CASE WHEN capped = 0 THEN rw ELSE 0 END) AS BIGINT) AS open_rw
+      |  FROM first_pass),
+      |alloc AS (
+      |  SELECT f.lang, f.uniq, f.capped,
+      |    CASE WHEN f.capped = 1 THEN 4 * f.uniq
+      |         ELSE f.share + CASE WHEN p.open_rw > 0
+      |                             THEN p.surplus * f.rw // p.open_rw
+      |                             ELSE 0 END
+      |    END AS tokens
+      |  FROM first_pass f CROSS JOIN pool p)
+      |SELECT lang, uniq AS unique_tokens, CAST(tokens AS BIGINT) AS alloc_tokens,
+      |  CAST(1000 * tokens // uniq AS BIGINT) AS epochs_milli,
+      |  CAST(capped AS BIGINT) AS capped
+      |FROM alloc
+      |ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_bm25" -> (hBm25 _),
+    "h_quality_ensemble" -> (hQualityEnsemble _),
+    "h_repeat_epochs" -> (hRepeatEpochs _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "h_bm25" -> hBm25Sql,
+    "h_quality_ensemble" -> hQualityEnsembleSql,
+    "h_repeat_epochs" -> hRepeatEpochsSql
+  )
+}

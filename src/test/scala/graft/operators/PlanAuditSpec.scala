@@ -398,4 +398,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(shuffles.forall(_.contains("lang")),
       s"every exchange must belong to the per-lang accounting aggregate:\n$plan")
   }
+
+  test("h_bm25: top-k windows plan as WindowGroupLimit, corpus explodes at most twice") {
+    val plan = CorpusOps.hBm25(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // both rn <= k filters (query-term pick, per-lang doc ranking) must
+    // push a partial group-limit below their window exchange — without it
+    // the doc ranking sorts every scoring doc of the dominant language in
+    // one task
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"both rank filters must plan as WindowGroupLimit top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"scoring must ride (lang, term) equi-joins:\n$plan")
+    // dl folds into the tf aggregate and the lang stats scan is
+    // explode-free: the corpus may expand through Generate at most twice
+    // (df pass + scoring pass) — a third means a CTE re-inlined
+    val generates = plan.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 2, s"corpus exploded $generates times (budget 2):\n$plan")
+  }
+
+  test("h_quality_ensemble: scan-local gates — no join/window, one lang-keyed aggregate") {
+    val plan = CorpusOps.hQualityEnsemble(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the gate cascade must stay scan-local:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(shuffles.forall(_.contains("lang")),
+      s"every exchange must belong to the (lang, verdict) aggregate:\n$plan")
+  }
+
+  test("h_repeat_epochs: corpus is scanned once — the allocation runs on the checkpointed lang table") {
+    val df = CorpusOps.hRepeatEpochs(spark, SparkSpec.sf0001)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the four CTE consumers (weights, totals, first pass, pool) must
+      // all read the langs-row checkpoint, never re-expand the corpus scan
+      assert(!plan.contains("Scan parquet"),
+        s"allocation re-expanded into a corpus rescan:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"expected the checkpointed per-lang table:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
 }
