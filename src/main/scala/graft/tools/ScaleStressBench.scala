@@ -41,7 +41,12 @@ object ScaleStressBench {
     "h_dedup_survivors", "h_dedup_spans", "h_dup_ngrams", "h_decontaminate",
     "h_curation_funnel", "h_embed_quantize", "h_ivfpq_codes",
     "h_ivfpq_search", "h_lm_quality", "h_tfidf", "h_stratified_sample",
-    "h_token_budget_mix", "h_ngram_novelty", "h_minhash_calibration")
+    "h_token_budget_mix", "h_ngram_novelty", "h_minhash_calibration",
+    "h_novelty_incremental", "h_split_leakage", "h_bm25",
+    "h_quality_ensemble", "h_repeat_epochs")
+  // a_column_stats / a_skew_profile are excluded: they profile orders /
+  // events, which the K-fold replicator (documents + embeddings only)
+  // does not scale.
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
