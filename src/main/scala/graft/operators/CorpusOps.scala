@@ -297,15 +297,155 @@ object CorpusOps {
       |FROM alloc
       |ORDER BY lang""".stripMargin
 
+  // ============================================== rendezvous resharding
+
+  /** Rendezvous-hash (HRW, Thaler & Ravishankar 1998) shard assignment
+    * plus the reshard-movement audit — the question a serving/index
+    * deployment asks before growing the fleet: "if I add a ninth shard,
+    * how much data moves?" Consistent placement means ONLY ~1/9 of docs
+    * relocate (all onto the new shard); a mod-N scheme would move 8/9.
+    * This query assigns every doc under N=8 and N=9 and reports, per
+    * current shard, how many docs leave.
+    *
+    * Determinism: the per-(doc, shard) weight is a 56-bit md5-slice
+    * integer; packing the shard id into the low 4 bits (`h·16 + s`) makes
+    * the argmax a plain `max()` with a built-in unambiguous tie-break, so
+    * both engines agree bit-for-bit — no arg_max tie semantics to
+    * diverge on. `max(hh) % 16` recovers the winning shard.
+    *
+    * Scale shape: explode to 9 weight rows per doc, collapse back to one
+    * row per doc in the doc-keyed hash aggregate — partial aggregation
+    * eats the 9× blow-up map-side, so the exchange carries one row per
+    * doc; the per-shard rollup is 8 rows. Both argmaxes (s<8 and s<9)
+    * ride the SAME aggregate — the corpus is scanned and exploded once. */
+  def hShardRebalance(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|',
+        |      CAST(s AS STRING))), 1, 14), 16, 10) AS BIGINT) * 16 + s AS hh,
+        |    s
+        |  FROM documents LATERAL VIEW explode(sequence(0, 8)) t AS s),
+        |assign AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN s < 8 THEN hh END) % 16 AS shard8,
+        |    max(hh) % 16 AS shard9
+        |  FROM w GROUP BY doc_id)
+        |SELECT CAST(shard8 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(1000L * sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+        |       DIV count(*) AS BIGINT) AS moved_milli
+        |FROM assign GROUP BY shard8 ORDER BY shard""".stripMargin)
+  }
+
+  val hShardRebalanceSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|',
+      |      CAST(s AS VARCHAR))), 1, 14)) AS BIGINT) * 16 + s AS hh,
+      |    s
+      |  FROM documents, (SELECT unnest(range(9)) AS s)),
+      |assign AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN s < 8 THEN hh END) % 16 AS shard8,
+      |    max(hh) % 16 AS shard9
+      |  FROM w GROUP BY doc_id)
+      |SELECT CAST(shard8 AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |  CAST(1000 * sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+      |       // count(*) AS BIGINT) AS moved_milli
+      |FROM assign GROUP BY shard8 ORDER BY shard""".stripMargin
+
+  // ============================================== hard-negative mining
+
+  /** Hard-negative mining for contrastive/retrieval training (the DPR /
+    * sentence-transformers data-prep step): for each query vector, the
+    * top-3 most-similar vectors with a DIFFERENT label — the negatives
+    * that actually teach the model — plus the triplet margin against the
+    * best same-label positive. A negative with margin ≤ 0 outranks the
+    * positive: the "hardest" kind, and the rows a training run oversamples.
+    *
+    * Queries are the first 10 corpus vectors ([[LlmOps.hAnnBrute]]'s
+    * reporting bound); cosines ride the codegen `dot_product` expression
+    * and round to 4 dp only at the sink (both engines compute the same
+    * IEEE doubles in the same order, so the rounding agrees).
+    *
+    * Scale shape: the 10-row query set broadcasts onto the corpus scan
+    * (scored is a broadcast nested-loop over the tiny side — the base
+    * side never shuffles); positives collapse in a q-keyed 10-row
+    * aggregate;
+    * the `rn <= 3` ranking plans as WindowGroupLimit. At real scale the
+    * query set is batched and the same plan pipelines per batch — or the
+    * candidate side pre-filters through [[LlmOps.hAnnLsh]]'s bucket join
+    * when brute force stops paying. */
+  def hHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    LlmOps.embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+        |q AS (SELECT * FROM normed WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    n.vec_id AS n_id, n.label AS n_label,
+        |    dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine
+        |  FROM q JOIN normed n ON q.vec_id <> n.vec_id),
+        |pos AS (
+        |  SELECT q_id, max(cosine) AS pos_cos
+        |  FROM scored WHERE q_label = n_label GROUP BY q_id),
+        |neg AS (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM scored WHERE q_label <> n_label)
+        |SELECT n.q_id, n.n_id, round(n.cosine, 4) AS neg_cosine,
+        |  round(p.pos_cos - n.cosine, 4) AS margin,
+        |  CAST(n.rnk AS BIGINT) AS rnk
+        |FROM neg n JOIN pos p ON n.q_id = p.q_id
+        |WHERE n.rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  val hHardNegativesSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |q AS (SELECT * FROM normed WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    n.vec_id AS n_id, n.label AS n_label,
+      |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine
+      |  FROM q JOIN normed n ON q.vec_id <> n.vec_id),
+      |pos AS (
+      |  SELECT q_id, max(cosine) AS pos_cos
+      |  FROM scored WHERE q_label = n_label GROUP BY q_id),
+      |neg AS (
+      |  SELECT q_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+      |  FROM scored WHERE q_label <> n_label)
+      |SELECT n.q_id, n.n_id, round(n.cosine, 4) AS neg_cosine,
+      |  round(p.pos_cos - n.cosine, 4) AS margin,
+      |  CAST(n.rnk AS BIGINT) AS rnk
+      |FROM neg n JOIN pos p ON n.q_id = p.q_id
+      |WHERE n.rnk <= 3
+      |ORDER BY n.q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_bm25" -> (hBm25 _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
-    "h_repeat_epochs" -> (hRepeatEpochs _)
+    "h_repeat_epochs" -> (hRepeatEpochs _),
+    "h_shard_rebalance" -> (hShardRebalance _),
+    "h_hard_negatives" -> (hHardNegatives _)
   )
 
   def oracle: Map[String, String] = Map(
     "h_bm25" -> hBm25Sql,
     "h_quality_ensemble" -> hQualityEnsembleSql,
-    "h_repeat_epochs" -> hRepeatEpochsSql
+    "h_repeat_epochs" -> hRepeatEpochsSql,
+    "h_shard_rebalance" -> hShardRebalanceSql,
+    "h_hard_negatives" -> hHardNegativesSql
   )
 }

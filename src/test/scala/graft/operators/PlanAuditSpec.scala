@@ -427,6 +427,28 @@ class PlanAuditSpec extends SparkSuite {
       s"every exchange must belong to the (lang, verdict) aggregate:\n$plan")
   }
 
+  test("h_shard_rebalance: the 9x weight blow-up collapses map-side — no join, no window") {
+    val plan = CorpusOps.hShardRebalance(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"both shard argmaxes must ride the one doc-keyed aggregate:\n$plan")
+    // partial aggregation must sit between the explode and the exchange,
+    // so the shuffle carries one row per doc, not nine
+    assert(plan.contains("partial_"),
+      s"expected map-side partial aggregation under the explode:\n$plan")
+  }
+
+  test("h_hard_negatives: query side broadcasts; ranking is WindowGroupLimit top-k") {
+    val plan = CorpusOps.hHardNegatives(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 10-row query set must broadcast onto the base scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must never plan a cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rn <= 3 filter must plan as a group limit:\n$plan")
+  }
+
   test("h_repeat_epochs: corpus is scanned once — the allocation runs on the checkpointed lang table") {
     val df = CorpusOps.hRepeatEpochs(spark, SparkSpec.sf0001)
     try {
