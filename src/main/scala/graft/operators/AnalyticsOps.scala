@@ -720,7 +720,81 @@ object AnalyticsOps {
       |  CAST(3 * tri.n_triangles * 1000 // wed.n_wedges AS BIGINT) AS clustering_millis
       |FROM tri CROSS JOIN wed""".stripMargin
 
+  // ==================================================== attribution
+
+  /** Last-touch attribution with a 7-day lookback — the marketing-
+    * analytics join: each purchase is attributed to the SAME user's most
+    * recent click at or before it, but only if that click is within the
+    * attribution window; reported as a per-day rate. The companion shape
+    * to [[ScaleOps.cJoinAsof]] (which carries purchases onto clicks):
+    * same union-and-carry plan — ONE user_id exchange, no join operator,
+    * each user's event timeline sorts independently — with the carry
+    * running click→purchase and the window constraint applied row-locally
+    * after the carry (a click older than 7 days carries but fails the
+    * window test, exactly ASOF-join-then-filter semantics).
+    *
+    * Tie discipline: at equal timestamps clicks order BEFORE purchases
+    * (kind 0 < 1), so a click at exactly the purchase instant attributes —
+    * matching DuckDB's `ASOF ... ON p.tus >= c.tus`; same-instant clicks
+    * order by event_id so the carried id is deterministic (the report
+    * only uses the carried TIMESTAMP, which equal-tus ties share anyway).
+    *
+    * Scale shape: one hash exchange on user_id, per-user sort, then a
+    * day-keyed aggregate over purchase rows only; all arithmetic is exact
+    * BIGINT micros (day = tus DIV 86.4e9, window = 604.8e9 µs). */
+  def gAttribution(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH clk AS (
+        |  SELECT user_id, tus, 0 AS kind, event_id AS c_id, tus AS c_tus
+        |  FROM events WHERE event_type = 'click'),
+        |pur AS (
+        |  SELECT user_id, tus, 1 AS kind, CAST(NULL AS BIGINT) AS c_id,
+        |    CAST(NULL AS BIGINT) AS c_tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |carried AS (
+        |  SELECT user_id, tus, kind,
+        |    last(c_tus, true) OVER (PARTITION BY user_id
+        |      ORDER BY tus, kind, c_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_tus
+        |  FROM (SELECT * FROM clk UNION ALL SELECT * FROM pur))
+        |SELECT CAST(tus DIV 86400000000L AS BIGINT) AS day,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN last_click_tus IS NOT NULL
+        |                 AND tus - last_click_tus <= 604800000000L
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  CAST(1000L * sum(CASE WHEN last_click_tus IS NOT NULL
+        |                         AND tus - last_click_tus <= 604800000000L
+        |                    THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)
+        |    AS attribution_millis
+        |FROM carried WHERE kind = 1
+        |GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
+  /** DuckDB replays attribution as its native ASOF join + window filter
+    * (clicks deduped per (user, tus) — the carried timestamp is shared by
+    * equal-tus ties, so max-id dedup matches the carry exactly). */
+  val gAttributionSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |clk AS (
+      |  SELECT user_id, tus, max(event_id) AS click_id
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |pur AS (SELECT user_id, tus FROM e WHERE event_type = 'purchase'),
+      |a AS (
+      |  SELECT p.tus AS ptus, c.tus AS ctus
+      |  FROM pur p ASOF LEFT JOIN clk c
+      |    ON p.user_id = c.user_id AND p.tus >= c.tus)
+      |SELECT CAST(ptus // 86400000000 AS BIGINT) AS day,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CASE WHEN ctus IS NOT NULL AND ptus - ctus <= 604800000000
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |  CAST(1000 * sum(CASE WHEN ctus IS NOT NULL AND ptus - ctus <= 604800000000
+      |                  THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+      |    AS attribution_millis
+      |FROM a GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_attribution" -> (gAttribution _),
     "g_concurrency" -> (gConcurrency _),
     "h_graph_triangles" -> (hGraphTriangles _),
     "g_event_funnel" -> (gEventFunnel _),
@@ -735,6 +809,7 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_attribution" -> gAttributionSql,
     "g_concurrency" -> gConcurrencySql,
     "h_graph_triangles" -> hGraphTrianglesSql,
     "g_event_funnel" -> gEventFunnelSql,

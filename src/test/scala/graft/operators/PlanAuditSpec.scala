@@ -427,6 +427,18 @@ class PlanAuditSpec extends SparkSuite {
       s"every exchange must belong to the (lang, verdict) aggregate:\n$plan")
   }
 
+  test("g_attribution: union-and-carry — no join operator, exchanges only on user_id/day") {
+    val plan = AnalyticsOps.gAttribution(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"attribution must stay a carry window, never an event-pair join:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    // the day key plans as an unnamed grouping expression (tus DIV 86.4e9)
+    assert(shuffles.forall(l =>
+        l.contains("user_id") || l.contains("day") || l.contains("_groupingexpression")),
+      s"exchanges must be the user timeline and the day rollup only:\n$plan")
+  }
+
   test("h_shard_rebalance: the 9x weight blow-up collapses map-side — no join, no window") {
     val plan = CorpusOps.hShardRebalance(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
