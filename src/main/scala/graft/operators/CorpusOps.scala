@@ -433,12 +433,110 @@ object CorpusOps {
       |WHERE n.rnk <= 3
       |ORDER BY n.q_id, rnk""".stripMargin
 
+  // ============================================ tokenizer compatibility
+
+  /** Tokenizer-version migration audit — the go/no-go table before
+    * swapping a retrained vocabulary into a serving/training stack:
+    * v1 is the shipped tokenizer (top-64 tokens per lang by FULL-corpus
+    * frequency, rank = id, the [[LlmOps.hTokenizeIds]] assignment), v2 is
+    * the retrained candidate (same rule over the NEW data generation —
+    * the even-doc_id half standing in for the fresh snapshot). Reported
+    * per lang over every token occurrence: id-churn rate (occurrences
+    * whose id changes, including OOV transitions) and both OOV rates —
+    * the numbers that decide whether embeddings must be re-trained or
+    * re-mapped.
+    *
+    * Determinism: both vocabularies rank by (freq DESC, token), so rank
+    * ids are total-ordered on both engines; OOV id is 0; every reported
+    * rate is exact integer millis.
+    *
+    * Scale shape: ONE explode pass builds BOTH generation frequencies
+    * (conditional sums in the same (lang, token)-keyed aggregate), and
+    * that vocabulary-sized table is localCheckpointed so the two ranking
+    * windows and the scoring join re-read it instead of re-expanding the
+    * corpus — 2 corpus explodes total (frequency build + scoring). The
+    * rank filters plan as WindowGroupLimit (map-side top-k per lang); the
+    * ≤64·langs-row vocab maps broadcast onto the scoring pass. At 100 TB
+    * the checkpoint is unigram-vocabulary-sized (~10⁸ rows worst case) —
+    * the same class as [[TrainingOps]]' checkpointed band/gram indexes. */
+  def hTokenizerCompat(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT lang, tk, count(*) AS f_all,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_new
+        |FROM (SELECT doc_id, lang, tk
+        |      FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
+        |      LATERAL VIEW explode(t) e AS tk)
+        |GROUP BY lang, tk""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("tokfreq")
+    s.sql(
+      """WITH v1 AS (
+        |  SELECT lang, tk, rn AS id1 FROM (
+        |    SELECT lang, tk,
+        |      row_number() OVER (PARTITION BY lang ORDER BY f_all DESC, tk) AS rn
+        |    FROM tokfreq)
+        |  WHERE rn <= 64),
+        |v2 AS (
+        |  SELECT lang, tk, rn AS id2 FROM (
+        |    SELECT lang, tk,
+        |      row_number() OVER (PARTITION BY lang ORDER BY f_new DESC, tk) AS rn
+        |    FROM tokfreq WHERE f_new > 0)
+        |  WHERE rn <= 64),
+        |sc AS (
+        |  SELECT t.lang,
+        |    coalesce(v1.id1, 0) AS id1, coalesce(v2.id2, 0) AS id2
+        |  FROM (SELECT lang, tk
+        |        FROM (SELECT lang, split(text, ' ') AS t FROM documents)
+        |        LATERAL VIEW explode(t) e AS tk) t
+        |  LEFT JOIN v1 ON t.lang = v1.lang AND t.tk = v1.tk
+        |  LEFT JOIN v2 ON t.lang = v2.lang AND t.tk = v2.tk)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id1 <> id2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(1000L * sum(CASE WHEN id1 <> id2 THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS churn_milli,
+        |  CAST(1000L * sum(CASE WHEN id1 = 0 THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS oov_v1_milli,
+        |  CAST(1000L * sum(CASE WHEN id2 = 0 THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS oov_v2_milli
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val hTokenizerCompatSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tokfreq AS (
+      |  SELECT lang, tk, count(*) AS f_all,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_new
+      |  FROM tok GROUP BY lang, tk),
+      |v1 AS (
+      |  SELECT lang, tk, rn AS id1 FROM (
+      |    SELECT lang, tk,
+      |      row_number() OVER (PARTITION BY lang ORDER BY f_all DESC, tk) AS rn
+      |    FROM tokfreq)
+      |  WHERE rn <= 64),
+      |v2 AS (
+      |  SELECT lang, tk, rn AS id2 FROM (
+      |    SELECT lang, tk,
+      |      row_number() OVER (PARTITION BY lang ORDER BY f_new DESC, tk) AS rn
+      |    FROM tokfreq WHERE f_new > 0)
+      |  WHERE rn <= 64),
+      |sc AS (
+      |  SELECT t.lang,
+      |    coalesce(v1.id1, 0) AS id1, coalesce(v2.id2, 0) AS id2
+      |  FROM tok t
+      |  LEFT JOIN v1 ON t.lang = v1.lang AND t.tk = v1.tk
+      |  LEFT JOIN v2 ON t.lang = v2.lang AND t.tk = v2.tk)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN id1 <> id2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(1000 * sum(CASE WHEN id1 <> id2 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS churn_milli,
+      |  CAST(1000 * sum(CASE WHEN id1 = 0 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS oov_v1_milli,
+      |  CAST(1000 * sum(CASE WHEN id2 = 0 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS oov_v2_milli
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_bm25" -> (hBm25 _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
     "h_repeat_epochs" -> (hRepeatEpochs _),
     "h_shard_rebalance" -> (hShardRebalance _),
-    "h_hard_negatives" -> (hHardNegatives _)
+    "h_hard_negatives" -> (hHardNegatives _),
+    "h_tokenizer_compat" -> (hTokenizerCompat _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -446,6 +544,7 @@ object CorpusOps {
     "h_quality_ensemble" -> hQualityEnsembleSql,
     "h_repeat_epochs" -> hRepeatEpochsSql,
     "h_shard_rebalance" -> hShardRebalanceSql,
-    "h_hard_negatives" -> hHardNegativesSql
+    "h_hard_negatives" -> hHardNegativesSql,
+    "h_tokenizer_compat" -> hTokenizerCompatSql
   )
 }

@@ -461,6 +461,21 @@ class PlanAuditSpec extends SparkSuite {
       s"the rn <= 3 filter must plan as a group limit:\n$plan")
   }
 
+  test("h_tokenizer_compat: both vocab rankings are WindowGroupLimit over the checkpointed frequency table") {
+    val df = CorpusOps.hTokenizerCompat(spark, SparkSpec.sf0001)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+        s"both rn <= 64 filters must plan as map-side top-k:\n$plan")
+      // the frequency table is checkpointed: the scoring query may explode
+      // the corpus once, but the two ranking windows must read ExistingRDD
+      val generates = plan.linesIterator.count(_.trim.startsWith("Generate"))
+      assert(generates <= 1, s"vocab build re-expanded the corpus:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"expected the checkpointed frequency table:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
   test("h_repeat_epochs: corpus is scanned once — the allocation runs on the checkpointed lang table") {
     val df = CorpusOps.hRepeatEpochs(spark, SparkSpec.sf0001)
     try {
