@@ -5,18 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.functions.GraftFunctions
 
-/** Corpus-level retrieval scoring and mixture-planning operators — the
-  * round-12 additions on top of [[TrainingOps]]' curation pipelines.
+/** Corpus-level retrieval scoring, mixture planning, and index/vocab
+  * lifecycle operators — the round-12 additions on top of
+  * [[TrainingOps]]' curation pipelines.
   *
-  * Scale posture (all three):
+  * Shared scale posture:
   *  - every per-document decision is scan-local or rides an aggregation
-  *    key ((lang, term) / (doc, term) / lang), so shuffles carry
-  *    vocabulary- or doc-count-sized rows, never pairs;
-  *  - all reported numbers are exact BIGINT arithmetic (integer DIV,
-  *    bit-length logs), so Spark and DuckDB agree bit-for-bit with no
-  *    float summation order to diverge;
-  *  - the only windows are top-k (`rn <= k`) forms that plan as
-  *    WindowGroupLimit — map-side top-k before the exchange.
+  *    key ((lang, term) / (doc, term) / (lang, gram) / lang), so shuffles
+  *    carry vocabulary- or doc-count-sized rows, never pairs;
+  *  - reported numbers are exact BIGINT arithmetic (integer DIV,
+  *    bit-length logs, cross-multiplied thresholds) wherever a float
+  *    could diverge cross-engine; cosine paths round only at the sink;
+  *  - windows are top-k (`rn <= k`) forms that plan as WindowGroupLimit
+  *    (map-side top-k before the exchange), and tiny multi-consumer
+  *    intermediates are localCheckpointed so CTE re-inlining cannot
+  *    re-expand a corpus scan.
   */
 object CorpusOps {
 
@@ -530,13 +533,191 @@ object CorpusOps {
       |  CAST(1000 * sum(CASE WHEN id2 = 0 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS oov_v2_milli
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ============================================== sign-LSH calibration
+
+  /** The embedding-side LSH trust audit — the companion to
+    * [[TrainingOps.hMinhashCalibration]]: an empirical band-agreement vs
+    * exact-cosine curve for sign-random-projection banding, the evidence
+    * that sign-LSH banding actually separates near-dups from noise before
+    * anyone trusts [[LlmOps.hNeardupEmbedding]]'s candidate sweep at
+    * 100 TB. Planted ±2 % perturbed copies populate the high-cosine end;
+    * deterministic `vec_id % modulus` blocks (modulus auto-sized from the
+    * corpus count on the same power-of-10 ladder as the MinHash audit, so
+    * per-block pair cost stays constant at any scale and planted pairs
+    * always land in-block) sample the rest.
+    *
+    * Engine-agnostic by construction, like the MinHash audit: hyperplane
+    * signs come from md5 of the (plane, dim) pair — not from the engine's
+    * splitmix64 kernel — and vectors quantize to integer 1/1024 units
+    * first, so every projection is an exact-BIGINT dot product and every
+    * sign bit lands identically on both engines (a raw double projection
+    * would hinge on float summation order at the margin). Cosine is
+    * computed from the SAME quantized integers in a fixed expression
+    * order, floored to millis; the mean rides the +1000 offset so integer
+    * division never sees a negative numerator (Spark DIV truncates,
+    * DuckDB // floors — they only agree on non-negatives).
+    *
+    * Scale shape: the projection join is (vectors × planes × dims)
+    * exploded rows collapsed map-side into the (vec, plane)-keyed
+    * aggregate — and that whole pipeline runs ONCE into a localCheckpointed
+    * one-row-per-vector table (signature + quantized array + norm²;
+    * embeddings-table-sized, the same class as the checkpointed LSH band
+    * indexes) because the pair self-join consumes it twice and CTE
+    * re-inlining would otherwise re-run the projection per side (measured
+    * 2.6× slower). Pair generation is the (blk) equi-join — never
+    * all-pairs — and each pair's cosine is one scan-local `dot_product`
+    * over the stored arrays: integer-valued doubles, so every partial sum
+    * is exact and the result is order-independent. */
+  def hCosineCalibration(s: SparkSession, dir: String): DataFrame = {
+    LlmOps.embeds(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    zip_with(v, sequence(1, size(v)), (x, i) ->
+        |      x * CASE WHEN i % 2 = 0 THEN CAST(1.02 AS DOUBLE)
+        |               ELSE CAST(0.98 AS DOUBLE) END) AS v
+        |  FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |m AS (
+        |  SELECT least(1000000L, greatest(100L,
+        |    CAST(pow(10, length(CAST((count(*) + 249) DIV 250 - 1 AS STRING))) AS BIGINT))) AS m
+        |  FROM base),
+        |qarr AS (
+        |  SELECT vec_id,
+        |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS qv
+        |  FROM corpus),
+        |quant AS (
+        |  SELECT vec_id, i, CAST(element_at(qv, i + 1) AS BIGINT) AS xi
+        |  FROM qarr LATERAL VIEW explode(sequence(0, size(qv) - 1)) t AS i),
+        |planes AS (
+        |  SELECT p, i,
+        |    CASE WHEN substring(md5(concat(CAST(p AS STRING), '|', CAST(i AS STRING))), 1, 1) < '8'
+        |         THEN 1L ELSE -1L END AS sgn
+        |  FROM (SELECT explode(sequence(0, 31)) AS p)
+        |  LATERAL VIEW explode(sequence(0, 63)) t AS i),
+        |proj AS (
+        |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
+        |  FROM quant q JOIN planes pl ON q.i = pl.i
+        |  GROUP BY q.vec_id, pl.p),
+        |bands AS (
+        |  SELECT vec_id, p DIV 4 AS b,
+        |    CAST(sum(CASE WHEN d > 0
+        |      THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0L END) AS BIGINT) AS key
+        |  FROM proj GROUP BY vec_id, p DIV 4),
+        |sig AS (
+        |  SELECT vec_id, vec_id % (SELECT m FROM m) AS blk,
+        |    max(CASE WHEN b = 0 THEN key END) AS k0,
+        |    max(CASE WHEN b = 1 THEN key END) AS k1,
+        |    max(CASE WHEN b = 2 THEN key END) AS k2,
+        |    max(CASE WHEN b = 3 THEN key END) AS k3,
+        |    max(CASE WHEN b = 4 THEN key END) AS k4,
+        |    max(CASE WHEN b = 5 THEN key END) AS k5,
+        |    max(CASE WHEN b = 6 THEN key END) AS k6,
+        |    max(CASE WHEN b = 7 THEN key END) AS k7
+        |  FROM bands GROUP BY vec_id)
+        |SELECT s.vec_id, s.blk, s.k0, s.k1, s.k2, s.k3, s.k4, s.k5, s.k6, s.k7,
+        |  q.qv, dot_product(q.qv, q.qv) AS nrm2
+        |FROM sig s JOIN qarr q ON s.vec_id = q.vec_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("cos_sig")
+    s.sql(
+      """WITH cosed AS (
+        |  SELECT
+        |    (CASE WHEN a.k0 = b.k0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k1 = b.k1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k2 = b.k2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k3 = b.k3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k4 = b.k4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k5 = b.k5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k6 = b.k6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN a.k7 = b.k7 THEN 1 ELSE 0 END) AS agree,
+        |    CAST(floor(1000.0 * dot_product(a.qv, b.qv)
+        |         / (sqrt(a.nrm2) * sqrt(b.nrm2))) AS BIGINT) AS cm
+        |  FROM cos_sig a JOIN cos_sig b
+        |    ON a.blk = b.blk AND a.vec_id < b.vec_id
+        |  WHERE a.nrm2 > 0 AND b.nrm2 > 0)
+        |SELECT CAST(agree AS BIGINT) AS agree, count(*) AS n_pairs,
+        |  CAST((sum(cm) + 1000 * count(*)) DIV count(*) - 1000 AS BIGINT) AS mean_cos_milli
+        |FROM cosed GROUP BY agree ORDER BY agree""".stripMargin)
+  }
+
+  val hCosineCalibrationSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, range(1, len(v) + 1)),
+      |      p -> p[1] * CASE WHEN p[2] % 2 = 0 THEN CAST(1.02 AS DOUBLE)
+      |                       ELSE CAST(0.98 AS DOUBLE) END) AS v
+      |  FROM base),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |m AS (
+      |  SELECT least(1000000, greatest(100,
+      |    CAST(power(10, length(CAST((count(*) + 249) // 250 - 1 AS VARCHAR))) AS BIGINT))) AS m
+      |  FROM base),
+      |qarr AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS qv
+      |  FROM corpus),
+      |quant AS (
+      |  SELECT vec_id, i, CAST(qv[i + 1] AS BIGINT) AS xi
+      |  FROM qarr, unnest(range(len(qv))) AS t(i)),
+      |planes AS (
+      |  SELECT p, i,
+      |    CASE WHEN substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(i AS VARCHAR))), 1, 1) < '8'
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(32)) AS p), (SELECT unnest(range(64)) AS i)),
+      |proj AS (
+      |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
+      |  FROM quant q JOIN planes pl ON q.i = pl.i
+      |  GROUP BY q.vec_id, pl.p),
+      |bands AS (
+      |  SELECT vec_id, p // 4 AS b,
+      |    CAST(sum(CASE WHEN d > 0
+      |      THEN CAST(power(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS key
+      |  FROM proj GROUP BY vec_id, p // 4),
+      |sig AS (
+      |  SELECT vec_id, vec_id % (SELECT m FROM m) AS blk,
+      |    max(CASE WHEN b = 0 THEN key END) AS k0,
+      |    max(CASE WHEN b = 1 THEN key END) AS k1,
+      |    max(CASE WHEN b = 2 THEN key END) AS k2,
+      |    max(CASE WHEN b = 3 THEN key END) AS k3,
+      |    max(CASE WHEN b = 4 THEN key END) AS k4,
+      |    max(CASE WHEN b = 5 THEN key END) AS k5,
+      |    max(CASE WHEN b = 6 THEN key END) AS k6,
+      |    max(CASE WHEN b = 7 THEN key END) AS k7
+      |  FROM bands GROUP BY vec_id),
+      |sigq AS (
+      |  SELECT s.*, q.qv, list_dot_product(q.qv, q.qv) AS nrm2
+      |  FROM sig s JOIN qarr q ON s.vec_id = q.vec_id),
+      |cosed AS (
+      |  SELECT
+      |    (CASE WHEN a.k0 = b.k0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k1 = b.k1 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k2 = b.k2 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k3 = b.k3 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k4 = b.k4 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k5 = b.k5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k6 = b.k6 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN a.k7 = b.k7 THEN 1 ELSE 0 END) AS agree,
+      |    CAST(floor(1000.0 * list_dot_product(a.qv, b.qv)
+      |         / (sqrt(a.nrm2) * sqrt(b.nrm2))) AS BIGINT) AS cm
+      |  FROM sigq a JOIN sigq b ON a.blk = b.blk AND a.vec_id < b.vec_id
+      |  WHERE a.nrm2 > 0 AND b.nrm2 > 0)
+      |SELECT CAST(agree AS BIGINT) AS agree, count(*) AS n_pairs,
+      |  CAST((sum(cm) + 1000 * count(*)) // count(*) - 1000 AS BIGINT) AS mean_cos_milli
+      |FROM cosed GROUP BY agree ORDER BY agree""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_bm25" -> (hBm25 _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
     "h_repeat_epochs" -> (hRepeatEpochs _),
     "h_shard_rebalance" -> (hShardRebalance _),
     "h_hard_negatives" -> (hHardNegatives _),
-    "h_tokenizer_compat" -> (hTokenizerCompat _)
+    "h_tokenizer_compat" -> (hTokenizerCompat _),
+    "h_cosine_calibration" -> (hCosineCalibration _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -545,6 +726,7 @@ object CorpusOps {
     "h_repeat_epochs" -> hRepeatEpochsSql,
     "h_shard_rebalance" -> hShardRebalanceSql,
     "h_hard_negatives" -> hHardNegativesSql,
-    "h_tokenizer_compat" -> hTokenizerCompatSql
+    "h_tokenizer_compat" -> hTokenizerCompatSql,
+    "h_cosine_calibration" -> hCosineCalibrationSql
   )
 }

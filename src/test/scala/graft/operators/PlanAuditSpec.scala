@@ -476,6 +476,21 @@ class PlanAuditSpec extends SparkSuite {
     } finally Checkpoints.releaseAll()
   }
 
+  test("h_cosine_calibration: pair sweep reads the checkpointed signature table, block equi-join only") {
+    val df = CorpusOps.hCosineCalibration(spark, SparkSpec.sf0001)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"pair generation must ride the blk equi-join:\n$plan")
+      // the projection pipeline ran once at checkpoint build: the pair
+      // query itself must not re-explode anything
+      assert(!plan.linesIterator.exists(_.trim.startsWith("Generate")),
+        s"pair sweep re-expanded the projection pipeline:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"expected the checkpointed signature table:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
   test("h_repeat_epochs: corpus is scanned once — the allocation runs on the checkpointed lang table") {
     val df = CorpusOps.hRepeatEpochs(spark, SparkSpec.sf0001)
     try {
