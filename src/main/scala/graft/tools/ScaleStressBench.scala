@@ -43,7 +43,8 @@ object ScaleStressBench {
     "h_ivfpq_search", "h_lm_quality", "h_tfidf", "h_stratified_sample",
     "h_token_budget_mix", "h_ngram_novelty", "h_minhash_calibration",
     "h_novelty_incremental", "h_split_leakage", "h_bm25",
-    "h_quality_ensemble", "h_repeat_epochs")
+    "h_quality_ensemble", "h_repeat_epochs", "h_shard_rebalance",
+    "h_tokenizer_compat", "h_cosine_calibration", "h_hard_negatives")
   // a_column_stats / a_skew_profile are excluded: they profile orders /
   // events, which the K-fold replicator (documents + embeddings only)
   // does not scale.
