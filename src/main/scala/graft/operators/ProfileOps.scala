@@ -1,0 +1,404 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Corpus- and embedding-space PROFILING operators — the audit tables a
+  * training-data pipeline publishes about itself: per-source dataset
+  * cards, corpus-version embedding drift, norm-outlier screens, and LSH
+  * bucket-balance reports. These are the round-12 third wave, extending
+  * [[CorpusOps]]' retrieval/lifecycle ops with the observability surface.
+  *
+  * Shared scale posture (same contract as [[CorpusOps]]):
+  *  - every reported number rides an aggregation key whose cardinality is
+  *    BOUNDED BY A DOMAIN, not by the corpus — (source), (label, half,
+  *    dim), (label, distinct-norm), (bucket) — so the final exchanges
+  *    carry at most domain-sized rows regardless of corpus size;
+  *  - float inputs are quantized to integer-valued doubles
+  *    (`round(x·1024)`, the [[CorpusOps.hCosineCalibration]] idiom) so
+  *    every partial sum is exact and order-independent, and the only
+  *    float division happens once at the sink under `floor(1000·…)`;
+  *  - exact medians/selections are computed over VALUE HISTOGRAMS
+  *    (group-by-value then cumulative-count selection), never by sorting
+  *    the corpus inside a per-group window — the distributed-selection
+  *    form survives a Zipfian group mix where a bare
+  *    `PARTITION BY label ORDER BY x` window would funnel the dominant
+  *    group through one task (the h_token_budget_mix lesson).
+  */
+object ProfileOps {
+
+  private def docs(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+  }
+
+  private def embeds(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+  }
+
+  // ============================================================ dataset card
+
+  /** Per-source dataset card — the one-row-per-source summary a corpus
+    * release ships next to the data (HF dataset-card / Dolma datasheet
+    * style): volume (docs, whitespace tokens), language spread (distinct
+    * langs, dominant language and its share), length profile (mean chars,
+    * short-doc rate), and an exact-duplication proxy (distinct-text
+    * ratio). Every rate is exact integer milli (`1000·x DIV n`) so both
+    * engines land identical BIGINTs.
+    *
+    * Scale shape: one corpus scan feeds two source-keyed aggregates — the
+    * main card (with two DISTINCT aggregates, planned as one expand +
+    * partial-aggregate pass) and the (source, lang) counts whose top-1 is
+    * a WindowGroupLimit rank over a ≤ sources×langs table; the final join
+    * is source-keyed over ≤ |sources| rows. Nothing is ever pairwise and
+    * no window partitions the corpus itself — at 100 TB the exchanges
+    * carry (source)- and (source, lang)-sized rows only. */
+  def hDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT source, lang, n_chars, text,
+        |    size(split(text, ' ')) AS toks
+        |  FROM documents),
+        |card AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |    CAST(sum(n_chars) DIV count(*) AS BIGINT) AS avg_chars,
+        |    CAST(1000L * sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+        |         DIV count(*) AS BIGINT) AS short_milli,
+        |    CAST(1000L * count(DISTINCT text) DIV count(*) AS BIGINT)
+        |      AS distinct_text_milli
+        |  FROM base GROUP BY source),
+        |langs AS (
+        |  SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+        |top AS (
+        |  SELECT source, lang AS top_lang, c FROM (
+        |    SELECT source, lang, c,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |    FROM langs)
+        |  WHERE rn = 1)
+        |SELECT a.source, a.n_docs, a.n_langs, t.top_lang,
+        |  CAST(1000L * t.c DIV a.n_docs AS BIGINT) AS top_lang_milli,
+        |  a.tokens_total, a.avg_chars, a.short_milli, a.distinct_text_milli
+        |FROM card a JOIN top t ON a.source = t.source
+        |ORDER BY a.source""".stripMargin)
+  }
+
+  val hDatasetCardSql: String =
+    """WITH base AS (
+      |  SELECT source, lang, n_chars, text,
+      |    len(string_split(text, ' ')) AS toks
+      |  FROM documents),
+      |card AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(toks) AS BIGINT) AS tokens_total,
+      |    CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+      |    CAST(1000 * sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+      |         // count(*) AS BIGINT) AS short_milli,
+      |    CAST(1000 * count(DISTINCT text) // count(*) AS BIGINT)
+      |      AS distinct_text_milli
+      |  FROM base GROUP BY source),
+      |langs AS (
+      |  SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+      |top AS (
+      |  SELECT source, lang AS top_lang, c FROM (
+      |    SELECT source, lang, c,
+      |      row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |    FROM langs)
+      |  WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.n_langs, t.top_lang,
+      |  CAST(1000 * t.c // a.n_docs AS BIGINT) AS top_lang_milli,
+      |  a.tokens_total, a.avg_chars, a.short_milli, a.distinct_text_milli
+      |FROM card a JOIN top t ON a.source = t.source
+      |ORDER BY a.source""".stripMargin
+
+  // ======================================================== embedding drift
+
+  /** Corpus-version embedding drift — did re-embedding (or a new crawl
+    * snapshot) MOVE the per-class embedding space? Splits the table into
+    * two versions by `vec_id % 2` (the stand-in for version tags) and
+    * reports, per label, the cosine between the two versions' centroids.
+    * Centroid cosine is computed on per-dimension INTEGER SUMS — cosine is
+    * scale-invariant, so cos(mean₀, mean₁) = cos(sum₀, sum₁) and the
+    * per-vector 1/n division never happens: every number that crosses an
+    * exchange is an exact BIGINT. Bounds: |x| < 1 ⇒ |Σ xi·1024| <
+    * 1024·n_vecs per dim, so the dot of two sum-vectors stays inside
+    * BIGINT (and double-exact 2^53) up to ~10⁷ vectors per (label,
+    * version) — past that, raise the quantizer granularity audit-side.
+    *
+    * Scale shape: quantize scan-local → posexplode to (vec, dim) rows →
+    * (label, half, dim)-keyed SUM with map-side partials (the only
+    * corpus-sized exchange, carrying labels×2×dims ≈ thousands of result
+    * rows) → pivot halves and fold 64 dims per label. The mean-norm²
+    * columns ride the same scan. No window touches corpus-sized data. */
+  def hEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+        |    transform(embedding, x ->
+        |      CAST(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS DOUBLE)) AS q
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT label, half, CAST(dot_product(q, q) AS BIGINT) AS nrm2 FROM qv),
+        |counts AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |    CAST(sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
+        |         DIV sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v0,
+        |    CAST(sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
+        |         DIV sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v1
+        |  FROM n2 GROUP BY label),
+        |dims AS (
+        |  SELECT label, half, i, CAST(element_at(q, i + 1) AS BIGINT) AS xi
+        |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+        |cent AS (
+        |  SELECT label, half, i, CAST(sum(xi) AS BIGINT) AS sv
+        |  FROM dims GROUP BY label, half, i),
+        |pivoted AS (
+        |  SELECT label, i,
+        |    max(CASE WHEN half = 0 THEN sv END) AS s0,
+        |    max(CASE WHEN half = 1 THEN sv END) AS s1
+        |  FROM cent GROUP BY label, i),
+        |dots AS (
+        |  SELECT label,
+        |    CAST(sum(s0 * s1) AS BIGINT) AS dot,
+        |    CAST(sum(s0 * s0) AS BIGINT) AS nn0,
+        |    CAST(sum(s1 * s1) AS BIGINT) AS nn1
+        |  FROM pivoted GROUP BY label)
+        |SELECT c.label, c.n_v0, c.n_v1,
+        |  CAST(floor(1000.0 * d.dot /
+        |       (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE))))
+        |    AS BIGINT) AS centroid_cos_milli,
+        |  c.m2_v0, c.m2_v1
+        |FROM counts c JOIN dots d ON c.label = d.label
+        |ORDER BY c.label""".stripMargin)
+  }
+
+  val hEmbeddingDriftSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT label, half, CAST(list_dot_product(q, q) AS BIGINT) AS nrm2 FROM qv),
+      |counts AS (
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+      |    CAST(sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
+      |         // sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v0,
+      |    CAST(sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
+      |         // sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v1
+      |  FROM n2 GROUP BY label),
+      |dims AS (
+      |  SELECT label, half, i, CAST(q[i + 1] AS BIGINT) AS xi
+      |  FROM qv, unnest(range(len(q))) AS t(i)),
+      |cent AS (
+      |  SELECT label, half, i, CAST(sum(xi) AS BIGINT) AS sv
+      |  FROM dims GROUP BY label, half, i),
+      |pivoted AS (
+      |  SELECT label, i,
+      |    max(CASE WHEN half = 0 THEN sv END) AS s0,
+      |    max(CASE WHEN half = 1 THEN sv END) AS s1
+      |  FROM cent GROUP BY label, i),
+      |dots AS (
+      |  SELECT label,
+      |    CAST(sum(s0 * s1) AS BIGINT) AS dot,
+      |    CAST(sum(s0 * s0) AS BIGINT) AS nn0,
+      |    CAST(sum(s1 * s1) AS BIGINT) AS nn1
+      |  FROM pivoted GROUP BY label)
+      |SELECT c.label, c.n_v0, c.n_v1,
+      |  CAST(floor(1000.0 * d.dot /
+      |       (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE))))
+      |    AS BIGINT) AS centroid_cos_milli,
+      |  c.m2_v0, c.m2_v1
+      |FROM counts c JOIN dots d ON c.label = d.label
+      |ORDER BY c.label""".stripMargin
+
+  // ========================================================= norm outliers
+
+  /** Embedding norm-outlier screen — catches broken encoder shards and
+    * zero/exploded vectors before they poison ANN indexes or contrastive
+    * batches. Flags, per label, vectors whose quantized norm² is > 1.5× or
+    * < 0.5× the label's EXACT lower median, reported as (n_vecs, median,
+    * n_high, n_low). Thresholds are cross-multiplied integers
+    * (`2·nrm2 > 3·md`), so no float ever decides a flag.
+    *
+    * The median is distributed-selection, not a sort: norm² is a bounded
+    * integer domain, so `GROUP BY (label, nrm2)` produces a histogram
+    * whose size is value-domain-bounded, and the cumulative-count window
+    * runs over THAT — at 100 TB the per-label window input is still ≤
+    * |distinct norm values| rows, not the corpus (the skew-proof form;
+    * a bare `row_number() OVER (PARTITION BY label ORDER BY nrm2)` would
+    * sort the dominant label's entire shard in one task). The flag pass is
+    * a scan-local comparison against the broadcast ≤|labels|-row median
+    * table. */
+  def hEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH n2 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(dot_product(
+        |      transform(embedding, x ->
+        |        CAST(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS DOUBLE)),
+        |      transform(embedding, x ->
+        |        CAST(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS DOUBLE)))
+        |      AS BIGINT) AS nrm2
+        |  FROM embeddings),
+        |hist AS (SELECT label, nrm2, count(*) AS c FROM n2 GROUP BY label, nrm2),
+        |cum AS (
+        |  SELECT label, nrm2,
+        |    sum(c) OVER (PARTITION BY label ORDER BY nrm2) AS cum,
+        |    sum(c) OVER (PARTITION BY label) AS n
+        |  FROM hist),
+        |med AS (
+        |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |    CAST(min(nrm2) AS BIGINT) AS md
+        |  FROM cum WHERE cum >= (n + 1) DIV 2 GROUP BY label)
+        |SELECT m.label, m.n_vecs, m.md AS median_norm2,
+        |  CAST(sum(CASE WHEN 2 * v.nrm2 > 3 * m.md THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  CAST(sum(CASE WHEN 2 * v.nrm2 < m.md THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low
+        |FROM n2 v JOIN med m ON v.label = m.label
+        |GROUP BY m.label, m.n_vecs, m.md
+        |ORDER BY m.label""".stripMargin)
+  }
+
+  val hEmbedOutliersSql: String =
+    """WITH n2 AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(list_dot_product(
+      |      list_transform(CAST(embedding AS DOUBLE[]),
+      |        x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)),
+      |      list_transform(CAST(embedding AS DOUBLE[]),
+      |        x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)))
+      |      AS BIGINT) AS nrm2
+      |  FROM embeddings),
+      |hist AS (SELECT label, nrm2, count(*) AS c FROM n2 GROUP BY label, nrm2),
+      |cum AS (
+      |  SELECT label, nrm2,
+      |    sum(c) OVER (PARTITION BY label ORDER BY nrm2) AS cum,
+      |    sum(c) OVER (PARTITION BY label) AS n
+      |  FROM hist),
+      |med AS (
+      |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+      |    CAST(min(nrm2) AS BIGINT) AS md
+      |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY label)
+      |SELECT m.label, m.n_vecs, m.md AS median_norm2,
+      |  CAST(sum(CASE WHEN 2 * v.nrm2 > 3 * m.md THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(sum(CASE WHEN 2 * v.nrm2 < m.md THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low
+      |FROM n2 v JOIN med m ON v.label = m.label
+      |GROUP BY m.label, m.n_vecs, m.md
+      |ORDER BY m.label""".stripMargin
+
+  // ========================================================== LSH balance
+
+  /** LSH bucket-balance report — the capacity-planning audit for every
+    * banded join in the engine ([[LlmOps.hNeardupEmbedding]],
+    * [[LlmOps.hAnnLsh]], [[CorpusOps.hCosineCalibration]]): hash each
+    * vector into one 8-plane sign bucket (256 possible; same md5-seeded
+    * deterministic hyperplanes as h_cosine_calibration) and report the
+    * bucket-population distribution as power-of-two classes —
+    * (pop_bits = ⌊log₂ pop⌋+1, n_buckets, n_vecs, n_pairs) where n_pairs
+    * is Σ c·(c−1)/2, the EXACT candidate-pair volume each class would
+    * contribute to a bucket self-join. A heavy class at high pop_bits is
+    * the early warning that a banded join is about to go quadratic on a
+    * hot bucket (the signal that triggers adding planes or salting).
+    *
+    * Scale shape: projection is the (vectors×planes×dims) explode
+    * collapsed map-side into the (vec, plane) aggregate — identical to the
+    * calibration op — then (bucket) counts (≤ 256 rows) and a ≤ 64-row
+    * class rollup. The corpus crosses one exchange, key-partitioned. */
+  def hLshBalance(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |quant AS (
+        |  SELECT vec_id, i, element_at(q, i + 1) AS xi
+        |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+        |planes AS (
+        |  SELECT p, i,
+        |    CASE WHEN substring(md5(concat(CAST(p AS STRING), '|',
+        |                                   CAST(i AS STRING))), 1, 1) < '8'
+        |         THEN 1L ELSE -1L END AS sgn
+        |  FROM (SELECT explode(sequence(0, 7)) AS p)
+        |  LATERAL VIEW explode(sequence(0, 63)) t AS i),
+        |proj AS (
+        |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
+        |  FROM quant q JOIN planes pl ON q.i = pl.i
+        |  GROUP BY q.vec_id, pl.p),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d > 0
+        |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END) AS BIGINT) AS bkt
+        |  FROM proj GROUP BY vec_id),
+        |pops AS (SELECT bkt, count(*) AS c FROM buckets GROUP BY bkt)
+        |SELECT CAST(length(bin(c)) AS BIGINT) AS pop_bits,
+        |  count(*) AS n_buckets,
+        |  CAST(sum(c) AS BIGINT) AS n_vecs,
+        |  CAST(sum((c * (c - 1)) DIV 2) AS BIGINT) AS n_pairs
+        |FROM pops GROUP BY length(bin(c))
+        |ORDER BY pop_bits""".stripMargin)
+  }
+
+  val hLshBalanceSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1024) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |quant AS (
+      |  SELECT vec_id, i, q[i + 1] AS xi
+      |  FROM qv, unnest(range(len(q))) AS t(i)),
+      |planes AS (
+      |  SELECT p, i,
+      |    CASE WHEN substring(md5(concat(CAST(p AS VARCHAR), '|',
+      |                                   CAST(i AS VARCHAR))), 1, 1) < '8'
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS i)),
+      |proj AS (
+      |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
+      |  FROM quant q JOIN planes pl ON q.i = pl.i
+      |  GROUP BY q.vec_id, pl.p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN d > 0
+      |      THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM proj GROUP BY vec_id),
+      |pops AS (SELECT bkt, count(*) AS c FROM buckets GROUP BY bkt)
+      |SELECT CAST(length(bin(c)) AS BIGINT) AS pop_bits,
+      |  count(*) AS n_buckets,
+      |  CAST(sum(c) AS BIGINT) AS n_vecs,
+      |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_pairs
+      |FROM pops GROUP BY length(bin(c))
+      |ORDER BY pop_bits""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_dataset_card" -> (hDatasetCard _),
+    "h_embedding_drift" -> (hEmbeddingDrift _),
+    "h_embed_outliers" -> (hEmbedOutliers _),
+    "h_lsh_balance" -> (hLshBalance _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "h_dataset_card" -> hDatasetCardSql,
+    "h_embedding_drift" -> hEmbeddingDriftSql,
+    "h_embed_outliers" -> hEmbedOutliersSql,
+    "h_lsh_balance" -> hLshBalanceSql
+  )
+}

@@ -503,4 +503,59 @@ class PlanAuditSpec extends SparkSuite {
         s"expected the checkpointed per-lang table:\n$plan")
     } finally Checkpoints.releaseAll()
   }
+
+  test("h_dataset_card: top-lang rank is WindowGroupLimit; card join broadcasts") {
+    val plan = ProfileOps.hDatasetCard(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rn = 1 top-lang filter must plan as a map-side group limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the source-keyed card join must broadcast (both sides are |sources|-row):\n$plan")
+  }
+
+  test("h_embedding_drift: pure aggregation cascade — no window, one explode") {
+    val plan = ProfileOps.hEmbeddingDrift(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"drift must ride (label, half, dim)-keyed aggregates, not a window:\n$plan")
+    val generates = plan.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 1,
+      s"the dim explode ran $generates times — centroid path re-expanded:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no pairwise work belongs in a centroid audit:\n$plan")
+  }
+
+  test("h_embed_outliers: median is histogram-selection, not a corpus window sort") {
+    val plan = ProfileOps.hEmbedOutliers(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the cumulative window must consume the (label, nrm2) histogram
+    // aggregate — a row_number over the raw vectors would single-task-sort
+    // the dominant label at scale (the h_token_budget_mix failure mode)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[label") && l.contains("nrm2")),
+      s"expected the (label, nrm2) histogram under the selection window:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"median regressed to a per-vector rank sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |labels|-row median table must broadcast onto the flag scan:\n$plan")
+  }
+
+  test("h_lsh_balance: plane projection broadcasts; no pairwise work") {
+    val plan = ProfileOps.hLshBalance(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 512-row plane table must broadcast onto the dim explode:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"bucket census must never join the corpus to itself:\n$plan")
+  }
+
+  test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
+    val plan = AnalyticsOps.gMarkovTransitions(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the prev-total must ride a window over cnt, not a re-inlining self-join:\n$plan")
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2,
+      s"expected exactly the per-user lag window + the |types|²-row total window, got $windows:\n$plan")
+  }
 }
