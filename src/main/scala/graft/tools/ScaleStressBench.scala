@@ -44,10 +44,12 @@ object ScaleStressBench {
     "h_token_budget_mix", "h_ngram_novelty", "h_minhash_calibration",
     "h_novelty_incremental", "h_split_leakage", "h_bm25",
     "h_quality_ensemble", "h_repeat_epochs", "h_shard_rebalance",
-    "h_tokenizer_compat", "h_cosine_calibration", "h_hard_negatives")
-  // a_column_stats / a_skew_profile are excluded: they profile orders /
-  // events, which the K-fold replicator (documents + embeddings only)
-  // does not scale.
+    "h_tokenizer_compat", "h_cosine_calibration", "h_hard_negatives",
+    "h_dataset_card", "h_embedding_drift", "h_embed_outliers",
+    "h_lsh_balance")
+  // a_column_stats / a_skew_profile / g_markov_transitions are excluded:
+  // they profile orders / events, which the K-fold replicator
+  // (documents + embeddings only) does not scale.
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
