@@ -848,7 +848,140 @@ object AnalyticsOps {
       |FROM cnt
       |ORDER BY prev, curr""".stripMargin
 
+  // ====================================================== top entry paths
+
+  /** Top-20 user entry paths — the ranked census of each user's first
+    * four event types in canonical (tus, event_id) order, joined into a
+    * `a>b>c>d` path string. The onboarding/UX counterpart of
+    * [[gMarkovTransitions]]: the Markov matrix is memoryless, paths keep
+    * short-range order (the "signup>browse>add_to_cart" vs
+    * "browse>signup" distinction a first-order chain erases).
+    *
+    * Scale shape: the `rn <= 4` filter under the per-user row_number
+    * plans as **WindowGroupLimit** — each map task forwards at most four
+    * rows per user BEFORE the exchange, so the window shuffle carries
+    * O(4·users), not the event log. Path assembly is a user-keyed
+    * aggregate (order recovered by sorting the ≤4 collected (rn, type)
+    * structs — never a corpus sort), and the census is bounded by
+    * |event_types|⁴ regardless of corpus size; the final top-20 is a
+    * TakeOrderedAndProject over that census. */
+  def gTopPaths(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS rn
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id,
+        |    array_join(transform(
+        |      array_sort(collect_list(named_struct('rn', rn, 'et', event_type))),
+        |      p -> p.et), '>') AS path,
+        |    count(*) AS path_len
+        |  FROM seq WHERE rn <= 4 GROUP BY user_id),
+        |census AS (
+        |  SELECT path, CAST(max(path_len) AS BIGINT) AS path_len,
+        |    count(*) AS n_users
+        |  FROM paths GROUP BY path)
+        |SELECT path, path_len, n_users FROM census
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
+  }
+
+  val gTopPathsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS rn
+      |  FROM e),
+      |paths AS (
+      |  SELECT user_id,
+      |    array_to_string(list(event_type ORDER BY rn), '>') AS path,
+      |    count(*) AS path_len
+      |  FROM seq WHERE rn <= 4 GROUP BY user_id),
+      |census AS (
+      |  SELECT path, CAST(max(path_len) AS BIGINT) AS path_len,
+      |    count(*) AS n_users
+      |  FROM paths GROUP BY path)
+      |SELECT path, path_len, n_users FROM census
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
+  // ================================================== bot-regularity screen
+
+  /** Inter-event-gap regularity census — the classic bot screen: humans
+    * have bursty, high-variance inter-event gaps; schedulers and scripts
+    * land in the low-CV² tail. Per user (≥ 5 gaps), gaps are clamped to
+    * [0 s, 1 h] second-granularity integers and summarized by the EXACT
+    * squared coefficient of variation — `CV² = (n·Σg² − (Σg)²) / (Σg)²`,
+    * never divided as a float: the bucket `⌊100·CV²⌋` (capped at 10,
+    * i.e. centi-CV² — scheduler-regular traffic lives well under
+    * CV² = 0.1, so the cap marks "organic") is computed by integer
+    * cross-multiplication. The output is the (cv2_bucket → users, gaps)
+    * histogram threshold-tuners read; bucket 0 = metronome-regular
+    * (bots), the cap bucket = organic burstiness. The 1-hour clamp both
+    * bounds the arithmetic (100·n·Σg² ≤ 100·n²·1.3e7 keeps BIGINT-exact
+    * to ~8·10⁴ events/user) and stops one vacation gap from drowning a
+    * user's within-session signature.
+    *
+    * Scale shape: ONE per-user lag window (the skew-free high-cardinality
+    * key), then user-keyed aggregation with map-side partials; the bucket
+    * census is ≤ 11 rows. At 100 TB the only corpus-sized exchange is the
+    * per-user repartition the window needs — same posture as
+    * [[gMarkovTransitions]]. */
+  def gBotRegularity(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, tus,
+        |    lag(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS prev
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id, least((tus - prev) DIV 1000000L, 3600L) AS g
+        |  FROM seq WHERE prev IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sg2
+        |  FROM gaps GROUP BY user_id HAVING count(*) >= 5),
+        |cls AS (
+        |  SELECT user_id, n,
+        |    CASE WHEN sg = 0 THEN 0L
+        |         ELSE least(CAST((100L * (n * sg2 - sg * sg)) DIV (sg * sg)
+        |                    AS BIGINT), 10L) END AS cv2_bucket
+        |  FROM st)
+        |SELECT cv2_bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_gaps
+        |FROM cls GROUP BY cv2_bucket ORDER BY cv2_bucket""".stripMargin)
+  }
+
+  val gBotRegularitySql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+      |seq AS (
+      |  SELECT user_id, tus,
+      |    lag(tus) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |gaps AS (
+      |  SELECT user_id, least((tus - prev) // 1000000, 3600) AS g
+      |  FROM seq WHERE prev IS NOT NULL),
+      |st AS (
+      |  SELECT user_id, count(*) AS n, CAST(sum(g) AS BIGINT) AS sg,
+      |    CAST(sum(g * g) AS BIGINT) AS sg2
+      |  FROM gaps GROUP BY user_id HAVING count(*) >= 5),
+      |cls AS (
+      |  SELECT user_id, n,
+      |    CASE WHEN sg = 0 THEN 0
+      |         ELSE least(CAST((100 * (n * sg2 - sg * sg)) // (sg * sg)
+      |                    AS BIGINT), 10) END AS cv2_bucket
+      |  FROM st)
+      |SELECT cv2_bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_gaps
+      |FROM cls GROUP BY cv2_bucket ORDER BY cv2_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_top_paths" -> (gTopPaths _),
+    "g_bot_regularity" -> (gBotRegularity _),
     "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
     "g_concurrency" -> (gConcurrency _),
@@ -865,6 +998,8 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_top_paths" -> gTopPathsSql,
+    "g_bot_regularity" -> gBotRegularitySql,
     "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,
     "g_concurrency" -> gConcurrencySql,

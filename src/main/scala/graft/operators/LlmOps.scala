@@ -762,6 +762,156 @@ object LlmOps {
       |WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  /** ANN recall@10 audit — the trust measurement every approximate index
+    * ships with (the FAISS-bench / ann-benchmarks contract): for a fixed
+    * 20-query panel, compare the [[hAnnIvf]] nprobe=2 retrieval against
+    * brute-force exact-cosine ground truth and report, per query, how
+    * many of the true top-10 the index returned (`recall_milli =
+    * 1000·hits DIV |truth|`) and whether the top-1 matched. Completes the
+    * audit family next to [[graft.operators.CorpusOps]]'
+    * `h_cosine_calibration` (LSH agreement) and `h_minhash_calibration`
+    * (banding agreement): calibration says the SKETCH is faithful, recall
+    * says the INDEX retrieves.
+    *
+    * Both arms rank by `(round(cosine, 4) DESC, vec_id)` — the engine's
+    * standard deterministic ANN order — so the rank-10 cutoff is
+    * tie-stable across engines.
+    *
+    * Scale shape: the IVF arm is [[hAnnIvf]]'s exact plan (scan-local
+    * assignment against the broadcast 16-centroid array, probes broadcast
+    * to the candidate join, per-query top-k window on q_id). The
+    * brute-force arm is the audit's stated cost: ONE corpus pass scoring
+    * the broadcast 20-query panel scan-locally, collapsed map-side by the
+    * per-query top-10 WindowGroupLimit — O(|corpus|·|panel|) multiplies
+    * but only O(k·|panel|·tasks) rows cross the exchange. Ground truth
+    * over the full corpus is the point; a sampled truth set would audit a
+    * different index. */
+  def hAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |ranked_cent AS (
+         |  SELECT vec_id, v, nrm,
+         |    slice(array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS topn
+         |  FROM normed CROSS JOIN cents),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, topn[0].c_id AS c_id FROM ranked_cent),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, p.c_id
+         |  FROM ranked_cent LATERAL VIEW explode(topn) t AS p
+         |  WHERE vec_id < 20),
+         |approx AS (
+         |  SELECT q_id, n_id, rnk FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        round(dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) DESC,
+         |        a.vec_id) AS rnk
+         |    FROM probes p JOIN assigned a ON a.c_id = p.c_id
+         |    WHERE a.vec_id <> p.q_id)
+         |  WHERE rnk <= 10),
+         |qset AS (
+         |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM normed
+         |  WHERE vec_id < 20),
+         |truth AS (
+         |  SELECT q_id, n_id, rnk FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        round(dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) DESC,
+         |        n.vec_id) AS rnk
+         |    FROM qset q JOIN normed n ON n.vec_id <> q.q_id)
+         |  WHERE rnk <= 10),
+         |rec AS (
+         |  SELECT /*+ BROADCAST(a) */ t.q_id, count(*) AS n_true,
+         |    CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hits,
+         |    max(CASE WHEN t.rnk = 1 AND a.rnk = 1 THEN 1 ELSE 0 END) AS t1
+         |  FROM truth t LEFT JOIN approx a
+         |    ON t.q_id = a.q_id AND t.n_id = a.n_id
+         |  GROUP BY t.q_id)
+         |SELECT q_id, n_true, n_hits,
+         |  CAST(1000L * n_hits DIV n_true AS BIGINT) AS recall_milli,
+         |  t1 = 1 AS top1_match
+         |FROM rec ORDER BY q_id""".stripMargin)
+  }
+
+  /** DuckDB replays the full refined-centroid IVF chain (the
+    * [[hAnnIvfSql]] CTEs at nprobe=2 / k=10) AND the brute-force arm, so
+    * recall itself — not just the index output — is hash-checked. */
+  val hAnnRecallSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c WHERE n.vec_id < 20)
+      |  WHERE rn <= 2),
+      |approx AS (
+      |  SELECT q_id, n_id, rnk FROM (
+      |    SELECT p.q_id, a.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |        round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) DESC,
+      |        a.vec_id) AS rnk
+      |    FROM probes p JOIN assigned a ON a.c_id = p.c_id
+      |    WHERE a.vec_id <> p.q_id)
+      |  WHERE rnk <= 10),
+      |qset AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM normed WHERE vec_id < 20),
+      |truth AS (
+      |  SELECT q_id, n_id, rnk FROM (
+      |    SELECT q.q_id, n.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        round(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) DESC,
+      |        n.vec_id) AS rnk
+      |    FROM qset q JOIN normed n ON n.vec_id <> q.q_id)
+      |  WHERE rnk <= 10),
+      |rec AS (
+      |  SELECT t.q_id, count(*) AS n_true,
+      |    CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits,
+      |    max(CASE WHEN t.rnk = 1 AND a.rnk = 1 THEN 1 ELSE 0 END) AS t1
+      |  FROM truth t LEFT JOIN approx a
+      |    ON t.q_id = a.q_id AND t.n_id = a.n_id
+      |  GROUP BY t.q_id)
+      |SELECT q_id, n_true, n_hits,
+      |  CAST(1000 * n_hits // n_true AS BIGINT) AS recall_milli,
+      |  t1 = 1 AS top1_match
+      |FROM rec ORDER BY q_id""".stripMargin
+
   /** IVF-PQ — the composition a production ANN index actually ships
     * (FAISS's IndexIVFPQ): assign every vector to its [[hAnnIvf]] coarse
     * centroid, then product-quantize the RESIDUAL (v − centroid) with
@@ -2095,6 +2245,7 @@ object LlmOps {
     "h_ann_brute" -> (hAnnBrute _),
     "h_ann_lsh" -> (hAnnLsh _),
     "h_ann_ivf" -> (hAnnIvf _),
+    "h_ann_recall" -> (hAnnRecall _),
     "h_token_quality" -> (hTokenQuality _),
     "h_text_stats" -> (hTextStats _),
     "h_lang_heuristic" -> (hLangHeuristic _),
@@ -2121,6 +2272,7 @@ object LlmOps {
   def oracle: Map[String, String] = Map(
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,
+    "h_ann_recall" -> hAnnRecallSql,
     "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
     "h_dedup_bloom" -> hDedupBloomSql,

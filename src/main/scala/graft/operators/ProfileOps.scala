@@ -388,7 +388,76 @@ object ProfileOps {
       |FROM pops GROUP BY length(bin(c))
       |ORDER BY pop_bits""".stripMargin
 
+  // ====================================================== dimension health
+
+  /** Per-dimension embedding variance screen — the encoder-health audit
+    * that catches DEAD dimensions (a collapsed unit that emits a constant
+    * — var 0 — wastes index space and silently shrinks the effective
+    * embedding dim) and DOMINANT dimensions (one coordinate holding an
+    * outsized variance share distorts unnormalized L2 retrieval).
+    * Per dim: n, mean (floor-milli of the quantized values), the EXACT
+    * integer variance numerator `n·Σq² − (Σq)²` (≥ 0 by Cauchy–Schwarz;
+    * BIGINT-exact to ~9·10⁷ vectors at the 1024 quantizer — past that,
+    * audit per shard and sum), its milli share of total variance, and the
+    * dead flag. The mean is the one float step: `floor(1000·s/n)` on
+    * identical exact-integer inputs — IEEE double division agrees
+    * bit-for-bit across engines.
+    *
+    * Scale shape: quantize scan-local → posexplode → (dim)-keyed SUM with
+    * map-side partials — the one corpus-sized exchange carries |dims|
+    * rows of partials per task. The variance-share window runs over the
+    * 64-row dim table. Same posture as [[hEmbeddingDrift]]. */
+  def hDimVariance(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH qv AS (
+        |  SELECT transform(embedding, x ->
+        |    CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT CAST(i AS BIGINT) AS dim, element_at(q, i + 1) AS xi
+        |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+        |st AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(xi) AS BIGINT) AS s,
+        |    CAST(sum(xi * xi) AS BIGINT) AS ssq
+        |  FROM dims GROUP BY dim),
+        |v AS (
+        |  SELECT dim, n,
+        |    CAST(floor(1000.0 * s / n) AS BIGINT) AS mean_milli,
+        |    CAST(n * ssq - s * s AS BIGINT) AS var_num
+        |  FROM st)
+        |SELECT dim, n, mean_milli, var_num,
+        |  CAST(1000L * var_num DIV sum(var_num) OVER () AS BIGINT)
+        |    AS var_share_milli,
+        |  var_num = 0 AS dead
+        |FROM v ORDER BY dim""".stripMargin)
+  }
+
+  val hDimVarianceSql: String =
+    """WITH qv AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x * 1024) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT i AS dim, q[i + 1] AS xi
+      |  FROM qv, unnest(range(len(q))) AS t(i)),
+      |st AS (
+      |  SELECT dim, count(*) AS n, CAST(sum(xi) AS BIGINT) AS s,
+      |    CAST(sum(xi * xi) AS BIGINT) AS ssq
+      |  FROM dims GROUP BY dim),
+      |v AS (
+      |  SELECT dim, n,
+      |    CAST(floor(1000.0 * s / n) AS BIGINT) AS mean_milli,
+      |    CAST(n * ssq - s * s AS BIGINT) AS var_num
+      |  FROM st)
+      |SELECT dim, n, mean_milli, var_num,
+      |  CAST(1000 * var_num // sum(var_num) OVER () AS BIGINT)
+      |    AS var_share_milli,
+      |  var_num = 0 AS dead
+      |FROM v ORDER BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_dim_variance" -> (hDimVariance _),
     "h_dataset_card" -> (hDatasetCard _),
     "h_embedding_drift" -> (hEmbeddingDrift _),
     "h_embed_outliers" -> (hEmbedOutliers _),
@@ -396,6 +465,7 @@ object ProfileOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_dim_variance" -> hDimVarianceSql,
     "h_dataset_card" -> hDatasetCardSql,
     "h_embedding_drift" -> hEmbeddingDriftSql,
     "h_embed_outliers" -> hEmbedOutliersSql,

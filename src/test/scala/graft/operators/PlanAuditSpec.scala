@@ -518,7 +518,7 @@ class PlanAuditSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"drift must ride (label, half, dim)-keyed aggregates, not a window:\n$plan")
-    val generates = plan.linesIterator.count(_.trim.startsWith("Generate"))
+    val generates = plan.linesIterator.count(_.contains("Generate "))
     assert(generates <= 1,
       s"the dim explode ran $generates times — centroid path re-expanded:\n$plan")
     assert(!plan.contains("CartesianProduct"),
@@ -547,6 +547,44 @@ class PlanAuditSpec extends SparkSuite {
       s"the 512-row plane table must broadcast onto the dim explode:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"bucket census must never join the corpus to itself:\n$plan")
+  }
+
+  test("g_top_paths: rn <= 4 plans as WindowGroupLimit; top-20 is TakeOrdered over the census") {
+    val plan = AnalyticsOps.gTopPaths(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-user rn <= 4 filter must forward <=4 rows per user map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global top-20 must be TakeOrdered over the bounded path census, not a full sort:\n$plan")
+  }
+
+  test("g_bot_regularity: one per-user window, then pure aggregation") {
+    val plan = AnalyticsOps.gBotRegularity(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"expected exactly the per-user lag window, got $windows:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the CV census must ride user-keyed aggregation, no joins:\n$plan")
+  }
+
+  test("h_dim_variance: dim-keyed aggregation; the share window runs over the 64-row dim table") {
+    val df = ProfileOps.hDimVariance(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1, s"expected one dim explode, got $generates:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[dim") || l.contains("HashAggregate(keys=[i")),
+      s"expected the (dim)-keyed sum aggregate under the share window:\n$plan")
+  }
+
+  test("h_ann_recall: assignment/scoring stay broadcast; no corpus self-join") {
+    val plan = LlmOps.hAnnRecall(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join must broadcast (centroids, probes, the 20-query panel):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the brute arm must be a broadcast nested loop over the panel, not a cartesian:\n$plan")
   }
 
   test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
