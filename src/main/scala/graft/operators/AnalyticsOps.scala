@@ -908,6 +908,102 @@ object AnalyticsOps {
       |SELECT path, path_len, n_users FROM census
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
 
+  // ====================================================== funnel timing
+
+  /** Stage-transition timing for the [[gEventFunnel]] funnel — the "how
+    * long" dimension conversion counts erase: per transition
+    * (view→click, click→purchase), the exact lower median and lower p90
+    * of the stage lag, in minutes clamped to a 7-day window. The stage
+    * anchors are the funnel's own strict-order semantics (first view,
+    * first later click, first later purchase), so timing and conversion
+    * read from the same cohort.
+    *
+    * Both quantiles are distributed HISTOGRAM SELECTION, never a sort:
+    * minute-clamped lags live in a ≤10,081-value domain, so
+    * `GROUP BY (stage, lag_min)` produces a domain-bounded histogram and
+    * the cumulative window runs over THAT (the [[ProfileOps
+    * .hEmbedOutliers]] idiom — a bare per-stage ORDER BY lag window
+    * would single-task-sort the dominant stage's users at 100 TB).
+    * Selection thresholds are integer cross-multiplications
+    * (`cum ≥ (n+1) DIV 2`, `10·cum ≥ 9·n`).
+    *
+    * Scale shape: the funnel CTEs are user-keyed min-aggregates (the
+    * same exchanges as g_event_funnel), the lag union is user-keyed
+    * joins, and everything after the histogram aggregate is
+    * domain-sized. */
+  def gFunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH v AS (
+        |  SELECT user_id, min(tus) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.tus) AS t1
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.tus > v.t0
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.tus) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.tus > c.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |lags AS (
+        |  SELECT '1_view_to_click' AS stage,
+        |    least((c.t1 - v.t0) DIV 60000000L, 10080L) AS lag_min
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase' AS stage,
+        |    least((p.t2 - c.t1) DIV 60000000L, 10080L) AS lag_min
+        |  FROM p JOIN c ON p.user_id = c.user_id),
+        |hist AS (SELECT stage, lag_min, count(*) AS cnt
+        |  FROM lags GROUP BY stage, lag_min),
+        |cum AS (
+        |  SELECT stage, lag_min,
+        |    sum(cnt) OVER (PARTITION BY stage ORDER BY lag_min) AS cum,
+        |    sum(cnt) OVER (PARTITION BY stage) AS n
+        |  FROM hist)
+        |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(min(CASE WHEN cum >= (n + 1) DIV 2 THEN lag_min END) AS BIGINT)
+        |    AS median_lag_min,
+        |  CAST(min(CASE WHEN 10 * cum >= 9 * n THEN lag_min END) AS BIGINT)
+        |    AS p90_lag_min
+        |FROM cum GROUP BY stage ORDER BY stage""".stripMargin)
+  }
+
+  val gFunnelTimingSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS (
+      |  SELECT user_id, min(tus) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.tus) AS t1
+      |  FROM e JOIN v ON e.user_id = v.user_id AND e.tus > v.t0
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.tus) AS t2
+      |  FROM e JOIN c ON e.user_id = c.user_id AND e.tus > c.t1
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |lags AS (
+      |  SELECT '1_view_to_click' AS stage,
+      |    least((c.t1 - v.t0) // 60000000, 10080) AS lag_min
+      |  FROM c JOIN v ON c.user_id = v.user_id
+      |  UNION ALL
+      |  SELECT '2_click_to_purchase' AS stage,
+      |    least((p.t2 - c.t1) // 60000000, 10080) AS lag_min
+      |  FROM p JOIN c ON p.user_id = c.user_id),
+      |hist AS (SELECT stage, lag_min, count(*) AS cnt
+      |  FROM lags GROUP BY stage, lag_min),
+      |cum AS (
+      |  SELECT stage, lag_min,
+      |    sum(cnt) OVER (PARTITION BY stage ORDER BY lag_min) AS cum,
+      |    sum(cnt) OVER (PARTITION BY stage) AS n
+      |  FROM hist)
+      |SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag_min END) AS BIGINT)
+      |    AS median_lag_min,
+      |  CAST(min(CASE WHEN 10 * cum >= 9 * n THEN lag_min END) AS BIGINT)
+      |    AS p90_lag_min
+      |FROM cum GROUP BY stage ORDER BY stage""".stripMargin
+
   // ================================================== bot-regularity screen
 
   /** Inter-event-gap regularity census — the classic bot screen: humans
@@ -981,6 +1077,7 @@ object AnalyticsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_top_paths" -> (gTopPaths _),
+    "g_funnel_timing" -> (gFunnelTiming _),
     "g_bot_regularity" -> (gBotRegularity _),
     "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
@@ -999,6 +1096,7 @@ object AnalyticsOps {
 
   def oracleSql: Map[String, String] = Map(
     "g_top_paths" -> gTopPathsSql,
+    "g_funnel_timing" -> gFunnelTimingSql,
     "g_bot_regularity" -> gBotRegularitySql,
     "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,

@@ -710,7 +710,86 @@ object CorpusOps {
       |  CAST((sum(cm) + 1000 * count(*)) // count(*) - 1000 AS BIGINT) AS mean_cos_milli
       |FROM cosed GROUP BY agree ORDER BY agree""".stripMargin
 
+  // ====================================================== source overlap
+
+  /** Cross-source content-overlap matrix — the crawl-dump dedup planning
+    * table: for every source pair, how many distinct word-8-grams they
+    * share, and the containment ratio against the SMALLER side
+    * (`1000·shared DIV min(|A|, |B|)` — the asymmetric-size-robust
+    * overlap measure: a mirror fully contained in a larger dump reads
+    * 1000 where plain Jaccard would dilute it). This is the table that
+    * decides which dump pairs are worth a full cross-dedup pass and
+    * which sources are mirrors of each other. Top-20 pairs by shared
+    * volume, ties broken lexicographically.
+    *
+    * Scale shape: ONE corpus pass — grams ride the proven codegen
+    * explode + flat `concat_ws` projection (the 11× lesson) into a
+    * gram-keyed `collect_set(source)` aggregate (set bounded by the
+    * source domain, map-side partials eat within-source repeats); each
+    * gram's sorted source set then double-explodes under `sa <= sb`, so
+    * ONE (sa, sb)-keyed count carries both the pair-overlap counts
+    * (off-diagonal) and every source's total gram count (the `sa = sb`
+    * diagonal — a gram contributes (x, x) exactly when x contains it).
+    * That ≤ s·(s+1)/2-row table is localCheckpointed (the
+    * small-intermediates rule: the naive gr-CTE form re-inlined the
+    * corpus chain four times — 4 Generates in the plan) and the final
+    * top-20 reshape is a 3-way self-join on domain-sized rows. */
+  def hSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH tok AS (SELECT source, split(text, ' ') AS t FROM documents),
+        |gr0 AS (
+        |  SELECT source,
+        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |  WHERE size(t) >= 8),
+        |gmap AS (SELECT gram, sort_array(collect_set(source)) AS srcs
+        |  FROM gr0 GROUP BY gram)
+        |SELECT sa, sb, count(*) AS n
+        |FROM gmap
+        |LATERAL VIEW explode(srcs) x AS sa
+        |LATERAL VIEW explode(srcs) y AS sb
+        |WHERE sa <= sb
+        |GROUP BY sa, sb""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("overlap_pairs")
+    s.sql(
+      """SELECT p.sa AS src_a, p.sb AS src_b, p.n AS n_shared,
+        |  CAST(1000L * p.n DIV least(ta.n, tb.n) AS BIGINT)
+        |    AS containment_milli
+        |FROM overlap_pairs p
+        |JOIN overlap_pairs ta ON ta.sa = p.sa AND ta.sb = p.sa
+        |JOIN overlap_pairs tb ON tb.sa = p.sb AND tb.sb = p.sb
+        |WHERE p.sa < p.sb
+        |ORDER BY p.n DESC, src_a, src_b
+        |LIMIT 20""".stripMargin)
+  }
+
+  val hSourceOverlapSql: String =
+    """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |gr0 AS (
+      |  SELECT source, unnest(list_transform(range(1, len(t) - 6),
+      |    i -> t[i] || '|' || t[i+1] || '|' || t[i+2] || '|' || t[i+3] || '|' ||
+      |         t[i+4] || '|' || t[i+5] || '|' || t[i+6] || '|' || t[i+7])) AS gram
+      |  FROM tok WHERE len(t) >= 8),
+      |gr AS (SELECT DISTINCT source, gram FROM gr0),
+      |tot AS (SELECT source, count(*) AS n_grams FROM gr GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM gr a JOIN gr b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT s.src_a, s.src_b, s.n_shared,
+      |  CAST(1000 * s.n_shared // least(ta.n_grams, tb.n_grams) AS BIGINT)
+      |    AS containment_milli
+      |FROM shared s
+      |JOIN tot ta ON s.src_a = ta.source
+      |JOIN tot tb ON s.src_b = tb.source
+      |ORDER BY s.n_shared DESC, s.src_a, s.src_b
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
     "h_repeat_epochs" -> (hRepeatEpochs _),
@@ -721,6 +800,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,
     "h_quality_ensemble" -> hQualityEnsembleSql,
     "h_repeat_epochs" -> hRepeatEpochsSql,

@@ -238,6 +238,96 @@ object FormatOps {
     * files. Everything before the final 64-row aggregate is scan-local:
     * one 1-row extremes broadcast, no global sort, no window — pinned in
     * PlanAuditSpec. */
+  /** Zone-map skip-ratio audit — the min/max-statistics pruning study
+    * that motivates every clustered layout in the lake (parquet row-group
+    * stats, Iceberg/Delta file stats, [[aZorderLayout]]'s buckets): the
+    * same orders table is assigned to synthetic files under TWO layouts —
+    * `arrival` (hash of the key: dates scattered, the default
+    * write-as-it-comes shape) and `clustered` (month files, the
+    * time-partitioned shape) — each file gets its (min, max) orderdate
+    * zone map, and six one-year predicates are evaluated against the
+    * maps alone. Per (layout, year): files skipped, rows in scanned
+    * files, true matching rows — the read-amplification evidence that a
+    * date-clustered layout turns a year filter into an ~11/12 file skip
+    * while the arrival layout reads everything. Dates are carried as
+    * yyyymmdd BIGINTs so every comparison is pure integer cross-engine.
+    *
+    * Scale shape: one scan → the (layout, file) zone-map aggregate
+    * (map-side partials; the exchange carries files×layouts rows) and a
+    * per-year match-count aggregate; the predicate probe is a
+    * ≤(files×years)-row broadcast cross. Nothing corpus-sized crosses an
+    * exchange after the two aggregates. */
+  def aZonemapSkip(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+        |         + day(o_orderdate) AS BIGINT) AS d
+        |  FROM orders),
+        |tagged AS (
+        |  SELECT layout,
+        |    CASE WHEN layout = 'arrival' THEN k % 64 ELSE d DIV 100 END AS file_id,
+        |    d
+        |  FROM base LATERAL VIEW explode(array('arrival', 'clustered')) t AS layout),
+        |zones AS (
+        |  SELECT layout, file_id, count(*) AS n, min(d) AS mn, max(d) AS mx
+        |  FROM tagged GROUP BY layout, file_id),
+        |years AS (SELECT explode(sequence(1995, 2000)) AS yr),
+        |probe AS (
+        |  SELECT z.layout, y.yr, z.n,
+        |    CASE WHEN z.mx < y.yr * 10000 + 101
+        |           OR z.mn >= (y.yr + 1) * 10000 + 101
+        |         THEN 1 ELSE 0 END AS skipped
+        |  FROM zones z CROSS JOIN years y),
+        |match_counts AS (
+        |  SELECT d DIV 10000 AS yr, count(*) AS n_match FROM base
+        |  GROUP BY d DIV 10000)
+        |SELECT p.layout, CAST(p.yr AS BIGINT) AS yr, count(*) AS n_files,
+        |  CAST(sum(p.skipped) AS BIGINT) AS n_skipped,
+        |  CAST(sum(CASE WHEN p.skipped = 0 THEN p.n ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned,
+        |  CAST(max(m.n_match) AS BIGINT) AS n_match,
+        |  CAST(1000L * sum(p.skipped) DIV count(*) AS BIGINT) AS skip_milli
+        |FROM probe p JOIN match_counts m ON p.yr = m.yr
+        |GROUP BY p.layout, p.yr
+        |ORDER BY p.layout, yr""".stripMargin)
+  }
+
+  val aZonemapSkipSql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+      |         + day(o_orderdate) AS BIGINT) AS d
+      |  FROM orders),
+      |tagged AS (
+      |  SELECT layout,
+      |    CASE WHEN layout = 'arrival' THEN k % 64 ELSE d // 100 END AS file_id,
+      |    d
+      |  FROM base, (SELECT unnest(['arrival', 'clustered']) AS layout) t),
+      |zones AS (
+      |  SELECT layout, file_id, count(*) AS n, min(d) AS mn, max(d) AS mx
+      |  FROM tagged GROUP BY layout, file_id),
+      |years AS (SELECT unnest(range(1995, 2001)) AS yr),
+      |probe AS (
+      |  SELECT z.layout, y.yr, z.n,
+      |    CASE WHEN z.mx < y.yr * 10000 + 101
+      |           OR z.mn >= (y.yr + 1) * 10000 + 101
+      |         THEN 1 ELSE 0 END AS skipped
+      |  FROM zones z CROSS JOIN years y),
+      |match_counts AS (
+      |  SELECT d // 10000 AS yr, count(*) AS n_match FROM base
+      |  GROUP BY d // 10000)
+      |SELECT p.layout, CAST(p.yr AS BIGINT) AS yr, count(*) AS n_files,
+      |  CAST(sum(p.skipped) AS BIGINT) AS n_skipped,
+      |  CAST(sum(CASE WHEN p.skipped = 0 THEN p.n ELSE 0 END) AS BIGINT)
+      |    AS rows_scanned,
+      |  CAST(max(m.n_match) AS BIGINT) AS n_match,
+      |  CAST(1000 * sum(p.skipped) // count(*) AS BIGINT) AS skip_milli
+      |FROM probe p JOIN match_counts m ON p.yr = m.yr
+      |GROUP BY p.layout, p.yr
+      |ORDER BY p.layout, yr""".stripMargin
+
   def aZorderLayout(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     Tables.load(s, dir, "lineitem")
@@ -505,6 +595,7 @@ object FormatOps {
     "a_xml_roundtrip" -> (aXmlRoundtrip _),
     "a_partitioned_prune" -> (aPartitionedPrune _),
     "a_dpp_prune" -> (aDppPrune _),
+    "a_zonemap_skip" -> (aZonemapSkip _),
     "a_zorder_layout" -> (aZorderLayout _),
     "a_schema_evolution" -> (aSchemaEvolution _),
     "d_agg_approx" -> (dAggApprox _),
@@ -523,6 +614,7 @@ object FormatOps {
     "a_xml_roundtrip" -> aggShapeSql,
     "a_partitioned_prune" -> aPartitionedPruneSql,
     "a_dpp_prune" -> aDppPruneSql,
+    "a_zonemap_skip" -> aZonemapSkipSql,
     "a_zorder_layout" -> aZorderLayoutSql,
     "a_schema_evolution" -> aSchemaEvolutionSql,
     "d_agg_approx" -> dAggApproxSql,

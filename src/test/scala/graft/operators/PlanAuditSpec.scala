@@ -587,6 +587,37 @@ class PlanAuditSpec extends SparkSuite {
       s"the brute arm must be a broadcast nested loop over the panel, not a cartesian:\n$plan")
   }
 
+  test("a_zonemap_skip: zone probe is aggregation-shaped — no window, bounded explodes") {
+    val plan = FormatOps.aZonemapSkip(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"zone maps and match counts must be plain aggregates:\n$plan")
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates <= 2,
+      s"expected the layout tag + year axis explodes only, got $generates:\n$plan")
+  }
+
+  test("g_funnel_timing: quantiles are histogram selection over (stage, lag_min), not a rank sort") {
+    val plan = AnalyticsOps.gFunnelTiming(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[stage") && l.contains("lag_min")),
+      s"expected the (stage, lag_min) histogram under the selection window:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"quantiles regressed to a per-user rank sort:\n$plan")
+  }
+
+  test("h_source_overlap: final reshape consumes the checkpointed pair table — no corpus re-expansion") {
+    try {
+      val plan = CorpusOps.hSourceOverlap(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate "),
+        s"the gram explode leaked past the checkpoint (the 4-pass re-inline bug):\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"the pair reshape must be equi-joins on the tiny table:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
   test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
     val plan = AnalyticsOps.gMarkovTransitions(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
