@@ -908,6 +908,72 @@ object AnalyticsOps {
       |SELECT path, path_len, n_users FROM census
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
 
+  // ======================================================= changepoint
+
+  /** CUSUM-style level-shift detection on the daily event-volume series
+    * — the monitoring complement of [[gAnomaly]]'s pointwise 3σ flags: a
+    * single spiked day trips gAnomaly; a sustained rate CHANGE (deploy
+    * broke tracking, bot fleet arrived) moves the cumulative curve away
+    * from the uniform-rate diagonal instead. Per event type, the
+    * maximum absolute deviation of the cumulative count from the
+    * uniform-rate line — `max_k |C_k·D − T·k|` over day ranks k — names
+    * the changepoint day (ties → earliest) and scores it in exact milli
+    * of the worst case (`1000·num DIV (T·D)`; ½ = the series is two
+    * disjoint level regimes). All integer cross-multiplication; BIGINT
+    * holds while T·D < 9·10¹⁸ (T ≈ 10¹⁴ events over 10⁴ days).
+    *
+    * Scale shape: the corpus collapses map-side into the (type, day)
+    * histogram — the ONLY corpus-sized exchange; every window
+    * (cumulative, totals, argmax rank) runs over that domain-bounded
+    * table, the skew-proof selection form. */
+  def gChangepoint(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH hist AS (
+        |  SELECT event_type, tus DIV 86400000000L AS day, count(*) AS cnt
+        |  FROM events GROUP BY event_type, tus DIV 86400000000L),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS d
+        |  FROM hist),
+        |dev AS (
+        |  SELECT event_type, day, t, d, abs(c * d - t * k) AS num,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(c * d - t * k) DESC, day) AS rn
+        |  FROM cum)
+        |SELECT event_type, CAST(d AS BIGINT) AS n_days, CAST(t AS BIGINT) AS total,
+        |  CAST(day AS BIGINT) AS cp_day,
+        |  CAST(1000L * num DIV (t * d) AS BIGINT) AS score_milli
+        |FROM dev WHERE rn = 1
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val gChangepointSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+      |hist AS (
+      |  SELECT event_type, tus // 86400000000 AS day, count(*) AS cnt
+      |  FROM e GROUP BY event_type, tus // 86400000000),
+      |cum AS (
+      |  SELECT event_type, day,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day) AS c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS t,
+      |    count(*) OVER (PARTITION BY event_type) AS d
+      |  FROM hist),
+      |dev AS (
+      |  SELECT event_type, day, t, d, abs(c * d - t * k) AS num,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(c * d - t * k) DESC, day) AS rn
+      |  FROM cum)
+      |SELECT event_type, CAST(d AS BIGINT) AS n_days, CAST(t AS BIGINT) AS total,
+      |  CAST(day AS BIGINT) AS cp_day,
+      |  CAST(1000 * num // (t * d) AS BIGINT) AS score_milli
+      |FROM dev WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   // ====================================================== funnel timing
 
   /** Stage-transition timing for the [[gEventFunnel]] funnel — the "how
@@ -1078,6 +1144,7 @@ object AnalyticsOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_top_paths" -> (gTopPaths _),
     "g_funnel_timing" -> (gFunnelTiming _),
+    "g_changepoint" -> (gChangepoint _),
     "g_bot_regularity" -> (gBotRegularity _),
     "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
@@ -1097,6 +1164,7 @@ object AnalyticsOps {
   def oracleSql: Map[String, String] = Map(
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,
+    "g_changepoint" -> gChangepointSql,
     "g_bot_regularity" -> gBotRegularitySql,
     "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,

@@ -912,6 +912,98 @@ object LlmOps {
       |  t1 = 1 AS top1_match
       |FROM rec ORDER BY q_id""".stripMargin
 
+  /** Cluster-purity audit — do the [[hAnnIvf]] coarse clusters align
+    * with the label structure? Per refined-centroid cluster: member
+    * count, dominant label, and exact milli purity (`1000·n_dominant DIV
+    * n_vecs`). High purity means the quantizer's partitions respect
+    * semantics (label-filtered ANN can prune whole lists); purity near
+    * 1/|labels| means the coarse index is orthogonal to labels and
+    * filtered queries must probe everything. Completes the index-audit
+    * family next to [[hAnnRecall]] (does it retrieve?) — this asks "do
+    * its partitions mean anything?".
+    *
+    * Scale shape: [[hAnnIvf]]'s exact assignment plan — the 16-centroid
+    * array broadcast, nearest-centroid argmin scan-local — then a
+    * (cluster, label)-keyed count whose map-side partials are the only
+    * corpus-sized exchange; the dominant-label rank and totals are
+    * windows over the ≤ clusters×labels row table. */
+  def hClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+         |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, lbl, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |assigned AS (
+         |  SELECT lbl,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm),
+         |      'c_id', c.c_id)))[0].c_id AS c_id
+         |  FROM normed CROSS JOIN cents),
+         |cl AS (SELECT c_id, lbl, count(*) AS n FROM assigned GROUP BY c_id, lbl),
+         |ranked AS (
+         |  SELECT c_id, lbl, n,
+         |    sum(n) OVER (PARTITION BY c_id) AS tot,
+         |    row_number() OVER (PARTITION BY c_id ORDER BY n DESC, lbl) AS rn
+         |  FROM cl)
+         |SELECT CAST(c_id AS BIGINT) AS cluster, CAST(tot AS BIGINT) AS n_vecs,
+         |  lbl AS dominant_label, CAST(n AS BIGINT) AS n_dominant,
+         |  CAST(1000L * n DIV tot AS BIGINT) AS purity_milli
+         |FROM ranked WHERE rn = 1
+         |ORDER BY cluster""".stripMargin)
+  }
+
+  /** DuckDB replays the refined-centroid chain and assignment, then the
+    * same purity arithmetic. */
+  val hClusterPuritySql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, lbl, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT lbl, c_id FROM (
+      |    SELECT n.lbl, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |cl AS (SELECT c_id, lbl, count(*) AS n FROM assigned GROUP BY c_id, lbl),
+      |ranked AS (
+      |  SELECT c_id, lbl, n,
+      |    sum(n) OVER (PARTITION BY c_id) AS tot,
+      |    row_number() OVER (PARTITION BY c_id ORDER BY n DESC, lbl) AS rn
+      |  FROM cl)
+      |SELECT CAST(c_id AS BIGINT) AS cluster, CAST(tot AS BIGINT) AS n_vecs,
+      |  lbl AS dominant_label, CAST(n AS BIGINT) AS n_dominant,
+      |  CAST(1000 * n // tot AS BIGINT) AS purity_milli
+      |FROM ranked WHERE rn = 1
+      |ORDER BY cluster""".stripMargin
+
   /** IVF-PQ — the composition a production ANN index actually ships
     * (FAISS's IndexIVFPQ): assign every vector to its [[hAnnIvf]] coarse
     * centroid, then product-quantize the RESIDUAL (v − centroid) with
@@ -2246,6 +2338,7 @@ object LlmOps {
     "h_ann_lsh" -> (hAnnLsh _),
     "h_ann_ivf" -> (hAnnIvf _),
     "h_ann_recall" -> (hAnnRecall _),
+    "h_cluster_purity" -> (hClusterPurity _),
     "h_token_quality" -> (hTokenQuality _),
     "h_text_stats" -> (hTextStats _),
     "h_lang_heuristic" -> (hLangHeuristic _),
@@ -2273,6 +2366,7 @@ object LlmOps {
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,
     "h_ann_recall" -> hAnnRecallSql,
+    "h_cluster_purity" -> hClusterPuritySql,
     "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
     "h_dedup_bloom" -> hDedupBloomSql,

@@ -456,7 +456,226 @@ object ProfileOps {
       |  var_num = 0 AS dead
       |FROM v ORDER BY dim""".stripMargin
 
+  // ====================================================== sampling bias
+
+  /** Sampler-bias audit — does a sampling rule preserve the corpus'
+    * source composition? Two samplers the engine actually ships are
+    * audited side by side: `uniform_1pct` (content-hash draw % 100 = 0 —
+    * the cheap debug sample) and `stratified_k10` (the exact-k
+    * h_stratified_sample rule, which FLATTENS source shares by design).
+    * Per (sampler, lang): corpus docs, sampled docs, and the exact
+    * total-variation distance between the sample's and the corpus'
+    * within-lang source distributions — TVD kept in EXACT BIGINT as
+    * `1000·Σ|n_s·N − n_c·S| DIV (2·S·N)` (one closing division, the
+    * h_dist_drift idiom). A uniform sampler drifting from ~0 means the
+    * hash is biased; the stratified row QUANTIFIES its intended
+    * flattening against this corpus.
+    *
+    * Scale shape: one corpus scan computes the draw and the stratum rank
+    * (the rn ≤ 10 filter is the WindowGroupLimit map-side top-k the
+    * batch sampler pins); everything after is (lang, source)-keyed
+    * aggregation — domain-sized joins and sums. BIGINT-exact while
+    * S·N < 9·10¹⁸ (S is sample-sized, so N can reach ~10¹² docs). */
+  def hSamplingBias(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT lang, source,
+        |    CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) AS draw,
+        |    doc_id
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, source, draw,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY draw, doc_id) AS rn
+        |  FROM base),
+        |counts AS (
+        |  SELECT lang, source, count(*) AS n_c,
+        |    CAST(sum(CASE WHEN draw % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_u
+        |  FROM base GROUP BY lang, source),
+        |strat AS (
+        |  SELECT lang, source, count(*) AS n_k
+        |  FROM ranked WHERE rn <= 10 GROUP BY lang, source),
+        |joined AS (
+        |  SELECT s.sampler, c.lang, c.source, c.n_c,
+        |    CASE WHEN s.sampler = 'uniform_1pct' THEN c.n_u
+        |         ELSE coalesce(k.n_k, 0L) END AS n_s
+        |  FROM counts c
+        |  CROSS JOIN (SELECT explode(array('uniform_1pct', 'stratified_k10'))
+        |              AS sampler) s
+        |  LEFT JOIN strat k ON c.lang = k.lang AND c.source = k.source),
+        |tot AS (
+        |  SELECT sampler, lang,
+        |    CAST(sum(n_c) AS BIGINT) AS big_n, CAST(sum(n_s) AS BIGINT) AS small_s
+        |  FROM joined GROUP BY sampler, lang),
+        |dev AS (
+        |  SELECT j.sampler, j.lang, t.big_n, t.small_s,
+        |    abs(j.n_s * t.big_n - j.n_c * t.small_s) AS num
+        |  FROM joined j JOIN tot t ON j.sampler = t.sampler AND j.lang = t.lang)
+        |SELECT sampler, lang, max(big_n) AS n_corpus, max(small_s) AS n_sample,
+        |  CASE WHEN max(small_s) = 0 THEN 1000L
+        |    ELSE CAST(1000L * sum(num) DIV (2L * max(small_s) * max(big_n))
+        |              AS BIGINT) END AS tvd_milli
+        |FROM dev GROUP BY sampler, lang
+        |ORDER BY sampler, lang""".stripMargin)
+  }
+
+  val hSamplingBiasSql: String =
+    """WITH base AS (
+      |  SELECT lang, source,
+      |    CAST(concat('0x', substring(md5(text), 1, 6)) AS BIGINT) AS draw,
+      |    doc_id
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, source, draw,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY draw, doc_id) AS rn
+      |  FROM base),
+      |counts AS (
+      |  SELECT lang, source, count(*) AS n_c,
+      |    CAST(sum(CASE WHEN draw % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_u
+      |  FROM base GROUP BY lang, source),
+      |strat AS (
+      |  SELECT lang, source, count(*) AS n_k
+      |  FROM ranked WHERE rn <= 10 GROUP BY lang, source),
+      |joined AS (
+      |  SELECT s.sampler, c.lang, c.source, c.n_c,
+      |    CASE WHEN s.sampler = 'uniform_1pct' THEN c.n_u
+      |         ELSE coalesce(k.n_k, 0) END AS n_s
+      |  FROM counts c
+      |  CROSS JOIN (SELECT unnest(['uniform_1pct', 'stratified_k10'])
+      |              AS sampler) s
+      |  LEFT JOIN strat k ON c.lang = k.lang AND c.source = k.source),
+      |tot AS (
+      |  SELECT sampler, lang,
+      |    CAST(sum(n_c) AS BIGINT) AS big_n, CAST(sum(n_s) AS BIGINT) AS small_s
+      |  FROM joined GROUP BY sampler, lang),
+      |dev AS (
+      |  SELECT j.sampler, j.lang, t.big_n, t.small_s,
+      |    abs(j.n_s * t.big_n - j.n_c * t.small_s) AS num
+      |  FROM joined j JOIN tot t ON j.sampler = t.sampler AND j.lang = t.lang)
+      |SELECT sampler, lang, max(big_n) AS n_corpus, max(small_s) AS n_sample,
+      |  CASE WHEN max(small_s) = 0 THEN 1000
+      |    ELSE CAST(1000 * sum(num) // (2 * max(small_s) * max(big_n))
+      |              AS BIGINT) END AS tvd_milli
+      |FROM dev GROUP BY sampler, lang
+      |ORDER BY sampler, lang""".stripMargin
+
+  // ======================================================= class margin
+
+  /** Embedding-space class-separability audit — the "is this space even
+    * classifiable" screen run before training a probe or trusting
+    * label-conditioned retrieval: per label, the mean squared distance of
+    * member vectors to their OWN centroid (intra) vs the squared distance
+    * to the NEAREST other-label centroid (inter), and the margin ratio
+    * `1000·inter DIV intra`. Margin well above 1000 = separated classes;
+    * near/below = the labels do not structure this space.
+    *
+    * Exactness: vectors are shifted non-negative (`q' = round(1024·x) +
+    * 1024` — distances are shift-invariant, and non-negative sums make
+    * Spark's truncating `DIV` and DuckDB's flooring `//` agree), then
+    * centroids live in centi-q' units (`m_i = 100·s_i DIV n`, exact
+    * BIGINT; the shift cancels exactly because 102400·n divides evenly).
+    * Every distance term is an integer square; per-vector d² ≤ 64·(2.05
+    * ·10⁵)² ≈ 2.7·10¹², so intra sums stay BIGINT-exact to ~3·10⁶
+    * vectors per label (shard the audit past that).
+    *
+    * Scale shape: pass 1 aggregates (label, dim) sums; the ≤
+    * labels×dims centroid table pivots into one array row per label and
+    * broadcasts; pass 2 scores every vector against its own centroid
+    * scan-locally. Inter-centroid distances are a labels²-row self-join.
+    * No window touches corpus-sized data; the two corpus exchanges are
+    * the (label, dim) partials and the per-label intra sums. */
+  def hClassMargin(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    // the ≤|labels|-row centroid table is consumed three times (intra +
+    // both inter sides); checkpointing it keeps the corpus centroid
+    // build to ONE pass (the small-intermediates rule)
+    graft.operators.Checkpoints.track(s.sql(
+      """WITH qv AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024L) AS q
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i, element_at(q, i + 1) AS xi
+        |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+        |cent AS (
+        |  SELECT label, i, CAST(100L * sum(xi) DIV count(*) AS BIGINT) AS m
+        |  FROM dims GROUP BY label, i)
+        |SELECT label,
+        |  transform(array_sort(collect_list(named_struct('i', i, 'm', m))),
+        |    p -> p.m) AS mv
+        |FROM cent GROUP BY label""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("margin_cent")
+    s.sql(
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024L) AS q
+        |  FROM embeddings),
+        |centarr AS (SELECT label, mv FROM margin_cent),
+        |intra AS (
+        |  SELECT q.label, count(*) AS n,
+        |    CAST(sum(aggregate(zip_with(q.q, c.mv,
+        |        (x, m) -> (100L * x - m) * (100L * x - m)), 0L, (a, b) -> a + b))
+        |      DIV count(*) AS BIGINT) AS intra_d2
+        |  FROM qv q JOIN centarr c ON q.label = c.label
+        |  GROUP BY q.label),
+        |inter AS (
+        |  SELECT a.label, b.label AS other_label,
+        |    CAST(aggregate(zip_with(a.mv, b.mv, (x, y) -> (x - y) * (x - y)),
+        |      0L, (p, q) -> p + q) AS BIGINT) AS inter_d2,
+        |    row_number() OVER (PARTITION BY a.label ORDER BY
+        |      aggregate(zip_with(a.mv, b.mv, (x, y) -> (x - y) * (x - y)),
+        |        0L, (p, q) -> p + q), b.label) AS rn
+        |  FROM centarr a JOIN centarr b ON a.label <> b.label)
+        |SELECT /*+ BROADCAST(e) */ i.label, i.n AS n_vecs, i.intra_d2,
+        |  e.other_label AS nearest_label, e.inter_d2,
+        |  CAST(1000L * e.inter_d2 DIV i.intra_d2 AS BIGINT) AS margin_milli
+        |FROM intra i JOIN inter e ON i.label = e.label AND e.rn = 1
+        |ORDER BY i.label""".stripMargin)
+  }
+
+  val hClassMarginSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1024) AS BIGINT) + 1024) AS q
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT label, i, q[i + 1] AS xi
+      |  FROM qv, unnest(range(len(q))) AS t(i)),
+      |cent AS (
+      |  SELECT label, i, CAST(100 * sum(xi) // count(*) AS BIGINT) AS m
+      |  FROM dims GROUP BY label, i),
+      |centarr AS (
+      |  SELECT label, list(m ORDER BY i) AS mv FROM cent GROUP BY label),
+      |intra AS (
+      |  SELECT q.label, count(*) AS n,
+      |    CAST(sum(list_sum(list_transform(range(len(q.q)),
+      |        j -> (100 * q.q[j + 1] - c.mv[j + 1]) * (100 * q.q[j + 1] - c.mv[j + 1]))))
+      |      // count(*) AS BIGINT) AS intra_d2
+      |  FROM qv q JOIN centarr c ON q.label = c.label
+      |  GROUP BY q.label),
+      |inter AS (
+      |  SELECT label, other_label, inter_d2,
+      |    row_number() OVER (PARTITION BY label ORDER BY inter_d2, other_label) AS rn
+      |  FROM (
+      |    SELECT a.label, b.label AS other_label,
+      |      CAST(list_sum(list_transform(range(len(a.mv)),
+      |        j -> (a.mv[j + 1] - b.mv[j + 1]) * (a.mv[j + 1] - b.mv[j + 1])))
+      |        AS BIGINT) AS inter_d2
+      |    FROM centarr a JOIN centarr b ON a.label <> b.label))
+      |SELECT i.label, i.n AS n_vecs, i.intra_d2,
+      |  e.other_label AS nearest_label, e.inter_d2,
+      |  CAST(1000 * e.inter_d2 // i.intra_d2 AS BIGINT) AS margin_milli
+      |FROM intra i JOIN inter e ON i.label = e.label AND e.rn = 1
+      |ORDER BY i.label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_sampling_bias" -> (hSamplingBias _),
+    "h_class_margin" -> (hClassMargin _),
     "h_dim_variance" -> (hDimVariance _),
     "h_dataset_card" -> (hDatasetCard _),
     "h_embedding_drift" -> (hEmbeddingDrift _),
@@ -465,6 +684,8 @@ object ProfileOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_sampling_bias" -> hSamplingBiasSql,
+    "h_class_margin" -> hClassMarginSql,
     "h_dim_variance" -> hDimVarianceSql,
     "h_dataset_card" -> hDatasetCardSql,
     "h_embedding_drift" -> hEmbeddingDriftSql,

@@ -618,6 +618,43 @@ class PlanAuditSpec extends SparkSuite {
     } finally Checkpoints.releaseAll()
   }
 
+  test("h_sampling_bias: stratified rank is WindowGroupLimit; one conditional count pass") {
+    val plan = ProfileOps.hSamplingBias(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rn <= 10 stratified filter must forward map-side top-k:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"all post-aggregate joins are domain-sized and must broadcast:\n$plan")
+  }
+
+  test("h_class_margin: scoring consumes the checkpointed centroid table — no explode in the final plan") {
+    try {
+      val plan = ProfileOps.hClassMargin(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate "),
+        s"the centroid dim explode leaked past the checkpoint:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the labels-row centroid join must broadcast:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
+  test("g_changepoint: all windows run over the (type, day) histogram aggregate") {
+    val plan = AnalyticsOps.gChangepoint(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[event_type") && l.contains("day")),
+      s"expected the (event_type, day) histogram under the CUSUM windows:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the detector is one scan + windows over the histogram, no joins:\n$plan")
+  }
+
+  test("h_cluster_purity: assignment is broadcast-argmin; no vector-keyed shuffle joins") {
+    val plan = LlmOps.hClusterPurity(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join must broadcast (centroid collects, rank tables):\n$plan")
+  }
+
   test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
     val plan = AnalyticsOps.gMarkovTransitions(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
