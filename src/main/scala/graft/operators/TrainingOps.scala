@@ -575,6 +575,59 @@ object TrainingOps {
     * independent pack groups (doc_id % 8) so the running sum — the only
     * sequential dependency — parallelizes across groups; at 100 TB the
     * group count scales with the cluster, not the corpus. */
+  /** Padding-waste curve — the cost of NOT packing: if every document
+    * independently occupies `ceil(tok / C)` context windows of size C
+    * (the naive fine-tuning/document-isolation layout), the last window
+    * pads `C·ceil(tok/C) − tok` tokens. Reported per (context size ∈
+    * {256, 512, 1024, 2048}, lang): docs, windows, exact milli waste
+    * share, and the share of docs spanning multiple windows. Read next
+    * to [[hSeqPacking]] (concatenative, zero waste): the delta IS the
+    * token budget cross-doc packing buys at this corpus' length
+    * distribution — the decision table for whether packing engineering
+    * pays for itself.
+    *
+    * Scale shape: tokens are counted once scan-local, the context-size
+    * axis is a 4-element explode, and everything lands in ONE
+    * (ctx, lang)-keyed aggregate with map-side partials — a pure
+    * map-reduce; the exchange carries 4×|langs| partial rows per task.
+    * All integer arithmetic (`ceil(a/b) = (a + b − 1) DIV b`). */
+  def hPaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT lang, CAST(size(split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |axis AS (
+        |  SELECT lang, tok, ctx, (tok + ctx - 1) DIV ctx AS wins
+        |  FROM d LATERAL VIEW explode(array(256L, 512L, 1024L, 2048L)) t AS ctx)
+        |SELECT ctx, lang, count(*) AS n_docs,
+        |  CAST(sum(wins) AS BIGINT) AS n_windows,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(1000L * sum(wins * ctx - tok) DIV sum(wins * ctx) AS BIGINT)
+        |    AS waste_milli,
+        |  CAST(1000L * sum(CASE WHEN wins > 1 THEN 1 ELSE 0 END) DIV count(*)
+        |    AS BIGINT) AS multi_window_milli
+        |FROM axis GROUP BY ctx, lang
+        |ORDER BY ctx, lang""".stripMargin)
+  }
+
+  val hPaddingWasteSql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |axis AS (
+      |  SELECT lang, tok, ctx, (tok + ctx - 1) // ctx AS wins
+      |  FROM d, (SELECT unnest([256, 512, 1024, 2048]) AS ctx) t)
+      |SELECT CAST(ctx AS BIGINT) AS ctx, lang, count(*) AS n_docs,
+      |  CAST(sum(wins) AS BIGINT) AS n_windows,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  CAST(1000 * sum(wins * ctx - tok) // sum(wins * ctx) AS BIGINT)
+      |    AS waste_milli,
+      |  CAST(1000 * sum(CASE WHEN wins > 1 THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS multi_window_milli
+      |FROM axis GROUP BY ctx, lang
+      |ORDER BY ctx, lang""".stripMargin
+
   def hSeqPacking(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -1659,6 +1712,7 @@ object TrainingOps {
     "h_sample_split" -> (hSampleSplit _),
     "h_split_leakage" -> (hSplitLeakage _),
     "h_seq_packing" -> (hSeqPacking _),
+    "h_padding_waste" -> (hPaddingWaste _),
     "h_chunking" -> (hChunking _),
     "h_corpus_diff" -> (hCorpusDiff _),
     "h_repetition" -> (hRepetition _),
@@ -1684,6 +1738,7 @@ object TrainingOps {
     "h_sample_split" -> hSampleSplitSql,
     "h_split_leakage" -> hSplitLeakageSql,
     "h_seq_packing" -> hSeqPackingSql,
+    "h_padding_waste" -> hPaddingWasteSql,
     "h_chunking" -> hChunkingSql,
     "h_corpus_diff" -> hCorpusDiffSql,
     "h_repetition" -> hRepetitionSql,

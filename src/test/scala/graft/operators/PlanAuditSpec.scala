@@ -655,6 +655,15 @@ class PlanAuditSpec extends SparkSuite {
       s"every join must broadcast (centroid collects, rank tables):\n$plan")
   }
 
+  test("h_padding_waste: pure map-reduce — one explode, no window, no join") {
+    val plan = TrainingOps.hPaddingWaste(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"the waste curve is one conditional aggregate:\n$plan")
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1, s"expected only the 4-element ctx axis explode, got $generates:\n$plan")
+  }
+
   test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
     val plan = AnalyticsOps.gMarkovTransitions(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
