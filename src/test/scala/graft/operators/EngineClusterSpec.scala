@@ -34,7 +34,9 @@ class EngineClusterSpec extends AnyFunSuite {
     "h_semdedup",       // broadcast centroid collect + c_id self-join cross-process
     "d_recursive_cte",  // recursive-CTE frontier loop across processes
     "d_heavy_hitters",  // count-min partials merged across executors, driver probe
-    "h_supplier_rank")  // iterative rank loop over a cross-process checkpointed edge list
+    "h_supplier_rank",  // iterative rank loop over a cross-process checkpointed edge list
+    "h_source_overlap", // collect_set partials + checkpointed pair table cross-process
+    "h_ann_recall")     // broadcast query panel + centroid chain to remote executors
 
   test("declared queries return identical results under multi-process execution") {
     assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
