@@ -156,6 +156,83 @@ class AnalyticsOpsSpec extends SparkSuite {
       s"planted sweep mismatch: ${rows.toSeq}")
   }
 
+  test("g_markov_transitions: rows are distributions — per-prev p_milli sums land in (1000 - types, 1000]") {
+    val rows = AnalyticsOps.gMarkovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val types = rows.map(_._1).distinct.length
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val pSum = rs.map(_._3).sum
+      // each DIV truncation loses < 1 milli, one per curr cell
+      assert(pSum <= 1000 && pSum > 1000 - types,
+        s"prev=$prev: p_milli sum $pSum outside the truncation envelope")
+    }
+    // transition mass conserves: total n = events - one first-event per user
+    val n = rows.map(_._2).sum
+    val ev = graft.Tables.eventsCanonical(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    assert(n == ev.count() - users,
+      s"transition count $n != events - users (${ev.count()} - $users)")
+  }
+
+  test("g_top_paths: counts bounded by the user population, paths well-formed") {
+    val rows = AnalyticsOps.gTopPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val users = graft.Tables.eventsCanonical(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum <= users, "more path users than users exist")
+    rows.foreach { case (path, len, n) =>
+      assert(len >= 1 && len <= 4 && n >= 1)
+      assert(path.split(">").length == len, s"path '$path' inconsistent with len $len")
+    }
+    // ranked output: non-increasing counts
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("g_bot_regularity: census partitions the qualifying users; buckets in [0, 10]") {
+    val rows = AnalyticsOps.gBotRegularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, users, gaps) =>
+      assert(b >= 0 && b <= 10 && users > 0 && gaps >= 5 * users,
+        s"bucket $b: $users users but only $gaps gaps (< 5 per user)")
+    }
+    val users = graft.Tables.eventsCanonical(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum <= users)
+  }
+
+  test("g_funnel_timing: median <= p90, both within the 7-day clamp") {
+    val rows = AnalyticsOps.gFunnelTiming(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("1_view_to_click", "2_click_to_purchase"))
+    rows.foreach { case (stage, n, med, p90) =>
+      assert(n > 0)
+      assert(med >= 0 && med <= p90, s"$stage: median $med > p90 $p90")
+      assert(p90 <= 10080, s"$stage: p90 $p90 beyond the 7-day clamp")
+    }
+  }
+
+  test("g_changepoint: every event type reported, score in [0, 1000], day within the series") {
+    val ev = graft.Tables.eventsCanonical(spark, sf)
+    val types = ev.select("event_type").distinct().count()
+    val rows = AnalyticsOps.gChangepoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == types)
+    val (minDay, maxDay) = {
+      val d = ev.selectExpr("tus div 86400000000L AS day")
+        .agg(org.apache.spark.sql.functions.min("day"),
+             org.apache.spark.sql.functions.max("day")).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }
+    rows.foreach { case (t, nDays, total, cpDay, score) =>
+      assert(nDays > 0 && total > 0)
+      assert(cpDay >= minDay && cpDay <= maxDay, s"$t: cp_day $cpDay outside the series")
+      assert(score >= 0 && score <= 1000, s"$t: score $score out of range")
+    }
+  }
+
   test("h_graph_triangles: closed wedges bounded, coefficient in [0, 1000]") {
     val r = AnalyticsOps.hGraphTriangles(spark, sf).collect()(0)
     val (nodes, edges, tris, wedges, cc) =
