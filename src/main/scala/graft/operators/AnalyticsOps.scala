@@ -908,6 +908,72 @@ object AnalyticsOps {
       |SELECT path, path_len, n_users FROM census
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
 
+  // ====================================================== active users
+
+  /** DAU / WAU / MAU + stickiness — the product-analytics vital signs
+    * ([[PipelineQueries.gSlidingWindow]] slides counts; this slides
+    * DISTINCT USERS, which no plain windowed aggregate expresses). Per
+    * observed day: users active that day, within the trailing 7 days,
+    * within the trailing 30, and `1000·DAU DIV MAU` stickiness.
+    *
+    * The plan is the RECENCY-FOLD form, not 3 self-joins: one distinct
+    * (user, day) pass, each user-day exploded onto the 30 calendar days
+    * it can influence, then `min(gap)` per (day, user) — the user's
+    * days-since-last-activity — from which all three ranges fall out of
+    * ONE aggregate as conditional sums (`gap = 0` → DAU, `≤ 6` → WAU,
+    * `≤ 29` → MAU). Observed days are exactly `DAU > 0` rows, so no day
+    * axis, no joins at all.
+    *
+    * Scale shape: corpus → (user, day) distinct (the one corpus-sized
+    * exchange; user-days ≪ events) → a bounded ×30 explode of THAT
+    * table → two domain-keyed aggregates. At 100 TB with billions of
+    * user-days the ×30 replication is the standard exact form — swap in
+    * the HLL sketch (d_hll_union's path) when approximate is
+    * acceptable. */
+  def gActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, tus DIV 86400000000L AS day FROM events),
+        |mem AS (
+        |  SELECT user_id, day + i AS d, i
+        |  FROM ud LATERAL VIEW explode(sequence(0, 29)) t AS i),
+        |rec AS (
+        |  SELECT d, user_id, CAST(min(i) AS BIGINT) AS gap
+        |  FROM mem GROUP BY d, user_id),
+        |out AS (
+        |  SELECT d AS day,
+        |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |    CAST(sum(CASE WHEN gap <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        |    count(*) AS mau
+        |  FROM rec GROUP BY d)
+        |SELECT day, dau, wau, mau,
+        |  CAST(1000L * dau DIV mau AS BIGINT) AS stickiness_milli
+        |FROM out WHERE dau > 0
+        |ORDER BY day""".stripMargin)
+  }
+
+  val gActiveUsersSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |ud AS (
+      |  SELECT DISTINCT user_id, tus // 86400000000 AS day FROM e),
+      |mem AS (
+      |  SELECT user_id, day + i AS d, i
+      |  FROM ud, unnest(range(30)) AS t(i)),
+      |rec AS (
+      |  SELECT d, user_id, CAST(min(i) AS BIGINT) AS gap
+      |  FROM mem GROUP BY d, user_id),
+      |out AS (
+      |  SELECT d AS day,
+      |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+      |    CAST(sum(CASE WHEN gap <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+      |    count(*) AS mau
+      |  FROM rec GROUP BY d)
+      |SELECT day, dau, wau, mau,
+      |  CAST(1000 * dau // mau AS BIGINT) AS stickiness_milli
+      |FROM out WHERE dau > 0
+      |ORDER BY day""".stripMargin
+
   // ======================================================= changepoint
 
   /** CUSUM-style level-shift detection on the daily event-volume series
@@ -1145,6 +1211,7 @@ object AnalyticsOps {
     "g_top_paths" -> (gTopPaths _),
     "g_funnel_timing" -> (gFunnelTiming _),
     "g_changepoint" -> (gChangepoint _),
+    "g_active_users" -> (gActiveUsers _),
     "g_bot_regularity" -> (gBotRegularity _),
     "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
@@ -1165,6 +1232,7 @@ object AnalyticsOps {
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,
     "g_changepoint" -> gChangepointSql,
+    "g_active_users" -> gActiveUsersSql,
     "g_bot_regularity" -> gBotRegularitySql,
     "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,

@@ -1496,6 +1496,93 @@ object LlmOps {
         |ORDER BY lang, predicted""".stripMargin)
   }
 
+  /** Language-ID confusion matrix — the Cavnar–Trenkle profile
+    * classifier evaluated against the corpus' own labels: per-language
+    * top-50 word profiles (rank-weighted, trained on the `doc_id % 3 ≠
+    * 0` split — the bigram-LM convention) classify each held-out doc by
+    * weighted profile overlap, and the (actual, predicted, n) matrix is
+    * the audit a pipeline runs before TRUSTING a lang column it didn't
+    * produce. Scoring is pure integers (weight `51 − rank` per hit,
+    * argmax ties → language ascending), so both engines agree exactly;
+    * docs hitting no profile word predict 'unknown'. On THIS corpus the
+    * matrix honestly reads "barely above chance" (the synthetic
+    * languages share most of their vocabulary; a distinctiveness-
+    * weighted profile measures the same ~21 %) — which is precisely the
+    * verdict the audit exists to deliver before anyone filters by a
+    * bag-of-words lang call on short documents.
+    *
+    * Scale shape: profile build is a (lang, word)-keyed train-split
+    * aggregate with a WindowGroupLimit top-50 (vocabulary-sized); the ≤
+    * langs×50-row profile broadcasts onto the held-out docs' distinct
+    * (doc, word) stream, so classification is scan-local; the per-doc
+    * argmax rank rides doc_id — the skew-free high-cardinality key —
+    * and the matrix aggregate is ≤ (langs+1)² rows. */
+  def hLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |words AS (
+        |  SELECT DISTINCT doc_id, lang, w
+        |  FROM tok LATERAL VIEW explode(t) x AS w),
+        |prof AS (
+        |  SELECT lang AS cand, w, CAST(51 - rnk AS BIGINT) AS weight FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, w) AS rnk
+        |    FROM words WHERE doc_id % 3 <> 0 GROUP BY lang, w)
+        |  WHERE rnk <= 50),
+        |held AS (SELECT doc_id, lang, w FROM words WHERE doc_id % 3 = 0),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(p) */ h.doc_id, h.lang AS actual, p.cand,
+        |    CAST(sum(p.weight) AS BIGINT) AS score
+        |  FROM held h JOIN prof p ON h.w = p.w
+        |  GROUP BY h.doc_id, h.lang, p.cand),
+        |best AS (
+        |  SELECT doc_id, actual, cand AS predicted FROM (
+        |    SELECT doc_id, actual, cand,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cand) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |all_held AS (SELECT DISTINCT doc_id, lang AS actual FROM held)
+        |SELECT a.actual, coalesce(b.predicted, 'unknown') AS predicted,
+        |  count(*) AS n_docs
+        |FROM all_held a LEFT JOIN best b ON a.doc_id = b.doc_id
+        |GROUP BY a.actual, coalesce(b.predicted, 'unknown')
+        |ORDER BY actual, predicted""".stripMargin)
+  }
+
+  val hLangidConfusionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |words AS (
+      |  SELECT DISTINCT doc_id, lang, unnest(t) AS w FROM tok),
+      |prof AS (
+      |  SELECT lang AS cand, w, CAST(51 - rnk AS BIGINT) AS weight FROM (
+      |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+      |      ORDER BY count(*) DESC, w) AS rnk
+      |    FROM words WHERE doc_id % 3 <> 0 GROUP BY lang, w)
+      |  WHERE rnk <= 50),
+      |held AS (SELECT doc_id, lang, w FROM words WHERE doc_id % 3 = 0),
+      |scored AS (
+      |  SELECT h.doc_id, h.lang AS actual, p.cand,
+      |    CAST(sum(p.weight) AS BIGINT) AS score
+      |  FROM held h JOIN prof p ON h.w = p.w
+      |  GROUP BY h.doc_id, h.lang, p.cand),
+      |best AS (
+      |  SELECT doc_id, actual, cand AS predicted FROM (
+      |    SELECT doc_id, actual, cand,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, cand) AS rn
+      |    FROM scored)
+      |  WHERE rn = 1),
+      |all_held AS (SELECT DISTINCT doc_id, lang AS actual FROM held)
+      |SELECT a.actual AS actual, coalesce(b.predicted, 'unknown') AS predicted,
+      |  count(*) AS n_docs
+      |FROM all_held a LEFT JOIN best b ON a.doc_id = b.doc_id
+      |GROUP BY a.actual, coalesce(b.predicted, 'unknown')
+      |ORDER BY 1, 2""".stripMargin
+
   val hLangHeuristicSql: String =
     """WITH scored AS (
       |  SELECT lang,
@@ -2342,6 +2429,7 @@ object LlmOps {
     "h_token_quality" -> (hTokenQuality _),
     "h_text_stats" -> (hTextStats _),
     "h_lang_heuristic" -> (hLangHeuristic _),
+    "h_langid_confusion" -> (hLangidConfusion _),
     "h_fingerprint" -> (hFingerprint _),
     "h_vocab_topk" -> (hVocabTopk _),
     "h_tokenize_ids" -> (hTokenizeIds _),
@@ -2378,6 +2466,7 @@ object LlmOps {
     "h_ann_brute" -> hAnnBruteSql,
     "h_text_stats" -> hTextStatsSql,
     "h_lang_heuristic" -> hLangHeuristicSql,
+    "h_langid_confusion" -> hLangidConfusionSql,
     "h_fingerprint" -> hFingerprintSql,
     "h_vocab_topk" -> hVocabTopkSql,
     "h_tokenize_ids" -> hTokenizeIdsSql,

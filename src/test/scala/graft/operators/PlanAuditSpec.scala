@@ -664,6 +664,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(generates == 1, s"expected only the 4-element ctx axis explode, got $generates:\n$plan")
   }
 
+  test("g_active_users: recency fold — no joins, one bounded explode over the user-day table") {
+    val plan = AnalyticsOps.gActiveUsers(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"DAU/WAU/MAU must fall out of one fold, not range self-joins:\n$plan")
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1,
+      s"expected only the x30 membership explode over the DISTINCT user-day table, got $generates:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window needed — recency is min(gap) in a hash aggregate:\n$plan")
+  }
+
+  test("h_langid_confusion: profile broadcasts onto held-out words; ranks are WindowGroupLimit") {
+    val plan = LlmOps.hLangidConfusion(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the top-50 profile rank and the per-doc argmax must group-limit map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=langs*50-row profile must broadcast onto the held-out scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"classification is an equi-join on the word key:\n$plan")
+  }
+
   test("g_markov_transitions: one corpus window; the row total is a window over the tiny count table, not a join") {
     val plan = AnalyticsOps.gMarkovTransitions(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
