@@ -47,7 +47,8 @@ object ScaleStressBench {
     "h_tokenizer_compat", "h_cosine_calibration", "h_hard_negatives",
     "h_dataset_card", "h_embedding_drift", "h_embed_outliers",
     "h_lsh_balance", "h_ann_recall", "h_dim_variance", "h_source_overlap",
-    "h_sampling_bias", "h_class_margin", "h_cluster_purity")
+    "h_sampling_bias", "h_class_margin", "h_cluster_purity",
+    "h_langid_confusion", "h_padding_waste")
   // a_column_stats / a_skew_profile / g_markov_transitions are excluded:
   // they profile orders / events, which the K-fold replicator
   // (documents + embeddings only) does not scale.
