@@ -43,23 +43,41 @@ object LlmOps {
 
   // ================================================================ dedup
 
-  /** Exact dedup: replay-doubled corpus, `dropDuplicates` on the FNV-64a
-    * text hash (the reference's dedup key, deduper.go:26-29). */
+  /** Exact dedup: replay-doubled corpus, grouped on the FNV-64a text
+    * hash (the reference's dedup key, deduper.go:26-29), keeping the
+    * MIN-(doc_id) row per hash — the deterministic-survivor rule every
+    * dedup ACTION in this engine uses (h_dedup_survivors, h_semdedup).
+    * The round-12 sf0.1 sweep caught why the rule matters here too: the
+    * generator plants exact-duplicate texts that SPAN languages, and the
+    * original `dropDuplicates` kept an arbitrary winner — whichever
+    * partition's row arrived first decided which language's count
+    * dropped, a nondeterminism invisible at scale factors without
+    * cross-lang duplicates. min-struct survivor selection keeps the same
+    * one-exchange hash-aggregate shape. */
   def hDedupExact(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.registerAll(s)
     val d = Tables.load(s, dir, "documents")
     d.union(d) // at-least-once replay
       .withColumn("h", GraftFunctions.fnv64a(col("text")))
-      .dropDuplicates("h")
-      .groupBy(col("lang"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+      .groupBy(col("keep.lang").as("lang"))
       .agg(count(lit(1)).as("n_unique"))
       .orderBy(col("lang"))
   }
 
+  /** The oracle replays survivor selection on the text itself (equal
+    * hash ⟺ equal text absent collisions): each distinct text is
+    * attributed to its min-doc_id row's language. A bare
+    * `count(DISTINCT text) per lang` would double-count the planted
+    * cross-lang duplicate texts the engine collapses globally. */
   val hDedupExactSql: String =
-    """SELECT lang, count(*) AS n_unique
-      |FROM documents
-      |GROUP BY lang
+    """WITH surv AS (
+      |  SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text),
+      |kept AS (
+      |  SELECT d.lang FROM documents d JOIN surv s ON d.doc_id = s.keeper)
+      |SELECT lang, count(*) AS n_unique
+      |FROM kept GROUP BY lang
       |ORDER BY lang""".stripMargin
 
   /** Bloom-filter seen-before dedup — the probabilistic membership pass
