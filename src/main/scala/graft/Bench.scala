@@ -15,8 +15,26 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is reported in a `failed` list (and its timing is
   * excluded from the total) instead of being silently swallowed.
+  *
+  * Spike self-adjudication: any query whose timed-pass wall exceeds
+  * [[Bench.SpikeThresholdSec]] is re-run once at the end of the sequence
+  * (same JVM, caches warm) and both numbers are recorded under `"spikes"`
+  * as {"spike": first, "floor": rerun}. Host co-tenant load produces
+  * phantom 2-10x outliers in single-run artifacts (two rounds of manual
+  * quiesced adjudication, e.g. q1_pricing 11.6s vs 0.73s floor); a floor
+  * near the recorded baseline proves load, a floor near the spike proves a
+  * plan regression — the artifact now carries the evidence itself. The
+  * 1-minute /proc/loadavg is snapshotted before and after the timed pass
+  * for the same reason.
   */
 object Bench {
+  /** Above this single-run wall time a query is re-run for a floor. */
+  val SpikeThresholdSec = 5.5
+
+  private def loadavg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(' ')(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default = all cores (the target config is local[32]); round-3 driver
@@ -67,6 +85,7 @@ object Bench {
       }
     }
 
+    val loadBefore = loadavg1m()
     var failed = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -80,11 +99,27 @@ object Bench {
           None
       }
     }
+    val loadAfter = loadavg1m()
+
+    // spike adjudication: one same-JVM rerun per outlier, after the full
+    // sequence (so the rerun competes with nothing else in this process)
+    val spikes = results.filter(_._2 > SpikeThresholdSec).flatMap { case (name, spike) =>
+      val t0 = System.nanoTime()
+      try {
+        materialize(selected(name))
+        val floor = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] spike $name: $spike%.2fs -> floor $floor%.2fs")
+        Some(name -> (spike, floor))
+      } catch { case _: Throwable => None } // already reported in the timed pass
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spikes.map { case (k, (s, f)) =>
+      "\"" + k + "\":{\"spike\":" + s + ",\"floor\":" + f + "}"
+    }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spikes":$sp,"loadavg":{"before":$loadBefore,"after":$loadAfter},"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
