@@ -974,6 +974,81 @@ object AnalyticsOps {
       |FROM out WHERE dau > 0
       |ORDER BY day""".stripMargin
 
+  /** The 100 TB path of [[gActiveUsers]], promoted from COVERAGE.md prose
+    * to a contract-gated query: sliding DISTINCT USERS via mergeable HLL
+    * day-sketches instead of exact user-day replication. One sketch per
+    * calendar day (lgConfigK=14, corpus collapses map-side into ~days ×
+    * few-KB sketches — the ONLY corpus-sized exchange), each day-sketch
+    * exploded onto the ≤30 target days it can influence, then ONE
+    * aggregate per target day unions the trailing windows with FILTERed
+    * `hll_union_agg`s (i=0 → DAU, i≤6 → WAU, all → MAU). This is what a
+    * daily pipeline actually keeps at scale: per-day sketches answer any
+    * trailing-window distinct question by union, never re-scanning the
+    * window. The exact recency-fold supplies the contract side; booleans
+    * carry the ±5 % verdict per range ([[FormatOps.dAggApprox]]'s
+    * contract). */
+  def gActiveUsersApprox(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, tus DIV 86400000000L AS day FROM events),
+        |mem AS (
+        |  SELECT user_id, day + i AS d, i
+        |  FROM ud LATERAL VIEW explode(sequence(0, 29)) t AS i),
+        |rec AS (
+        |  SELECT d, user_id, CAST(min(i) AS BIGINT) AS gap
+        |  FROM mem GROUP BY d, user_id),
+        |exact AS (
+        |  SELECT d AS day,
+        |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |    CAST(sum(CASE WHEN gap <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        |    count(*) AS mau
+        |  FROM rec GROUP BY d),
+        |daysk AS (
+        |  SELECT tus DIV 86400000000L AS day,
+        |    hll_sketch_agg(user_id, 14) AS sk
+        |  FROM events GROUP BY tus DIV 86400000000L),
+        |win AS (
+        |  SELECT day + i AS d, i, sk
+        |  FROM daysk LATERAL VIEW explode(sequence(0, 29)) t AS i),
+        |est AS (
+        |  SELECT d,
+        |    hll_sketch_estimate(hll_union_agg(sk) FILTER (WHERE i = 0)) AS dau_est,
+        |    hll_sketch_estimate(hll_union_agg(sk) FILTER (WHERE i <= 6)) AS wau_est,
+        |    hll_sketch_estimate(hll_union_agg(sk)) AS mau_est
+        |  FROM win GROUP BY d)
+        |SELECT e.day, e.dau, e.wau, e.mau,
+        |  abs(s.dau_est - e.dau) / CAST(e.dau AS DOUBLE) <= 0.05 AS dau_ok,
+        |  abs(s.wau_est - e.wau) / CAST(e.wau AS DOUBLE) <= 0.05 AS wau_ok,
+        |  abs(s.mau_est - e.mau) / CAST(e.mau AS DOUBLE) <= 0.05 AS mau_ok
+        |FROM exact e JOIN est s ON e.day = s.d
+        |WHERE e.dau > 0
+        |ORDER BY e.day""".stripMargin)
+  }
+
+  /** DuckDB supplies the exact fold; the booleans carry the sketch-union
+    * verdict (must hold by the HLL rse bound). */
+  val gActiveUsersApproxSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |ud AS (
+      |  SELECT DISTINCT user_id, tus // 86400000000 AS day FROM e),
+      |mem AS (
+      |  SELECT user_id, day + i AS d, i
+      |  FROM ud, unnest(range(30)) AS t(i)),
+      |rec AS (
+      |  SELECT d, user_id, CAST(min(i) AS BIGINT) AS gap
+      |  FROM mem GROUP BY d, user_id),
+      |out AS (
+      |  SELECT d AS day,
+      |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+      |    CAST(sum(CASE WHEN gap <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+      |    count(*) AS mau
+      |  FROM rec GROUP BY d)
+      |SELECT day, dau, wau, mau,
+      |  true AS dau_ok, true AS wau_ok, true AS mau_ok
+      |FROM out WHERE dau > 0
+      |ORDER BY day""".stripMargin
+
   // ======================================================= changepoint
 
   /** CUSUM-style level-shift detection on the daily event-volume series
@@ -1212,6 +1287,7 @@ object AnalyticsOps {
     "g_funnel_timing" -> (gFunnelTiming _),
     "g_changepoint" -> (gChangepoint _),
     "g_active_users" -> (gActiveUsers _),
+    "g_active_users_approx" -> (gActiveUsersApprox _),
     "g_bot_regularity" -> (gBotRegularity _),
     "g_markov_transitions" -> (gMarkovTransitions _),
     "g_attribution" -> (gAttribution _),
@@ -1233,6 +1309,7 @@ object AnalyticsOps {
     "g_funnel_timing" -> gFunnelTimingSql,
     "g_changepoint" -> gChangepointSql,
     "g_active_users" -> gActiveUsersSql,
+    "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,
     "g_markov_transitions" -> gMarkovTransitionsSql,
     "g_attribution" -> gAttributionSql,

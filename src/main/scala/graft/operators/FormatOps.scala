@@ -585,8 +585,69 @@ object FormatOps {
       |  SELECT 'o_orderdate', ndv4, n - nn4, mn4, mx4 FROM a)
       |ORDER BY col_name""".stripMargin
 
+  /** The 100 TB path of [[aColumnStats]], promoted from COVERAGE.md prose
+    * to a contract-gated query: per-column ndv via mergeable HLL sketches
+    * (lgConfigK=14, ~0.8 % rse) against the exact ndv, under the same
+    * ±5 % tolerance boolean [[dAggApprox]] pins. The sketch pass is the
+    * plan a production ANALYZE actually runs at scale — all four columns
+    * in ONE un-Expanded aggregate (sketches are plain aggregates, not
+    * distinct-aggregates, so Catalyst does not replicate the scan) with
+    * map-side partial sketches and a few-KB exchange. The exact side
+    * (needed only for the cross-engine contract) reuses the Expand
+    * multi-distinct pass; the two 1-row aggregates combine by cross join.
+    * Non-sketchable types ride injective casts: DOUBLE money →
+    * floor-cents BIGINT, TIMESTAMP → yyyy-MM-dd (the same representations
+    * [[aColumnStats]] uses for min/max). */
+  def aColumnStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH sk AS (
+        |  SELECT
+        |    hll_sketch_estimate(hll_sketch_agg(o_orderkey, 14)) AS e1,
+        |    hll_sketch_estimate(hll_sketch_agg(o_orderstatus, 14)) AS e2,
+        |    hll_sketch_estimate(hll_sketch_agg(
+        |      CAST(floor(o_totalprice * 100) AS BIGINT), 14)) AS e3,
+        |    hll_sketch_estimate(hll_sketch_agg(
+        |      date_format(o_orderdate, 'yyyy-MM-dd'), 14)) AS e4
+        |  FROM orders),
+        |ex AS (
+        |  SELECT
+        |    count(DISTINCT o_orderkey) AS n1,
+        |    count(DISTINCT o_orderstatus) AS n2,
+        |    count(DISTINCT o_totalprice) AS n3,
+        |    count(DISTINCT o_orderdate) AS n4
+        |  FROM orders)
+        |SELECT col_name, ndv_exact,
+        |  abs(est - ndv_exact) / CAST(ndv_exact AS DOUBLE) <= 0.05
+        |    AS within_tolerance
+        |FROM (
+        |  SELECT stack(4,
+        |    'o_orderkey',    n1, e1,
+        |    'o_orderstatus', n2, e2,
+        |    'o_totalprice',  n3, e3,
+        |    'o_orderdate',   n4, e4
+        |  ) AS (col_name, ndv_exact, est)
+        |  FROM ex CROSS JOIN sk)
+        |ORDER BY col_name""".stripMargin)
+  }
+
+  /** DuckDB supplies the exact ndv; the boolean carries the sketch
+    * verdict (must hold by the HLL rse bound). */
+  val aColumnStatsApproxSql: String =
+    """SELECT col_name, ndv_exact, true AS within_tolerance FROM (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    count(DISTINCT o_orderkey) AS ndv_exact FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', count(DISTINCT o_totalprice) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_column_stats" -> (aColumnStats _),
+    "a_column_stats_approx" -> (aColumnStatsApprox _),
     "a_csv_roundtrip" -> (aCsvRoundtrip _),
     "a_json_roundtrip" -> (aJsonRoundtrip _),
     "a_parquet_roundtrip" -> (aParquetRoundtrip _),
@@ -606,6 +667,7 @@ object FormatOps {
 
   def oracle: Map[String, String] = Map(
     "a_column_stats" -> aColumnStatsSql,
+    "a_column_stats_approx" -> aColumnStatsApproxSql,
     "a_csv_roundtrip" -> aggShapeSql,
     "a_json_roundtrip" -> aggShapeSql,
     "a_parquet_roundtrip" -> aggShapeSql,

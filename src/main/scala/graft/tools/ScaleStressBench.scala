@@ -49,9 +49,14 @@ object ScaleStressBench {
     "h_lsh_balance", "h_ann_recall", "h_dim_variance", "h_source_overlap",
     "h_sampling_bias", "h_class_margin", "h_cluster_purity",
     "h_langid_confusion", "h_padding_waste")
-  // a_column_stats / a_skew_profile / g_markov_transitions are excluded:
-  // they profile orders / events, which the K-fold replicator
-  // (documents + embeddings only) does not scale.
+  /** Orders/events profile set (round 13): the replicator now scales
+    * those tables too, so the ANALYZE/active-user pairs — exact and the
+    * HLL approximate twins — get real K-fold stress rows. The remaining
+    * event-analytics queries (markov, funnel, …) join dimension tables
+    * the replicator leaves unscaled and stay excluded. */
+  private val profileQueries = Seq(
+    "a_column_stats", "a_column_stats_approx",
+    "g_active_users", "g_active_users_approx")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
@@ -71,10 +76,12 @@ object ScaleStressBench {
     require(k <= 64, s"K=$k would reuse embedding rotations (max 64)")
     val fs = new java.io.File(outDir)
     val marker = new java.io.File(fs, "_built")
-    // the marker records the SOURCE dir: a rerun with a different
-    // SPARK_GRAFT_SF_DIR must rebuild, not silently reuse stale data
+    // the marker records the SOURCE dir + replicator version: a rerun with
+    // a different SPARK_GRAFT_SF_DIR (or an older scaled layout — v2 added
+    // orders/events) must rebuild, not silently reuse stale data
+    val markerContent = s"$srcDir v2"
     if (marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcDir)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == markerContent)
       return
     fs.mkdirs()
     spark.read.parquet(s"$srcDir/documents.parquet").createOrReplaceTempView("src_docs")
@@ -99,7 +106,30 @@ object ScaleStressBench {
          |FROM src_embeds LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    java.nio.file.Files.write(marker.toPath, srcDir.getBytes("UTF-8"))
+    // orders/events replicas (round 13, for the ANALYZE/active-user stress
+    // rows). Key columns stride so per-replica entities stay distinct —
+    // o_orderkey ndv and daily active users scale ×K (the linear shape real
+    // growth has) while low-cardinality columns (status, dates, types) keep
+    // their domain. ts is copied verbatim: more volume per day, same span —
+    // the realistic direction. Replica custkeys do not resolve against the
+    // (unreplicated) customer table; only join-free profile queries read
+    // these replicas.
+    spark.read.parquet(s"$srcDir/orders.parquet").createOrReplaceTempView("src_orders")
+    spark.read.parquet(s"$srcDir/events.parquet").createOrReplaceTempView("src_events")
+    spark.sql(
+      s"""SELECT o_orderkey + r * 1000000L AS o_orderkey,
+         |  o_custkey + r * 1000000L AS o_custkey,
+         |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         |FROM src_orders LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.sql(
+      s"""SELECT event_id + r * 1000000L AS event_id, ts,
+         |  user_id + r * 1000000L AS user_id, event_type, value, props
+         |FROM src_events LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    java.nio.file.Files.write(marker.toPath, markerContent.getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,7 +148,7 @@ object ScaleStressBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
-    val names = defaultQueries.filter(n => only.forall(_.contains(n)))
+    val names = (defaultQueries ++ profileQueries).filter(n => only.forall(_.contains(n)))
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
 
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
