@@ -542,9 +542,11 @@ object CorpusOps {
     * anyone trusts [[LlmOps.hNeardupEmbedding]]'s candidate sweep at
     * 100 TB. Planted ±2 % perturbed copies populate the high-cosine end;
     * deterministic `vec_id % modulus` blocks (modulus auto-sized from the
-    * corpus count on the same power-of-10 ladder as the MinHash audit, so
-    * per-block pair cost stays constant at any scale and planted pairs
-    * always land in-block) sample the rest.
+    * corpus count on the same geometric 1-2-5 decade ladder as the MinHash
+    * audit — see [[TrainingOps.hMinhashCalibration]] for the rung
+    * arithmetic — so per-block pair cost stays within ~2.5× of the linear
+    * target at any scale and planted pairs always land in-block since
+    * every rung divides the 10^6 replay offset) sample the rest.
     *
     * Engine-agnostic by construction, like the MinHash audit: hyperplane
     * signs come from md5 of the (plane, dim) pair — not from the engine's
@@ -583,8 +585,10 @@ object CorpusOps {
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
         |m AS (
         |  SELECT least(1000000L, greatest(100L,
-        |    CAST(pow(10, length(CAST((count(*) + 249) DIV 250 - 1 AS STRING))) AS BIGINT))) AS m
-        |  FROM base),
+        |    CASE WHEN q <= p THEN p WHEN q <= 2 * p THEN 2 * p
+        |         WHEN q <= 5 * p THEN 5 * p ELSE 10 * p END)) AS m
+        |  FROM (SELECT q, CAST(pow(10, length(CAST(q AS STRING)) - 1) AS BIGINT) AS p
+        |        FROM (SELECT (count(*) + 49) DIV 50 AS q FROM base))),
         |qarr AS (
         |  SELECT vec_id,
         |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS qv
@@ -655,8 +659,10 @@ object CorpusOps {
       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
       |m AS (
       |  SELECT least(1000000, greatest(100,
-      |    CAST(power(10, length(CAST((count(*) + 249) // 250 - 1 AS VARCHAR))) AS BIGINT))) AS m
-      |  FROM base),
+      |    CASE WHEN q <= p THEN p WHEN q <= 2 * p THEN 2 * p
+      |         WHEN q <= 5 * p THEN 5 * p ELSE 10 * p END)) AS m
+      |  FROM (SELECT q, CAST(power(10, length(CAST(q AS VARCHAR)) - 1) AS BIGINT) AS p
+      |        FROM (SELECT (count(*) + 49) // 50 AS q FROM base))),
       |qarr AS (
       |  SELECT vec_id,
       |    list_transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS qv

@@ -1581,16 +1581,23 @@ object TrainingOps {
     * pair volume is corpus² / (langs · modulus). It is AUTO-SIZED from the
     * corpus count in the same scan (round-12 verdict item — a hand-tuned
     * constant silently degrades to quadratic blocks as the corpus grows):
-    * `q = ceil(n_docs / 250)` block groups are wanted, rounded UP to the
-    * power-of-10 ladder `m = clamp(100, 10^len(str(q−1)), 10^6)` — the
-    * decimal-string length is an exact integer ⌈log10⌉, so both engines
-    * derive the identical modulus with no floating-point boundary risk,
-    * and every ladder rung divides the 10^6 replay offset, preserving the
-    * planted-pairs-land-in-block property. Expected rows per (lang, blk)
-    * stay ~10–25 at ANY corpus size (2n / (langs·m)), so per-block pair
-    * cost — and the whole audit — is constant-cost per corpus doubling
-    * instead of quadratic. At today's scale factors the derived m is
-    * exactly the previous constant 100. */
+    * `q = ceil(n_docs / 50)` block groups are wanted, rounded UP to the
+    * GEOMETRIC 1-2-5 decade ladder (round-13 verdict item: the earlier
+    * power-of-10 rungs let block size drift up to 10× between crossings —
+    * per-block pair volume up to ~100× — measured as the suite's worst
+    * K=40 curve, 6.38×; the divisor also tightened 250 → 50 so that sf0.1
+    * sits exactly AT the m=100 clamp knee — below the knee m cannot scale
+    * with n, which is what made K-fold ratios super-linear even on the
+    * finer ladder): `m = clamp(100, roundUp125(q), 10^6)` where
+    * `roundUp125` lifts q to the next of {1,2,5}·10^k. The decimal-string
+    * length is an exact integer ⌊log10⌋+1 and the 2×/5× comparisons are
+    * pure integer, so both engines derive the identical modulus with no
+    * floating-point boundary risk — and every 1-2-5 rung divides the 10^6
+    * replay offset, preserving the planted-pairs-land-in-block property.
+    * Block-size overshoot between crossings is now ≤2.5× (pair volume
+    * ≤~2.5× the linear target at ANY corpus size, vs 10×/100× before).
+    * At today's scale factors the derived m is exactly the previous
+    * constant 100. */
   def hMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     Checkpoints.track(s.sql(
@@ -1601,8 +1608,10 @@ object TrainingOps {
         |  FROM documents),
         |mod AS (
         |  SELECT least(1000000L, greatest(100L,
-        |    CAST(power(10, length(CAST((count(*) + 249) DIV 250 - 1 AS STRING))) AS BIGINT))) AS m
-        |  FROM documents),
+        |    CASE WHEN q <= p THEN p WHEN q <= 2 * p THEN 2 * p
+        |         WHEN q <= 5 * p THEN 5 * p ELSE 10 * p END)) AS m
+        |  FROM (SELECT q, CAST(power(10, length(CAST(q AS STRING)) - 1) AS BIGINT) AS p
+        |        FROM (SELECT (count(*) + 49) DIV 50 AS q FROM documents))),
         |tok AS (SELECT doc_id, lang, split(text, ' ') AS tokens FROM corpus)
         |SELECT doc_id, lang, doc_id % (SELECT m FROM mod) AS blk,
         |  array_distinct(transform(sequence(1, size(tokens) - 2),
@@ -1672,8 +1681,10 @@ object TrainingOps {
       |  FROM documents),
       |mod AS (
       |  SELECT least(1000000, greatest(100,
-      |    CAST(power(10, length(CAST((count(*) + 249) // 250 - 1 AS VARCHAR))) AS BIGINT))) AS m
-      |  FROM documents),
+      |    CASE WHEN q <= p THEN p WHEN q <= 2 * p THEN 2 * p
+      |         WHEN q <= 5 * p THEN 5 * p ELSE 10 * p END)) AS m
+      |  FROM (SELECT q, CAST(power(10, length(CAST(q AS VARCHAR)) - 1) AS BIGINT) AS p
+      |        FROM (SELECT (count(*) + 49) // 50 AS q FROM documents))),
       |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM corpus),
       |sh AS (
       |  SELECT doc_id, lang, doc_id % (SELECT m FROM mod) AS blk,

@@ -23,10 +23,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * by user_id delivers — the streaming summary equals the batch query on
   * the same rows after every micro-batch, across any batch boundaries.
   * Cross-boundary ties and late (time-regressing) arrivals fall outside
-  * that guarantee: a late row's gap clamps to 0 rather than corrupting
-  * Σg with a negative, and exact repair needs the batch pass (the
-  * standard streaming/batch split every summary in this engine
-  * documents).
+  * that guarantee: a late row contributes exactly one zero gap — its own
+  * gap clamps to 0 and the fold frontier advances monotonically
+  * (`max(last_tus, tus)`), so the NEXT in-order row's gap is undistorted
+  * — and exact repair needs the batch pass (the standard streaming/batch
+  * split every summary in this engine documents).
   *
   * Scale posture: state is ONE fixed-width row per user — no per-event
   * history — hash-partitioned across executors by user_id, the same
@@ -65,10 +66,15 @@ object StreamingBotScreen {
         case Some(s) =>
           // batch rule: g = least((tus - prev) DIV 1e6, 3600); the
           // max(0, ·) guard only fires on out-of-order arrivals, which
-          // the batch (sorted) form never produces
+          // the batch (sorted) form never produces. The frontier advances
+          // MONOTONICALLY: a late (time-regressing) row contributes one
+          // zero gap and leaves the frontier where it was — moving it
+          // backward would also inflate the NEXT in-order row's gap, so
+          // one late row would corrupt two gaps
           val g = math.min(
             math.max((e.tus - s.last_tus) / 1000000L, 0L), GapClampSeconds)
-          Some(RunStats(e.tus, s.n_events + 1, s.n_gaps + 1, s.sg + g, s.sg2 + g * g))
+          Some(RunStats(math.max(s.last_tus, e.tus),
+            s.n_events + 1, s.n_gaps + 1, s.sg + g, s.sg2 + g * g))
       }
     }
 
@@ -109,9 +115,8 @@ object StreamingBotScreen {
   def apply(stream: DataFrame): Dataset[UserRegularity] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    // transformWithState requires the RocksDB provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       .select("event_id", "user_id", "tus")
       .as[EventRow]

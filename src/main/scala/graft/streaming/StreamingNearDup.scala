@@ -55,9 +55,11 @@ object StreamingNearDup {
       rows.foreach { doc =>
         val stored = residents.get()
         var n = 0
+        var alreadyResident = false
         while (stored.hasNext) {
           val r = stored.next()
           n += 1
+          if (r.doc_id == doc.doc_id) alreadyResident = true
           if (r.doc_id != doc.doc_id) {
             var agree = 0
             var i = 0
@@ -74,7 +76,12 @@ object StreamingNearDup {
             }
           }
         }
-        if (n < maxPerBucket) residents.appendValue(StoredSig(doc.doc_id, doc.signature))
+        // the residency check makes bucket state idempotent under
+        // at-least-once redelivery: a replayed doc re-emits its hits (the
+        // downstream (a_id, b_id) dedup absorbs them) but never enrolls a
+        // second resident copy that would double every future comparison
+        if (!alreadyResident && n < maxPerBucket)
+          residents.appendValue(StoredSig(doc.doc_id, doc.signature))
       }
       out.result().iterator
     }
@@ -89,9 +96,8 @@ object StreamingNearDup {
     val spark = stream.sparkSession
     import spark.implicits._
     GraftFunctions.registerAll(spark)
-    // transformWithState requires the RocksDB provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)

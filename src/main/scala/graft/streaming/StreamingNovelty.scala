@@ -66,8 +66,8 @@ object StreamingNovelty {
   def apply(stream: DataFrame): Dataset[GramVerdict] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+// session-wide provider switch — see StreamingState.requireRocksDB
+StreamingState.requireRocksDB(spark)
     stream
       .selectExpr("lang", "split(text, ' ') AS t")
       .where(expr("size(t) >= 8"))

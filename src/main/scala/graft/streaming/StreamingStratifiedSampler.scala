@@ -106,9 +106,8 @@ object StreamingStratifiedSampler {
   def apply(stream: DataFrame, k: Int = 10): Dataset[StratumSample] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    // transformWithState requires the RocksDB provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       // the draw is computed scan-local with the EXACT batch expression —
       // prefix-equality with h_stratified_sample depends on it

@@ -57,10 +57,8 @@ object TwoGenDeduper {
     val spark = stream.sparkSession
     import spark.implicits._
     GraftFunctions.registerAll(spark)
-    // transformWithState requires the RocksDB provider (multiple column
-    // families); the default HDFS-backed store cannot run it
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       .withColumn("body_hash", GraftFunctions.fnv64a(col("body")))
       .select(col("id"), col("ts"), col("attempts"), col("body"), col("body_hash"))
