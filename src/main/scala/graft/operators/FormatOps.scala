@@ -287,9 +287,9 @@ object FormatOps {
         |  CAST(sum(p.skipped) AS BIGINT) AS n_skipped,
         |  CAST(sum(CASE WHEN p.skipped = 0 THEN p.n ELSE 0 END) AS BIGINT)
         |    AS rows_scanned,
-        |  CAST(max(m.n_match) AS BIGINT) AS n_match,
+        |  CAST(max(coalesce(m.n_match, 0L)) AS BIGINT) AS n_match,
         |  CAST(1000L * sum(p.skipped) DIV count(*) AS BIGINT) AS skip_milli
-        |FROM probe p JOIN match_counts m ON p.yr = m.yr
+        |FROM probe p LEFT JOIN match_counts m ON p.yr = m.yr
         |GROUP BY p.layout, p.yr
         |ORDER BY p.layout, yr""".stripMargin)
   }
@@ -322,9 +322,9 @@ object FormatOps {
       |  CAST(sum(p.skipped) AS BIGINT) AS n_skipped,
       |  CAST(sum(CASE WHEN p.skipped = 0 THEN p.n ELSE 0 END) AS BIGINT)
       |    AS rows_scanned,
-      |  CAST(max(m.n_match) AS BIGINT) AS n_match,
+      |  CAST(max(coalesce(m.n_match, 0)) AS BIGINT) AS n_match,
       |  CAST(1000 * sum(p.skipped) // count(*) AS BIGINT) AS skip_milli
-      |FROM probe p JOIN match_counts m ON p.yr = m.yr
+      |FROM probe p LEFT JOIN match_counts m ON p.yr = m.yr
       |GROUP BY p.layout, p.yr
       |ORDER BY p.layout, yr""".stripMargin
 

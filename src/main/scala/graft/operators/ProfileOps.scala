@@ -135,7 +135,14 @@ object ProfileOps {
     * (label, half, dim)-keyed SUM with map-side partials (the only
     * corpus-sized exchange, carrying labels×2×dims ≈ thousands of result
     * rows) → pivot halves and fold 64 dims per label. The mean-norm²
-    * columns ride the same scan. No window touches corpus-sized data. */
+    * columns ride the same scan. No window touches corpus-sized data.
+    *
+    * Degenerate-parity guard: a label whose vec_ids all share one parity
+    * has an EMPTY version half — there is no drift to measure, and the
+    * unguarded arithmetic would divide by zero (Spark yields NULL, DuckDB
+    * may error — an oracle-parity hazard). Both engines emit the explicit
+    * sentinels m2 = −1 and centroid_cos_milli = −2000 (outside the valid
+    * [−1000, 1000] range) for such labels instead. */
   def hEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     s.sql(
@@ -150,10 +157,12 @@ object ProfileOps {
         |  SELECT label,
         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
-        |    CAST(sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
-        |         DIV sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v0,
-        |    CAST(sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
-        |         DIV sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v1
+        |    CAST(CASE WHEN sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) = 0 THEN -1
+        |         ELSE sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
+        |              DIV sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) END AS BIGINT) AS m2_v0,
+        |    CAST(CASE WHEN sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) = 0 THEN -1
+        |         ELSE sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
+        |              DIV sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) END AS BIGINT) AS m2_v1
         |  FROM n2 GROUP BY label),
         |dims AS (
         |  SELECT label, half, i, CAST(element_at(q, i + 1) AS BIGINT) AS xi
@@ -173,8 +182,9 @@ object ProfileOps {
         |    CAST(sum(s1 * s1) AS BIGINT) AS nn1
         |  FROM pivoted GROUP BY label)
         |SELECT c.label, c.n_v0, c.n_v1,
-        |  CAST(floor(1000.0 * d.dot /
-        |       (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE))))
+        |  CAST(CASE WHEN c.n_v0 = 0 OR c.n_v1 = 0 THEN -2000
+        |       ELSE floor(1000.0 * d.dot /
+        |            (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
         |    AS BIGINT) AS centroid_cos_milli,
         |  c.m2_v0, c.m2_v1
         |FROM counts c JOIN dots d ON c.label = d.label
@@ -193,10 +203,12 @@ object ProfileOps {
       |  SELECT label,
       |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
       |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
-      |    CAST(sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
-      |         // sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v0,
-      |    CAST(sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
-      |         // sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m2_v1
+      |    CAST(CASE WHEN sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) = 0 THEN -1
+      |         ELSE sum(CASE WHEN half = 0 THEN nrm2 ELSE 0 END)
+      |              // sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) END AS BIGINT) AS m2_v0,
+      |    CAST(CASE WHEN sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) = 0 THEN -1
+      |         ELSE sum(CASE WHEN half = 1 THEN nrm2 ELSE 0 END)
+      |              // sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) END AS BIGINT) AS m2_v1
       |  FROM n2 GROUP BY label),
       |dims AS (
       |  SELECT label, half, i, CAST(q[i + 1] AS BIGINT) AS xi
@@ -216,8 +228,9 @@ object ProfileOps {
       |    CAST(sum(s1 * s1) AS BIGINT) AS nn1
       |  FROM pivoted GROUP BY label)
       |SELECT c.label, c.n_v0, c.n_v1,
-      |  CAST(floor(1000.0 * d.dot /
-      |       (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE))))
+      |  CAST(CASE WHEN c.n_v0 = 0 OR c.n_v1 = 0 THEN -2000
+      |       ELSE floor(1000.0 * d.dot /
+      |            (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
       |    AS BIGINT) AS centroid_cos_milli,
       |  c.m2_v0, c.m2_v1
       |FROM counts c JOIN dots d ON c.label = d.label

@@ -102,4 +102,21 @@ class ProfileOpsSpec extends SparkSuite {
       }
     } finally Checkpoints.releaseAll()
   }
+
+  test("h_embedding_drift: a single-parity label emits the documented sentinels, not NULL/zero-div") {
+    // one version half empty (all vec_ids even) — there is no drift to
+    // measure; the contract is m2 = -1 and centroid_cos_milli = -2000
+    val dir = java.nio.file.Files.createTempDirectory("drift-degenerate").toString
+    Tables.load(spark, sf, "embeddings")
+      .filter("vec_id % 2 = 0")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = ProfileOps.hEmbeddingDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, "half 1 must be empty in this fixture")
+      assert(r.getLong(3) == -2000L, "degenerate centroid cosine must be the sentinel")
+      assert(r.getLong(4) >= 0L, "populated half's mean norm2 stays real")
+      assert(r.getLong(5) == -1L, "empty half's mean norm2 must be the sentinel")
+    }
+  }
 }
