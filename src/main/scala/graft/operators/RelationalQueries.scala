@@ -844,6 +844,39 @@ object RelationalQueries {
       |ORDER BY c_acctbal DESC, c_custkey
       |LIMIT 20 OFFSET 40""".stripMargin
 
+  /** F: KEYSET pagination — the production twin of [[fLimitOffset]],
+    * closing that query's documented deep-offset caveat (round-12 verdict
+    * item 8): instead of ranking offset+limit rows, the client passes the
+    * last row it saw and the page is `WHERE key-tuple AFTER last_seen
+    * ORDER BY … LIMIT n` — O(page) at any depth, with the predicate
+    * pushed to the scan. Fetches the IDENTICAL page as fLimitOffset's
+    * `LIMIT 20 OFFSET 40` (the oracle literally runs the OFFSET form, so
+    * the equivalence is hash-checked row for row). The boundary
+    * (last row of page 2) is derived in-query for self-containment — a
+    * 1-row TakeOrdered broadcast — because the driver contract passes no
+    * client state; a real consumer supplies it as literals and only the
+    * page scan runs. The mixed-direction sort (bal DESC, key ASC) means
+    * "after" is the explicit OR form `bal < b OR (bal = b AND key > k)` —
+    * row-value `(a,b) > (x,y)` cannot express it — on the EXACT decimal
+    * column, never the display-cast double. */
+  def fKeysetPage(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """WITH b AS (
+        |  SELECT c_acctbal AS b_bal, c_custkey AS b_key
+        |  FROM customer ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 1 OFFSET 39)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer CROSS JOIN b
+        |WHERE c_acctbal < b_bal OR (c_acctbal = b_bal AND c_custkey > b_key)
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** DuckDB proves keyset ≡ offset by running the OFFSET form. */
+  val fKeysetPageSql: String = fLimitOffsetSql
+
   /** C: explicit join-strategy hints — the user-facing control over the
     * physical join when the optimizer's cost pick is wrong at scale (a
     * 100 TB deployment tunes exactly this: force SHUFFLE_HASH when sort
@@ -1333,6 +1366,7 @@ object RelationalQueries {
     "e_window_range" -> (eWindowRange _),
     "f_sort_limit" -> (fSortLimit _),
     "f_limit_offset" -> (fLimitOffset _),
+    "f_keyset_page" -> (fKeysetPage _),
     "c_join_hints" -> (cJoinHints _),
     "f_set_ops" -> (fSetOps _),
     "f2_string" -> (f2String _),
@@ -1383,6 +1417,7 @@ object RelationalQueries {
     "e_window_range" -> eWindowRangeSql,
     "f_sort_limit" -> fSortLimitSql,
     "f_limit_offset" -> fLimitOffsetSql,
+    "f_keyset_page" -> fKeysetPageSql,
     "c_join_hints" -> cJoinHintsSql,
     "f_set_ops" -> fSetOpsSql,
     "f2_string" -> f2StringSql,

