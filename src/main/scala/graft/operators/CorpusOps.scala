@@ -794,7 +794,89 @@ object CorpusOps {
       |ORDER BY s.n_shared DESC, s.src_a, s.src_b
       |LIMIT 20""".stripMargin
 
+  // ================================================= Bloom FPR calibration
+
+  /** Bloom-filter FPR calibration curve — the sizing audit behind
+    * [[LlmOps.hDedupBloom]]'s single-rung contract, in the same
+    * measure-the-cheap-operator-against-theory family as
+    * [[hCosineCalibration]] and [[TrainingOps.hMinhashCalibration]]: build
+    * the history filter at FOUR bits-per-key rungs (4/8/12/16), probe a
+    * disjoint non-member key set of the same size, and report the measured
+    * false-positive count against the textbook rate. This is the table a
+    * team reads to PICK bits-per-key for a target FPR before committing a
+    * 10⁹-key memory budget — theory says 8 bits ≈ 2.2 % and 16 bits ≈
+    * 0.05 %, and the audit proves the shipped implementation (Spark's
+    * `BloomFilterAggregate`, k = round(b·ln 2) hashes) actually lands
+    * there on this corpus's keys.
+    *
+    * Determinism: members are distinct fnv64a(text) keys, probes are
+    * distinct fnv64a(text ‖ '|probe') keys (non-members up to a 64-bit
+    * collision), the filter's bit array is an order-insensitive OR-merge,
+    * and the design-rate `fpp = (1 − e^(−k/b))^k` micros are source
+    * literals (identical in both engines by construction, no FP-boundary
+    * risk). The contract booleans: zero false negatives (Bloom's hard
+    * guarantee), and measured fp·10⁶ ≤ 3·design_micro·n_probes + 5·10⁶ —
+    * three-times-theory plus an absolute 5-probe floor so the low-rate
+    * rungs stay deterministic-stable at small probe counts.
+    *
+    * Scale shape: each rung is one distributed partial-then-merge sketch
+    * build (only the ~b·n/8-byte filter reaches the driver — at 10⁹ keys
+    * the 16-bit rung is a ~2 GB broadcast, the documented ceiling; shard
+    * the filter beyond) plus ONE codegen probe pass over the tagged
+    * member∪probe union. The 4-rung loop is driver control-plane like
+    * [[FormatOps.dHeavyHitters]]'s probe loop. */
+  def hBloomCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.registerAll(s)
+    val d = Tables.load(s, dir, "documents")
+    val members = d.select(GraftFunctions.fnv64a(col("text")).as("k")).distinct()
+    val probes = d.select(
+      GraftFunctions.fnv64a(concat(col("text"), lit("|probe"))).as("k")).distinct()
+    val tagged = members.withColumn("is_member", lit(true))
+      .unionAll(probes.withColumn("is_member", lit(false)))
+      .localCheckpoint() // four probe passes; never re-derive the key sets
+    graft.operators.Checkpoints.track(tagged)
+    val n = math.max(members.count(), 1L)
+    // k = round(b·ln2); micros are (1 − e^(−k/b))^k · 1e6, precomputed
+    val rungs = Seq((4L, 146891L), (8L, 21577L), (12L, 3142L), (16L, 458L))
+    val rows = rungs.map { case (bitsPerKey, designMicro) =>
+      val bytes = members
+        .select(org.apache.spark.sql.graft.BloomCols
+          .bloomFilterAgg(col("k"), n, bitsPerKey * n).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val probe = org.apache.spark.sql.graft.BloomCols.mightContain(bytes, col("k"))
+      val r = tagged.agg(
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("is_member"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("is_member") && !probe, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_member") && probe, 1L).otherwise(0L)).as("fp")).head
+      val (nm, np, fn, fp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      (bitsPerKey, nm, np, designMicro,
+        fn == 0L,
+        1000000L * fp <= 3L * designMicro * np + 5000000L)
+    }
+    import s.implicits._
+    rows.toDF("bits_per_key", "n_members", "n_probes", "fpp_design_micro",
+        "no_false_negatives", "fpr_within")
+      .orderBy(col("bits_per_key"))
+  }
+
+  /** DuckDB supplies the exact key-population counts; the booleans carry
+    * the Bloom verdicts (zero false negatives by construction, measured
+    * FPR within three-times-theory + 5-probe floor). */
+  val hBloomCalibrationSql: String =
+    """WITH m AS (SELECT count(DISTINCT text) AS nm FROM documents)
+      |SELECT CAST(bits_per_key AS BIGINT) AS bits_per_key,
+      |  nm AS n_members, nm AS n_probes,
+      |  CAST(fpp_design_micro AS BIGINT) AS fpp_design_micro,
+      |  true AS no_false_negatives, true AS fpr_within
+      |FROM m CROSS JOIN (
+      |  SELECT unnest([4, 8, 12, 16]) AS bits_per_key,
+      |         unnest([146891, 21577, 3142, 458]) AS fpp_design_micro)
+      |ORDER BY bits_per_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_bloom_calibration" -> (hBloomCalibration _),
     "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
@@ -806,6 +888,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_bloom_calibration" -> hBloomCalibrationSql,
     "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,
     "h_quality_ensemble" -> hQualityEnsembleSql,

@@ -1158,25 +1158,24 @@ object LlmOps {
     * (`CAST(round(1e6·d) AS BIGINT)`) so the 8-term ADC sum is
     * order-independent — a double sum would be hostage to reduction
     * order. */
-  def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
-    registerIvfPqCentroids(s, dir)
-    // residual-PQ codebook: 8 rows of 16 code-ordered codewords, derived
-    // from the 16 seed vectors' residuals — sample-sized, checkpointed.
-    // Everything downstream of the coarse chain works in UNIT space
-    // (vn = v/‖v‖, cn = c/‖c‖): the brute/IVF contract is cosine, and L2
-    // over unit vectors is 2−2·cos — monotone in cosine — while L2 over
-    // raw vectors ranks by norm as much as by angle (measured: recall@3
-    // 0.33 raw vs 0.37 normalized at sf0.001)
-    // Codebook choice is MEASURED, not assumed (AnnRecallSpec, sf0.001
-    // recall@3 vs exact cosine top-5): seeded sample codewords 0.37,
-    // Lloyd-refined codewords 0.13. On this corpus the residuals are
-    // isotropic (synthetic embeddings, no cluster structure), so a Lloyd
-    // step collapses every codeword toward the subspace mean (~0) and ADC
-    // degenerates to near-constant distances; full-norm sampled codewords
-    // keep discrimination. On real embedding corpora — where residuals DO
-    // cluster — the refinement is the standard k-means training step and
-    // would win; the seeded form is what the DATA here selects.
+  /** Registers the residual-PQ codebook view `ivfpq_cb` (8 rows of 16
+    * code-ordered codewords, derived from the 16 seed vectors' residuals
+    * — sample-sized, checkpointed). Everything downstream of the coarse
+    * chain works in UNIT space (vn = v/‖v‖, cn = c/‖c‖): the brute/IVF
+    * contract is cosine, and L2 over unit vectors is 2−2·cos — monotone
+    * in cosine — while L2 over raw vectors ranks by norm as much as by
+    * angle (measured: recall@3 0.33 raw vs 0.37 normalized at sf0.001).
+    * Codebook choice is MEASURED, not assumed (AnnRecallSpec, sf0.001
+    * recall@3 vs exact cosine top-5): seeded sample codewords 0.37,
+    * Lloyd-refined codewords 0.13. On this corpus the residuals are
+    * isotropic (synthetic embeddings, no cluster structure), so a Lloyd
+    * step collapses every codeword toward the subspace mean (~0) and ADC
+    * degenerates to near-constant distances; full-norm sampled codewords
+    * keep discrimination. On real embedding corpora — where residuals DO
+    * cluster — the refinement is the standard k-means training step and
+    * would win; the seeded form is what the DATA here selects. Shared by
+    * [[hIvfPqSearch]] and [[hPqRecall]]. */
+  private def registerIvfPqCodebook(s: SparkSession): Unit =
     Checkpoints.track(s.sql(
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1200,7 +1199,12 @@ object LlmOps {
         |SELECT j, array_sort(collect_list(named_struct('code', vec_id, 'cv', sv))) AS cs
         |FROM rsub GROUP BY j""".stripMargin).localCheckpoint())
       .createOrReplaceTempView("ivfpq_cb")
-    s.sql(
+
+  /** The shared compressed-domain query chain, WITH-prefix form ending at
+    * `scored` (every probed candidate with its integer ADC sum):
+    * [[hIvfPqSearch]] appends the top-k select, [[hPqRecall]] appends the
+    * exact-arm comparison. Requires `ivfpq_centn` + `ivfpq_cb` registered. */
+  private val ivfPqScoredCtes: String =
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |normed AS (
@@ -1247,13 +1251,78 @@ object LlmOps {
          |      acc + element_at(element_at(l.lut, j + 1),
          |                       CAST(element_at(d.codes, j + 1) AS INT) + 1)) AS adc_x1e6
          |  FROM luts l JOIN db d ON d.c_id = l.c_id
-         |  WHERE d.vec_id <> l.q_id)
-         |SELECT q_id, n_id, adc_x1e6, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT q_id, n_id, adc_x1e6,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin)
+         |  WHERE d.vec_id <> l.q_id)""".stripMargin
+
+  def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
+    registerIvfPqCodebook(s)
+    s.sql(ivfPqScoredCtes +
+      """
+        |SELECT q_id, n_id, adc_x1e6, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT q_id, n_id, adc_x1e6,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** PQ-distortion recall audit — the compressed-path complement of
+    * [[hAnnRecall]] (which isolates the COARSE index's pruning loss):
+    * within the SAME probed candidate set, how well does the 32×-compressed
+    * integer-ADC ranking reproduce the exact unit-space ranking? Per panel
+    * query: the ADC top-3 against the exact `2 − 2·cos` top-3 over the
+    * probed candidates, as hits, recall millis, and top-1 agreement.
+    * Because truth is computed over the probed set — not the full corpus —
+    * the number is PURE quantization distortion: coarse-pruning loss is
+    * h_ann_recall's column, distortion is this one, and their product
+    * bounds end-to-end recall. This is the table that decides whether to
+    * spend memory on more PQ subspaces or more probes. Promotes the
+    * measurement AnnRecallSpec makes at sf0.001 to a hash-checked,
+    * every-scale contract (the round-13 theme: documented audits become
+    * declared queries).
+    *
+    * Scale shape: [[ivfPqScoredCtes]]'s plan (panel-broadcast LUT join
+    * against the coarse-pruned code table), plus one exact-arm join of the
+    * SAME candidate rows against the broadcast 10-query panel vectors —
+    * candidate-set-sized, never corpus². Both rankings are
+    * WindowGroupLimit top-3. */
+  def hPqRecall(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
+    registerIvfPqCodebook(s)
+    s.sql(ivfPqScoredCtes +
+      """,
+        |adc3 AS (
+        |  SELECT q_id, n_id, rnk FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 3),
+        |exact AS (
+        |  SELECT /*+ BROADCAST(qn) */ s.q_id, s.n_id,
+        |    round(2 - 2 * dot_product(qn.vn, nn.vn), 4) AS l2
+        |  FROM scored s
+        |  JOIN normed qn ON qn.vec_id = s.q_id
+        |  JOIN normed nn ON nn.vec_id = s.n_id),
+        |truth3 AS (
+        |  SELECT q_id, n_id, rnk FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY l2, n_id) AS rnk
+        |    FROM exact)
+        |  WHERE rnk <= 3),
+        |rec AS (
+        |  SELECT t.q_id, count(*) AS n_true,
+        |    CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits,
+        |    max(CASE WHEN t.rnk = 1 AND a.rnk = 1 THEN 1 ELSE 0 END) AS t1
+        |  FROM truth3 t LEFT JOIN adc3 a
+        |    ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |  GROUP BY t.q_id)
+        |SELECT q_id, n_true, n_hits,
+        |  CAST(1000L * n_hits DIV n_true AS BIGINT) AS recall_milli,
+        |  t1 = 1 AS adc_top1_exact
+        |FROM rec ORDER BY q_id""".stripMargin)
   }
 
   /** DuckDB replays the whole query path relationally: the shared
@@ -1261,7 +1330,9 @@ object LlmOps {
     * per-(query, probe, subspace) LUT terms as integer-scaled L2², and the
     * 8-term integer ADC sum — so the compressed-domain SEARCH results,
     * not just the index build, are rows+schema+hash checked. */
-  val hIvfPqSearchSql: String =
+  /** DuckDB twin of [[ivfPqScoredCtes]]: the full seeded-Lloyd + residual
+    * codebook + integer-ADC chain, WITH-prefix form ending at `scored`. */
+  private val ivfPqScoredCtesSql: String =
     """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
@@ -1326,13 +1397,52 @@ object LlmOps {
       |  WHERE d.vec_id <> q.q_id),
       |scored AS (
       |  SELECT q_id, n_id, CAST(sum(t) AS BIGINT) AS adc_x1e6
-      |  FROM terms GROUP BY q_id, n_id)
+      |  FROM terms GROUP BY q_id, n_id)""".stripMargin
+
+  val hIvfPqSearchSql: String = ivfPqScoredCtesSql +
+    """
       |SELECT q_id, n_id, adc_x1e6, rnk FROM (
       |  SELECT q_id, n_id, adc_x1e6,
       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
       |  FROM scored)
       |WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
+
+  /** DuckDB replays BOTH arms — the compressed ADC ranking and the exact
+    * unit-space ranking over the same probed candidates — so the recall
+    * numbers themselves are hash-checked, not just the index output. */
+  val hPqRecallSql: String = ivfPqScoredCtesSql +
+    """,
+      |adc3 AS (
+      |  SELECT q_id, n_id, rnk FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
+      |    FROM scored)
+      |  WHERE rnk <= 3),
+      |exact AS (
+      |  SELECT s.q_id, s.n_id,
+      |    round(2 - 2 * list_dot_product(qn.vn, nn.vn), 4) AS l2
+      |  FROM scored s
+      |  JOIN normedu qn ON qn.vec_id = s.q_id
+      |  JOIN normedu nn ON nn.vec_id = s.n_id),
+      |truth3 AS (
+      |  SELECT q_id, n_id, rnk FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY l2, n_id) AS rnk
+      |    FROM exact)
+      |  WHERE rnk <= 3),
+      |rec AS (
+      |  SELECT t.q_id, count(*) AS n_true,
+      |    CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits,
+      |    max(CASE WHEN t.rnk = 1 AND a.rnk = 1 THEN 1 ELSE 0 END) AS t1
+      |  FROM truth3 t LEFT JOIN adc3 a
+      |    ON t.q_id = a.q_id AND t.n_id = a.n_id
+      |  GROUP BY t.q_id)
+      |SELECT q_id, n_true, n_hits,
+      |  CAST(1000 * n_hits // n_true AS BIGINT) AS recall_milli,
+      |  t1 = 1 AS adc_top1_exact
+      |FROM rec ORDER BY q_id""".stripMargin
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then prune
@@ -2460,6 +2570,7 @@ object LlmOps {
     "h_contam_embedding" -> (hContamEmbedding _),
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
+    "h_pq_recall" -> (hPqRecall _),
     "h_semdedup" -> (hSemDedup _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
@@ -2497,6 +2608,7 @@ object LlmOps {
     "h_contam_embedding" -> hContamEmbeddingSql,
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
+    "h_pq_recall" -> hPqRecallSql,
     "h_semdedup" -> hSemDedupSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,
