@@ -1325,6 +1325,153 @@ object LlmOps {
         |FROM rec ORDER BY q_id""".stripMargin)
   }
 
+  /** IVF index-staleness audit — the MAINTENANCE question the ANN family
+    * hasn't answered yet: the coarse index was trained once (the shipped
+    * seeded-Lloyd chain, the same centroids h_ann_ivf/h_ann_recall
+    * serve), the corpus has since grown — per cluster, how much NEW mass
+    * landed on it and how far has the member centroid moved? vec_id
+    * parity stands in for arrival generation (the [[ProfileOps
+    * .hEmbeddingDrift]] convention: even = standing corpus, odd = the
+    * wave that arrived after training). Per cluster: old/new member
+    * counts, growth in millis, and the cosine between the OLD-members
+    * centroid and the ALL-members centroid — computed on per-dimension
+    * integer sums (cosine is scale-invariant, so cos(mean, mean) =
+    * cos(sum, sum); every exchanged number is exact BIGINT, the drift
+    * idiom). `needs_retrain` fires when new mass exceeds half the old
+    * (growth ≥ 500‰), the cluster is new-only, or the centroid moved
+    * more than ~5.7° (cos < 995‰) — the thresholds a nightly index job
+    * alarms on. Degenerate guards use the engine's sentinel convention
+    * (growth −1, cosine −2000 for empty-old clusters).
+    *
+    * Scale shape: assignment is scan-local against the broadcast
+    * 16-centroid array (the h_ann_ivf plan); the (cluster, dim) integer
+    * sums ride ONE posexplode exchange carrying clusters×dims partial
+    * rows; everything downstream is domain-bounded. At 10⁹ vectors this
+    * is one pass + a KB-sized aggregate — exactly what a nightly
+    * staleness check must cost. */
+  def hIvfStaleness(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |assigned AS (
+         |  SELECT vec_id, v, vec_id % 2 = 1 AS is_new,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
+         |  FROM normed CROSS JOIN cents),
+         |qv AS (
+         |  SELECT c_id, is_new,
+         |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
+         |  FROM assigned),
+         |dims AS (
+         |  SELECT c_id, is_new, i, CAST(element_at(q, i + 1) AS BIGINT) AS xi
+         |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+         |sums AS (
+         |  SELECT c_id, i,
+         |    CAST(sum(CASE WHEN is_new THEN 0 ELSE xi END) AS BIGINT) AS s_old,
+         |    CAST(sum(xi) AS BIGINT) AS s_all,
+         |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS no_i,
+         |    count(*) AS nt_i
+         |  FROM dims GROUP BY c_id, i),
+         |dots AS (
+         |  SELECT c_id,
+         |    CAST(sum(s_old * s_all) AS BIGINT) AS dot,
+         |    CAST(sum(s_old * s_old) AS BIGINT) AS nn0,
+         |    CAST(sum(s_all * s_all) AS BIGINT) AS nn1,
+         |    CAST(max(CASE WHEN i = 0 THEN no_i END) AS BIGINT) AS n_old,
+         |    CAST(max(CASE WHEN i = 0 THEN nt_i - no_i END) AS BIGINT) AS n_new
+         |  FROM sums GROUP BY c_id),
+         |rep AS (
+         |  SELECT d.c_id, d.n_old, d.n_new,
+         |    CAST(CASE WHEN d.n_old = 0 THEN -1
+         |         ELSE 1000L * d.n_new DIV d.n_old END AS BIGINT) AS growth_milli,
+         |    CAST(CASE WHEN d.n_old = 0 OR d.nn0 = 0 OR d.nn1 = 0 THEN -2000
+         |         ELSE floor(1000.0 * d.dot /
+         |              (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
+         |      AS BIGINT) AS shift_cos_milli
+         |  FROM dots d)
+         |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
+         |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995
+         |    AS needs_retrain
+         |FROM rep ORDER BY c_id""".stripMargin)
+  }
+
+  /** DuckDB replays the shipped centroid chain, the assignment, and the
+    * exact-integer centroid-shift arithmetic — the whole audit, not just
+    * the counts. */
+  val hIvfStalenessSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT vec_id, v, vec_id % 2 = 1 AS is_new, c_id FROM (
+      |    SELECT n.vec_id, n.v, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |qv AS (
+      |  SELECT c_id, is_new,
+      |    list_transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
+      |  FROM assigned),
+      |dims AS (
+      |  SELECT c_id, is_new, generate_subscripts(q, 1) - 1 AS i,
+      |    CAST(unnest(q) AS BIGINT) AS xi
+      |  FROM qv),
+      |sums AS (
+      |  SELECT c_id, i,
+      |    CAST(sum(CASE WHEN is_new THEN 0 ELSE xi END) AS BIGINT) AS s_old,
+      |    CAST(sum(xi) AS BIGINT) AS s_all,
+      |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS no_i,
+      |    count(*) AS nt_i
+      |  FROM dims GROUP BY c_id, i),
+      |dots AS (
+      |  SELECT c_id,
+      |    CAST(sum(s_old * s_all) AS BIGINT) AS dot,
+      |    CAST(sum(s_old * s_old) AS BIGINT) AS nn0,
+      |    CAST(sum(s_all * s_all) AS BIGINT) AS nn1,
+      |    CAST(max(CASE WHEN i = 0 THEN no_i END) AS BIGINT) AS n_old,
+      |    CAST(max(CASE WHEN i = 0 THEN nt_i - no_i END) AS BIGINT) AS n_new
+      |  FROM sums GROUP BY c_id),
+      |rep AS (
+      |  SELECT d.c_id, d.n_old, d.n_new,
+      |    CAST(CASE WHEN d.n_old = 0 THEN -1
+      |         ELSE 1000 * d.n_new // d.n_old END AS BIGINT) AS growth_milli,
+      |    CAST(CASE WHEN d.n_old = 0 OR d.nn0 = 0 OR d.nn1 = 0 THEN -2000
+      |         ELSE floor(1000.0 * d.dot /
+      |              (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
+      |      AS BIGINT) AS shift_cos_milli
+      |  FROM dots d)
+      |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
+      |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995
+      |    AS needs_retrain
+      |FROM rep ORDER BY c_id""".stripMargin
+
   /** DuckDB replays the whole query path relationally: the shared
     * seeded-Lloyd centroid chain, residual codes for every db vector,
     * per-(query, probe, subspace) LUT terms as integer-scaled L2², and the
@@ -2571,6 +2718,7 @@ object LlmOps {
     "h_ivfpq_codes" -> (hIvfPqCodes _),
     "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_pq_recall" -> (hPqRecall _),
+    "h_ivf_staleness" -> (hIvfStaleness _),
     "h_semdedup" -> (hSemDedup _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
@@ -2609,6 +2757,7 @@ object LlmOps {
     "h_ivfpq_codes" -> hIvfPqCodesSql,
     "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_pq_recall" -> hPqRecallSql,
+    "h_ivf_staleness" -> hIvfStalenessSql,
     "h_semdedup" -> hSemDedupSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,
