@@ -696,4 +696,50 @@ class PlanAuditSpec extends SparkSuite {
     assert(windows == 2,
       s"expected exactly the per-user lag window + the |types|²-row total window, got $windows:\n$plan")
   }
+
+  test("a_column_stats_approx: the sketch arm is un-Expanded (one Expand total, from the exact arm)") {
+    val plan = FormatOps.aColumnStatsApprox(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the query's whole argument: HLL sketches are PLAIN aggregates, so
+    // the sketch pass must not replicate the scan the way the exact
+    // multi-distinct arm does — exactly one Expand in the combined plan
+    val expands = plan.linesIterator.count(l => l.trim.stripPrefix("+- ").stripPrefix(": ")
+      .dropWhile(c => !c.isLetter).startsWith("Expand"))
+    assert(expands == 1,
+      s"expected ONE Expand (exact arm only), got $expands:\n$plan")
+  }
+
+  test("g_active_users_approx: no window operator; day-sketch explode rides the domain table") {
+    val plan = AnalyticsOps.gActiveUsersApprox(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["),
+      s"all three trailing ranges must fall out of FILTERed union aggregates, not windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"exact and sketch arms combine by a day equi-join:\n$plan")
+  }
+
+  test("h_pq_recall: both rankings group-limit map-side; no cartesian anywhere") {
+    val df = LlmOps.hPqRecall(spark, SparkSpec.sf0001)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"the top-3 ranks must push partial group limits below their exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"candidate scoring joins on c_id / vec_id, never all-pairs:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
+  test("h_ivf_staleness: one posexplode chain, no second corpus pass for the counts") {
+    val plan = LlmOps.hIvfStaleness(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment must ride the broadcast centroid array:\n$plan")
+    // counts fold into the (c_id, i) dimension-sum aggregate — a second
+    // Generate chain over the corpus (beyond the centroid-training one and
+    // the dimension explode) would mean the assigned CTE re-inlined
+    val generates = plan.linesIterator.count(l => l.trim.stripPrefix("+- ").stripPrefix(": ")
+      .dropWhile(c => !c.isLetter).startsWith("Generate"))
+    assert(generates <= 2,
+      s"expected at most the training posexplode + the dims explode, got $generates:\n$plan")
+  }
 }
