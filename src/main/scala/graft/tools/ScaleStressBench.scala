@@ -62,10 +62,11 @@ object ScaleStressBench {
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
   // multiplied block size by K and pair volume by K² — measuring a
-  // mis-tuned audit, not the operator's scaling. The derived modulus
-  // rides the power-of-10 ladder with corpus size (K=10 here crosses
-  // 100 → 1000), holding expected block size — and per-block pair cost —
-  // roughly constant.
+  // mis-tuned audit, not the operator's scaling. Since round 13 the
+  // derived modulus rides the geometric 1-2-5 decade ladder with a
+  // q = ceil(n/50) target (sf0.1 sits AT the m=100 clamp knee), holding
+  // expected block size — and per-block pair cost — within ~2.5× of the
+  // linear target at any K.
 
   private val stride = 10000L
 
