@@ -102,24 +102,40 @@ object Bench {
     val loadAfter = loadavg1m()
 
     // spike adjudication: one same-JVM rerun per outlier, after the full
-    // sequence (so the rerun competes with nothing else in this process)
-    val spikes = results.filter(_._2 > SpikeThresholdSec).flatMap { case (name, spike) =>
+    // sequence (so the rerun competes with nothing else in this process).
+    // A rerun that throws is recorded with floor=null (and the name appended
+    // to `failed`) — a query that succeeded timed but fails on rerun is
+    // flaky evidence the artifact must carry, not silently drop.
+    val spikes = results.filter(_._2 > SpikeThresholdSec).map { case (name, spike) =>
       val t0 = System.nanoTime()
       try {
         materialize(selected(name))
         val floor = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] spike $name: $spike%.2fs -> floor $floor%.2fs")
-        Some(name -> (spike, floor))
-      } catch { case _: Throwable => None } // already reported in the timed pass
+        name -> (spike, Some(floor))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] spike rerun $name THREW: ${e.getMessage}")
+          failed ::= name
+          name -> (spike, None)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = spikes.map { case (k, (s, f)) =>
-      "\"" + k + "\":{\"spike\":" + s + ",\"floor\":" + f + "}"
+      "\"" + k + "\":{\"spike\":" + s + ",\"floor\":" + f.map(_.toString).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spikes":$sp,"loadavg":{"before":$loadBefore,"after":$loadAfter},"failed":$fs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spikes":$sp,"loadavg":{"before":$loadBefore,"after":$loadAfter},"failed":$fs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver tails sbt stdout, where the JSON line drowns in log noise
+    // (BENCH_r13.json came back "parsed": null); also write it to a file so
+    // the artifact carries structured data
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

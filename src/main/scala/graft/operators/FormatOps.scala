@@ -595,9 +595,12 @@ object FormatOps {
     * map-side partial sketches and a few-KB exchange. The exact side
     * (needed only for the cross-engine contract) reuses the Expand
     * multi-distinct pass; the two 1-row aggregates combine by cross join.
-    * Non-sketchable types ride injective casts: DOUBLE money →
-    * floor-cents BIGINT, TIMESTAMP → yyyy-MM-dd (the same representations
-    * [[aColumnStats]] uses for min/max). */
+    * Non-sketchable types ride casts: DOUBLE money → floor-cents BIGINT,
+    * TIMESTAMP → yyyy-MM-dd (the same representations [[aColumnStats]]
+    * uses for min/max). floor-cents is not strictly injective under FP
+    * (two distinct doubles can land in one cent bucket), so the exact arm
+    * counts the SAME floor-cents cast — the tolerance boolean then
+    * measures pure HLL error, not representation mismatch. */
   def aColumnStatsApprox(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
@@ -614,7 +617,7 @@ object FormatOps {
         |  SELECT
         |    count(DISTINCT o_orderkey) AS n1,
         |    count(DISTINCT o_orderstatus) AS n2,
-        |    count(DISTINCT o_totalprice) AS n3,
+        |    count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT)) AS n3,
         |    count(DISTINCT o_orderdate) AS n4
         |  FROM orders)
         |SELECT col_name, ndv_exact,
@@ -640,7 +643,8 @@ object FormatOps {
       |  UNION ALL
       |  SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
       |  UNION ALL
-      |  SELECT 'o_totalprice', count(DISTINCT o_totalprice) FROM orders
+      |  SELECT 'o_totalprice',
+      |    count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT)) FROM orders
       |  UNION ALL
       |  SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
       |ORDER BY col_name""".stripMargin

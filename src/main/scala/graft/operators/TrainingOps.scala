@@ -256,7 +256,7 @@ object TrainingOps {
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |l0 AS MATERIALIZED (SELECT doc_id AS n, doc_id AS label FROM sh),
         |""".stripMargin
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to 9).map { r =>
       s"""l$r AS MATERIALIZED (
          |  SELECT x.n, min(x.label) AS label FROM (
          |    SELECT n, label FROM l${r - 1}
@@ -267,7 +267,18 @@ object TrainingOps {
          |  ) x GROUP BY x.n),
          |""".stripMargin
     }.mkString
-    prefix + rounds + "labels AS MATERIALIZED (SELECT n, label FROM l8)"
+    // convergence guard (the engine side asserts convergence; the oracle
+    // must too): a 9th round is computed and compared against l8 — any
+    // label still moving makes the oracle error out loudly instead of
+    // yielding silently wrong labels that read as an engine mismatch.
+    // 8 pointer-doubling rounds cover component diameter <= 2^8.
+    prefix + rounds +
+      """conv AS MATERIALIZED (
+        |  SELECT count(*) AS n_changed FROM l8 a JOIN l9 b ON a.n = b.n AND a.label <> b.label),
+        |labels AS MATERIALIZED (
+        |  SELECT n, CASE WHEN (SELECT n_changed FROM conv) = 0 THEN label
+        |                 ELSE error('component labels not converged after 8 pointer-doubling rounds')
+        |            END AS label FROM l9)""".stripMargin
   }
 
   val hDedupSurvivorsSql: String =

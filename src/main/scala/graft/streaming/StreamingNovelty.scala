@@ -66,8 +66,8 @@ object StreamingNovelty {
   def apply(stream: DataFrame): Dataset[GramVerdict] = {
     val spark = stream.sparkSession
     import spark.implicits._
-// session-wide provider switch — see StreamingState.requireRocksDB
-StreamingState.requireRocksDB(spark)
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       .selectExpr("lang", "split(text, ' ') AS t")
       .where(expr("size(t) >= 8"))

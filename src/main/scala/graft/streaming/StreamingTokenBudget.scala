@@ -134,8 +134,8 @@ object StreamingTokenBudget {
   def apply(stream: DataFrame, budgets: Map[String, Long]): Dataset[LangBudget] = {
     val spark = stream.sparkSession
     import spark.implicits._
-// session-wide provider switch — see StreamingState.requireRocksDB
-StreamingState.requireRocksDB(spark)
+    // session-wide provider switch — see StreamingState.requireRocksDB
+    StreamingState.requireRocksDB(spark)
     stream
       // toks and draw use the EXACT batch expressions — batch equivalence
       // depends on both

@@ -118,6 +118,17 @@ object ScaleStressBench {
     // these replicas.
     spark.read.parquet(s"$srcDir/orders.parquet").createOrReplaceTempView("src_orders")
     spark.read.parquet(s"$srcDir/events.parquet").createOrReplaceTempView("src_events")
+    // the 1e6 key stride is only collision-free while every source key sits
+    // below it (true at sf<=0.1; sf1 orders reach ~6M) — fail loudly instead
+    // of silently folding replicas together and deflating the ×K ndv the
+    // comment above promises (mirrors the embeddings-rotation require)
+    val maxKeys = spark.sql(
+      """SELECT greatest(max(o_orderkey), max(o_custkey)) FROM src_orders
+        |UNION ALL SELECT greatest(max(event_id), max(user_id)) FROM src_events""".stripMargin)
+      .collect().map(_.getLong(0))
+    require(maxKeys.forall(_ < 1000000L),
+      s"source keys reach ${maxKeys.max} >= 1e6 replica stride; keys would collide across replicas " +
+        "(raise the stride past max(key) for this source scale)")
     spark.sql(
       s"""SELECT o_orderkey + r * 1000000L AS o_orderkey,
          |  o_custkey + r * 1000000L AS o_custkey,
