@@ -1,0 +1,392 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.SparkSuite
+
+/** The crash-recovery contract, per streaming twin (round-13 verdict's top
+  * item): every twin's operational claim is a STATE-RESIDENT standing index
+  * — and that claim only holds if the index survives a JVM restart. Each
+  * test here processes a first wave, `stop()`s the query, starts a NEW
+  * query from the SAME RocksDB `checkpointLocation`, processes a second
+  * wave, and asserts the combined output equals what a single uninterrupted
+  * run produces (the batch arm or closed-form arithmetic supplies truth).
+  * This is the Structured-Streaming analogue of the reference's crash
+  * posture: NSQ redelivers un-FINed messages after `MsgTimeout` (main.go:66)
+  * and the writer requeues on failure (kinesis_writer.go:114-127) — state
+  * that forgets across a restart would silently re-admit, re-emit, or
+  * under-count everything in flight at the crash.
+  *
+  * Mechanics shared by all seven tests:
+  *  - ONE `MemoryStream` spans both query incarnations; the restarted query
+  *    reads the checkpointed offset log and resumes exactly after the last
+  *    committed batch (an uncommitted final batch re-runs under its original
+  *    batch id, which the foreachBatch capture map absorbs by overwrite).
+  *  - Output is captured via `foreachBatch` into a ConcurrentHashMap keyed
+  *    by batch id — memory-sink tables do NOT survive a query restart, so a
+  *    sink-table assertion would only see the second run.
+  *  - Post-restart assertions read batches with id strictly greater than
+  *    the last id seen before the stop: re-runs keep their original id, so
+  *    those are guaranteed-new data, where lost state would betray itself
+  *    (a replayed key re-emitted, a frontier reset, a sketch restarted).
+  */
+class CheckpointRecoverySpec extends SparkSuite {
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString
+
+  private def await(cond: () => Boolean, what: String, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline && !cond()) Thread.sleep(200)
+    assert(cond(), s"timed out waiting for $what")
+  }
+
+  /** Let in-flight commits land before stopping (stop() between the state
+    * commit and the offset-log write is exactly the crash being simulated;
+    * the pause just keeps the HAPPY path deterministic). */
+  private def settle(): Unit = Thread.sleep(1200L)
+
+  private def capture[T](captured: ConcurrentHashMap[Long, Array[T]])(
+      df: Dataset[T], id: Long): Unit = {
+    val rows = df.collect()
+    if (rows.nonEmpty) captured.put(id, rows)
+    ()
+  }
+
+  private def latest[T](captured: ConcurrentHashMap[Long, Array[T]]): Option[Array[T]] =
+    captured.asScala.toSeq.sortBy(_._1).lastOption.map(_._2)
+
+  private def maxBatch[T](captured: ConcurrentHashMap[Long, Array[T]]): Long =
+    captured.asScala.keys.foldLeft(-1L)(math.max)
+
+  test("TwoGenDeduper: generation state survives restart — replayed keys stay suppressed") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val wave1 = Seq(
+      Msg("0000000000000001", new Timestamp(1000000001L), 1, "a".getBytes("UTF-8")),
+      Msg("0000000000000002", new Timestamp(1000000002L), 1, "b".getBytes("UTF-8")))
+    val fresh = Msg("0000000000000003", new Timestamp(1000000003L), 1, "c".getBytes("UTF-8"))
+    val captured = new ConcurrentHashMap[Long, Array[TwoGenDeduper.DedupRow]]()
+    // 10-min rotation: the whole stop/restart sequence sits inside one
+    // generation, so suppression depends ONLY on the recovered state
+    val out = TwoGenDeduper(input.toDF(), rotationMs = 600000L)
+    val checkpoint = ckpt("recover-twogen")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+
+    val q1 = start()
+    val preRestartMax =
+      try {
+        input.addData(wave1)
+        await(() => captured.asScala.values.map(_.length).sum == 2, "first wave emitted")
+        settle()
+        maxBatch(captured)
+      } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave1 :+ fresh) // replay the committed wave + one new key
+      await(() => captured.asScala.exists { case (id, rows) =>
+        id > preRestartMax && rows.exists(_.id == fresh.id) }, "fresh key emitted post-restart")
+      settle()
+      val postRestart = captured.asScala.collect {
+        case (id, rows) if id > preRestartMax => rows.map(_.id).toSeq
+      }.flatten.toSeq
+      assert(postRestart === Seq(fresh.id),
+        s"replayed keys must stay suppressed by the RECOVERED generation state, got $postRestart")
+      val all = captured.asScala.values.flatten.map(_.id).toSeq.sorted
+      assert(all === Seq("0000000000000001", "0000000000000002", "0000000000000003"),
+        "combined emitted set must equal the no-restart run")
+    } finally q2.stop()
+  }
+
+  test("StreamingNearDup: bucket residents survive restart — a post-restart probe still hits") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val text = "alpha beta gamma delta epsilon zeta"
+    val captured = new ConcurrentHashMap[Long, Array[StreamingNearDup.NearDupHit]]()
+    val out = StreamingNearDup(input.toDF().toDF("doc_id", "text"))
+    val checkpoint = ckpt("recover-neardup")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, text))) // doc 1 enrolls; no hits yet
+      settle()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(Seq((2L, text))) // identical text -> all 16 bands match
+      await(() => captured.asScala.values.map(_.length).sum >= 16, "post-restart probe hits")
+      settle()
+      val hits = captured.asScala.values.flatten.map(h => (h.a_id, h.b_id)).toSeq
+      assert(hits.toSet === Set((1L, 2L)),
+        "the resident enrolled before the restart must still answer probes")
+      assert(hits.length === 16,
+        s"exactly one recovered resident copy -> 16 per-band hits, got ${hits.length}")
+    } finally q2.stop()
+  }
+
+  test("StreamingNovelty: the (lang, gram) seen-set survives restart — no second novel=true") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val doc = (1L, "t1 t2 t3 t4 t5 t6 t7 t8", "en") // exactly one 8-gram
+    val captured = new ConcurrentHashMap[Long, Array[StreamingNovelty.GramVerdict]]()
+    val out = StreamingNovelty(input.toDF().toDF("doc_id", "text", "lang"))
+    val checkpoint = ckpt("recover-novelty")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+
+    val q1 = start()
+    val preRestartMax =
+      try {
+        input.addData(Seq(doc))
+        await(() => captured.asScala.values.map(_.length).sum == 1, "first verdict")
+        settle()
+        assert(captured.asScala.values.flatten.map(_.novel).toSeq === Seq(true))
+        maxBatch(captured)
+      } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(Seq(doc)) // same gram after restart
+      await(() => captured.asScala.exists(_._1 > preRestartMax), "post-restart verdict")
+      settle()
+      val verdicts = captured.asScala.values.flatten.map(_.novel).toSeq
+      assert(verdicts.count(identity) === 1,
+        "novel=true must fire at most once per gram EVER, across restarts")
+      assert(verdicts.length === 2)
+    } finally q2.stop()
+  }
+
+  test("StreamingStratifiedSampler: bottom-k state survives restart — final sample equals the no-restart run") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val wave1 = Seq(
+      (1L, "doc one text", "en", "web", 12L),
+      (2L, "doc two text", "en", "web", 12L),
+      (3L, "doc three text", "en", "web", 14L))
+    val wave2 = Seq(
+      (4L, "doc four text", "en", "web", 13L),
+      (5L, "doc five text", "en", "web", 15L))
+
+    // control: ONE uninterrupted query over both waves supplies truth
+    def run(f: (MemoryStream[(Long, String, String, String, Long)],
+                ConcurrentHashMap[Long, Array[StreamingStratifiedSampler.StratumSample]],
+                () => StreamingQuery) => Unit): StreamingStratifiedSampler.StratumSample = {
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val captured = new ConcurrentHashMap[Long, Array[StreamingStratifiedSampler.StratumSample]]()
+      val out = StreamingStratifiedSampler(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), k = 2)
+      val checkpoint = ckpt("recover-sampler")
+      val start = () => out.writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.ProcessingTime(200L))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(capture(captured) _)
+        .start()
+      f(input, captured, start)
+      latest(captured).get.head
+    }
+
+    val control = run { (input, captured, start) =>
+      val q = start()
+      try {
+        input.addData(wave1 ++ wave2)
+        await(() => latest(captured).exists(_.exists(_.n_stratum == 5L)), "control run")
+      } finally q.stop()
+    }
+
+    val recovered = run { (input, captured, start) =>
+      val q1 = start()
+      try {
+        input.addData(wave1)
+        await(() => latest(captured).exists(_.exists(_.n_stratum == 3L)), "first wave")
+        settle()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(wave2)
+        await(() => latest(captured).exists(_.exists(_.n_stratum == 5L)), "second wave")
+        settle()
+      } finally q2.stop()
+    }
+
+    assert(recovered === control,
+      "the recovered bottom-k sample must equal the uninterrupted run's")
+  }
+
+  test("StreamingTokenBudget: the admission ledger survives restart — final budget equals the no-restart run") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val wave1 = Seq(
+      (1L, "one two three four", "en"),
+      (2L, "five six seven eight nine", "en"),
+      (3L, "ten eleven twelve", "en"))
+    val wave2 = Seq(
+      (4L, "thirteen fourteen", "en"),
+      (5L, "fifteen sixteen seventeen", "en"))
+
+    def run(f: (MemoryStream[(Long, String, String)],
+                ConcurrentHashMap[Long, Array[StreamingTokenBudget.LangBudget]],
+                () => StreamingQuery) => Unit): StreamingTokenBudget.LangBudget = {
+      val input = MemoryStream[(Long, String, String)]
+      val captured = new ConcurrentHashMap[Long, Array[StreamingTokenBudget.LangBudget]]()
+      val out = StreamingTokenBudget(
+        input.toDF().toDF("doc_id", "text", "lang"), budgets = Map("en" -> 8L))
+      val checkpoint = ckpt("recover-budget")
+      val start = () => out.writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.ProcessingTime(200L))
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(capture(captured) _)
+        .start()
+      f(input, captured, start)
+      latest(captured).get.head
+    }
+
+    val control = run { (input, captured, start) =>
+      val q = start()
+      try {
+        input.addData(wave1 ++ wave2)
+        await(() => latest(captured).exists(_.exists(_.n_seen == 5L)), "control run")
+      } finally q.stop()
+    }
+
+    val recovered = run { (input, captured, start) =>
+      val q1 = start()
+      try {
+        input.addData(wave1)
+        await(() => latest(captured).exists(_.exists(_.n_seen == 3L)), "first wave")
+        settle()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(wave2)
+        await(() => latest(captured).exists(_.exists(_.n_seen == 5L)), "second wave")
+        settle()
+      } finally q2.stop()
+    }
+
+    assert(recovered === control,
+      "the recovered admission ledger must equal the uninterrupted run's " +
+        "(a reset ledger would re-admit past the budget)")
+  }
+
+  test("StreamingBotScreen: the gap frontier survives restart — sums continue, not reset") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    // user 1 at t = 1..3 s before the restart, t = 4..5 s after
+    val wave1 = Seq((1L, 1L, 1000000L), (2L, 1L, 2000000L), (3L, 1L, 3000000L))
+    val wave2 = Seq((4L, 1L, 4000000L), (5L, 1L, 5000000L))
+    val captured = new ConcurrentHashMap[Long, Array[StreamingBotScreen.UserRegularity]]()
+    val out = StreamingBotScreen(input.toDF().toDF("event_id", "user_id", "tus"))
+    val checkpoint = ckpt("recover-botscreen")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(wave1)
+      await(() => latest(captured).exists(_.exists(_.n_events == 3L)), "first wave")
+      settle()
+      val first = latest(captured).get.head
+      assert((first.n_gaps, first.sg, first.sg2) === ((2L, 2L, 2L)))
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave2)
+      await(() => latest(captured).exists(_.exists(_.n_events == 5L)), "second wave")
+      settle()
+      val rec = latest(captured).get.head
+      // a lost frontier would restart the run at t=4s: n_events=2, sg=1
+      assert((rec.n_events, rec.n_gaps, rec.sg, rec.sg2) === ((5L, 4L, 4L, 4L)),
+        "gap sums must CONTINUE from the recovered frontier, exactly as one run")
+    } finally q2.stop()
+  }
+
+  test("StreamingActiveUsers: day sketches survive restart — estimates equal batch over both waves") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val day = 20000L
+    def rows(users: Range): Seq[(Long, Long)] =
+      users.map(u => (u.toLong, day * 86400000000L + u * 1000L))
+    val wave1 = rows(1 to 100)
+    val wave2 = rows(50 to 150) // overlaps wave 1: union ndv 150, not 201
+    val captured = new ConcurrentHashMap[Long, Array[StreamingActiveUsers.ShardSketch]]()
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingActiveUsers(input.toDF().toDF("user_id", "tus"))
+    val checkpoint = ckpt("recover-activeusers")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+
+    // latest emission per (day, shard) across all batches AND both runs
+    def dayEstimate(): Option[Long] = {
+      val l = captured.asScala.toSeq.sortBy(_._1)
+        .flatMap { case (id, out) => out.map(s => (s.day, s.shard) -> s) }.toMap
+      if (l.isEmpty) None
+      else l.values.toSeq.toDF()
+        .groupBy($"day")
+        .agg(org.apache.spark.sql.functions.expr(
+          "hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+        .collect().headOption.map(_.getLong(1))
+    }
+    def batchEstimate(data: Seq[(Long, Long)]): Long = {
+      data.toDF("user_id", "tus").createOrReplaceTempView("ckpt_au_rows")
+      spark.sql(
+        """SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 14)) AS est
+          |FROM ckpt_au_rows""".stripMargin).collect().head.getLong(0)
+    }
+
+    val q1 = start()
+    try {
+      input.addData(wave1)
+      await(() => dayEstimate().contains(batchEstimate(wave1)), "wave-1 estimate")
+      settle()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave2)
+      // bit-compatibility: the recovered sketches unioned with wave-2 updates
+      // must equal a one-shot batch sketch over the union of both waves —
+      // lost state would estimate ~101 (wave 2 alone), not the union's 150
+      await(() => dayEstimate().contains(batchEstimate(wave1 ++ wave2)),
+        "post-restart estimate equals batch over both waves")
+    } finally q2.stop()
+  }
+}
