@@ -711,9 +711,16 @@ object LlmOps {
 
   private[operators] def hAnnIvfWith(s: SparkSession, dir: String, refined: Boolean,
                                      queryPred: String = "vec_id < 10",
-                                     nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+                                     nlist: Int = 16, nprobe: Int = 2): DataFrame =
+    ivfSearch(s, dir, ivfCentSql(refined, nlist), queryPred, nprobe)
+
+  /** IVF probe + rank against ANY `centn(c_id, cv, cnrm)` CTE — shared by
+    * the declared query (shipped seeded-Lloyd centroids) and the
+    * staleness→retrain bridge (refreshed centroids from a registered
+    * view), so both searches run the identical plan. */
+  private def ivfSearch(s: SparkSession, dir: String, centn: String,
+                        queryPred: String, nprobe: Int): DataFrame = {
     embeds(s, dir)
-    val centn = ivfCentSql(refined, nlist)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -746,6 +753,76 @@ object LlmOps {
          |WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin)
   }
+
+  /** The flagged-cluster set from [[hIvfStaleness]] — a bounded 16-row
+    * control-plane collect (the [[ScaleOps.recommendedSalt]] bridge
+    * pattern): the nightly audit's `needs_retrain` column consumed as
+    * data, not read off a report by a human. */
+  def ivfStaleClusters(s: SparkSession, dir: String): Seq[Long] =
+    hIvfStaleness(s, dir).collect()
+      .filter(_.getAs[Boolean]("needs_retrain"))
+      .map(_.getAs[Long]("c_id")).toSeq.sorted
+
+  /** The staleness→retrain ACTION (round-13 verdict item): re-run the
+    * Lloyd refinement step over the clusters [[hIvfStaleness]] flagged
+    * (growth ≥ 500‰, new-only, or centroid shift cos < 995‰) and ONLY
+    * those — unflagged centroids ship unchanged, so the nightly job
+    * touches exactly the alarmed fraction of the index. Each flagged
+    * centroid becomes the element-wise mean of ALL its current members
+    * (the post-growth population the staleness audit measured drift
+    * against); a flagged cluster that somehow has no members keeps its
+    * stale centroid (the coalesce sentinel, matching the seeded chain's
+    * empty-cluster rule).
+    *
+    * Scale shape: assignment is the same broadcast-16-array scan as
+    * [[hAnnIvf]]; the member means ride one posexplode exchange of
+    * (flagged-clusters × dims) partials — strictly LESS work than the
+    * original training pass when few clusters alarm, and never more than
+    * one corpus scan. Returns the 16-row refreshed centroid table
+    * (c_id, cv, cnrm, retrained); register it as a view and search it
+    * via [[hAnnIvfFromView]]. AnnRecallSpec proves the refreshed index
+    * does not lose recall vs the stale one on the h_ann_recall panel. */
+  def ivfRetrainedCentroids(s: SparkSession, dir: String,
+                            flagged: Seq[Long]): DataFrame = {
+    embeds(s, dir)
+    val flaggedList = if (flagged.isEmpty) "-1" else flagged.mkString(", ")
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |assigned AS (
+         |  SELECT vec_id, v,
+         |    array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
+         |  FROM normed CROSS JOIN cents),
+         |fm AS (SELECT c_id, v FROM assigned WHERE c_id IN ($flaggedList)),
+         |fdim AS (
+         |  SELECT c_id, pos, avg(val) AS m
+         |  FROM fm LATERAL VIEW posexplode(v) t AS pos, val
+         |  GROUP BY c_id, pos),
+         |fcent AS (
+         |  SELECT c_id,
+         |    transform(array_sort(collect_list(named_struct('pos', pos, 'm', m))), p -> p.m) AS cv
+         |  FROM fdim GROUP BY c_id),
+         |merged AS (
+         |  SELECT c.c_id, coalesce(n.cv, c.cv) AS cv, n.c_id IS NOT NULL AS retrained
+         |  FROM centn c LEFT JOIN fcent n ON c.c_id = n.c_id)
+         |SELECT c_id, cv, sqrt(dot_product(cv, cv)) AS cnrm, retrained
+         |FROM merged""".stripMargin)
+  }
+
+  /** IVF search against a registered `(c_id, cv, cnrm)` centroid view —
+    * the serving side of the retrain bridge. */
+  private[operators] def hAnnIvfFromView(s: SparkSession, dir: String, centView: String,
+                                         queryPred: String = "vec_id < 10",
+                                         nprobe: Int = 2): DataFrame =
+    ivfSearch(s, dir, s"centn AS (SELECT c_id, cv, cnrm FROM $centView)",
+      queryPred, nprobe)
 
   /** Full IVF oracle: DuckDB replays the identical seeded Lloyd iteration
     * (sample assignment → element-wise means → empty clusters keep seed),

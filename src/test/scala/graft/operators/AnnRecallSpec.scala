@@ -183,6 +183,84 @@ class AnnRecallSpec extends SparkSuite {
     }
   }
 
+  test("staleness→retrain bridge: flagged-cluster retrain does not lose recall vs the stale index") {
+    // round-13 verdict item 4: h_ivf_staleness names `needs_retrain` —
+    // this proves something CONSUMES it, the way recommendedSalt consumes
+    // a_skew_profile. ivfStaleClusters collects the audit's flagged set
+    // (LlmOps.hIvfStaleness thresholds: growth ≥ 500‰, new-only, or
+    // centroid shift cos < 995‰); ivfRetrainedCentroids re-runs the Lloyd
+    // step over THOSE clusters only; the refreshed index is then
+    // re-measured on the same out-of-sample panel as the quantizer test.
+    val dir = "/root/testdata/sf0.01"
+    val pred = "vec_id >= 400"
+    LlmOps.embeds(spark, dir) // pin the view before the baseline (see above)
+    val brute = topk(spark.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |q AS (SELECT * FROM normed WHERE $pred),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    round(dot_product(q.v, n.v) / (q.nrm * n.nrm), 4) AS cosine
+         |  FROM q JOIN normed n ON q.vec_id <> n.vec_id)
+         |SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin).collect())
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = brute.keys.toSeq.map { q =>
+        val a = m.getOrElse(q, Set.empty)
+        if (a.isEmpty) 0.0 else a.count(brute(q).contains).toDouble / math.min(3, brute(q).size)
+      }
+      per.sum / per.size
+    }
+
+    // the audit's flagged set (vec_id parity: half the corpus arrived
+    // after training, so growth alarms fire — the retrain has real work)
+    val flagged = LlmOps.ivfStaleClusters(spark, dir)
+    assert(flagged.nonEmpty, "the parity-split corpus must alarm at least one cluster")
+
+    // the bridge retrains EXACTLY the flagged set
+    val refreshed = LlmOps.ivfRetrainedCentroids(spark, dir, flagged)
+    refreshed.createOrReplaceTempView("ivf_cent_refreshed")
+    val retrainedSet = refreshed.collect()
+      .filter(_.getAs[Boolean]("retrained")).map(_.getAs[Long]("c_id")).toSeq.sorted
+    assert(retrainedSet === flagged,
+      s"bridge must retrain the audit's flagged set, got $retrainedSet vs $flagged")
+
+    // recall with refreshed centroids must not drop below the stale index
+    val staleR = recall(topk(LlmOps.hAnnIvfWith(spark, dir, refined = true, pred).collect()))
+    val freshR = recall(topk(
+      LlmOps.hAnnIvfFromView(spark, dir, "ivf_cent_refreshed", pred).collect()))
+    info(f"ivf recall@3 out-of-sample: stale=$staleR%.2f retrained=$freshR%.2f " +
+      s"(${flagged.size}/16 clusters flagged)")
+    assert(freshR >= staleR,
+      f"flagged-cluster retrain lost recall: $freshR%.2f < $staleR%.2f")
+
+    // and the quantity the Lloyd step optimizes must improve: mean angular
+    // distortion over the grown corpus (the stale centroids were trained
+    // before the odd-parity wave arrived — retraining on all current
+    // members must fit the grown population at least as well)
+    def distortion(centView: String): Double = {
+      spark.sql(
+        s"""WITH base AS (
+          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |normed AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+          |cc AS (SELECT collect_list(named_struct('cv', cv, 'cnrm', cnrm)) AS cs FROM $centView)
+          |SELECT avg(1.0 - array_max(transform(cs,
+          |  c -> dot_product(v, c.cv) / (nrm * c.cnrm)))) AS d
+          |FROM normed CROSS JOIN cc""".stripMargin).collect()(0).getDouble(0)
+    }
+    LlmOps.ivfCentroids(spark, dir, refined = true).createOrReplaceTempView("ivf_cent_stale")
+    val staleD = distortion("ivf_cent_stale")
+    val freshD = distortion("ivf_cent_refreshed")
+    info(f"ivf mean angular distortion over the grown corpus: stale=$staleD%.4f retrained=$freshD%.4f")
+    assert(freshD <= staleD,
+      f"retrain increased quantization distortion: $freshD%.4f > $staleD%.4f")
+  }
+
   test("banded-LSH near-dup equals the exact all-pairs join (recall yardstick)") {
     // the oracle-checked query is the bucketed plan; this spec keeps the
     // O(n²) exact join as the ground truth it must reproduce
