@@ -202,6 +202,73 @@ object StreamBench {
     query.processAllAvailable()
     CountingTransport.reset()
 
+    // ---- soak mode (SPARK_GRAFT_SOAK_SEC): sustained multi-minute run.
+    // The fixed-N path measures burst capacity; the soak answers the
+    // operational question — does throughput HOLD and does state stay
+    // BOUNDED when the pipeline runs continuously? A feeder loop
+    // generates fresh messages (10 % duplicates, event time advancing
+    // 1 ms/msg so the dedup watermark keeps moving) and throttles itself
+    // to a bounded backlog, so MemoryStream's committed-batch trimming
+    // keeps the source from becoming the memory story. Every
+    // SPARK_GRAFT_SOAK_SAMPLE_SEC (default 15) it samples: interval
+    // user-rec/s, dedup-state rows + bytes (from the progress's state
+    // operator), and JVM heap. One JSON line with the full time series —
+    // the BASELINE.md soak table reads straight off it.
+    val soak = sys.env.get("SPARK_GRAFT_SOAK_SEC").map(_.toInt)
+    if (soak.isDefined) {
+      val soakSec = soak.get
+      val sampleSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SAMPLE_SEC", "15").toInt
+      // 60k-row backlog / 10k-row chunks: the production analogue of
+      // maxOffsetsPerTrigger. A 200k backlog let single micro-batches grow
+      // past what 32 concurrent state-store tasks can sort in an 8 GB heap
+      // (measured: heap OOM in the dedup exchange ~25 s in); at 60k the
+      // 30 s probe holds 28k rec/s with a stable ~3.1 GB heap.
+      val chunk = sys.env.getOrElse("SPARK_GRAFT_SOAK_CHUNK", "10000").toInt
+      val backlogCap = sys.env.getOrElse("SPARK_GRAFT_SOAK_BACKLOG", "60000").toLong
+      val rt = Runtime.getRuntime
+      var gen = 1000 // ids continue after the warm-up epoch
+      var lastRecs = 0L
+      val t0Soak = System.nanoTime()
+      var lastNs = t0Soak
+      val samples = scala.collection.mutable.ArrayBuffer.empty[String]
+      def sample(): Unit = {
+        val now = System.nanoTime()
+        val recs = CountingTransport.userRecords.get()
+        val rate = (recs - lastRecs) / ((now - lastNs) / 1e9)
+        lastRecs = recs; lastNs = now
+        val st = Option(query.lastProgress).flatMap(_.stateOperators.headOption)
+        samples += s"""{"t_sec":${((now - t0Soak) / 1e9).round},"rate":${rate.round},""" +
+          s""""state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
+          s""""state_bytes":${st.map(_.memoryUsedBytes).getOrElse(-1L)},""" +
+          s""""heap_mb":${(rt.totalMemory() - rt.freeMemory()) / 1048576}}"""
+      }
+      var nextSample = t0Soak + sampleSec * 1000000000L
+      while ((System.nanoTime() - t0Soak) / 1e9 < soakSec) {
+        // delivered ≈ 0.9 × input (dedup drops the planted 10 %)
+        val backlog = (gen - 1000L) * 9 / 10 - CountingTransport.userRecords.get()
+        if (backlog < backlogCap) {
+          input.addData((gen until gen + chunk).map(i =>
+            if (i % 10 == 9) msg(i, i - 1) else msg(i, i)))
+          gen += chunk
+        } else Thread.sleep(20L)
+        if (System.nanoTime() >= nextSample) { sample(); nextSample += sampleSec * 1000000000L }
+      }
+      query.processAllAvailable()
+      sample() // drain sample closes the series
+      val sec = (System.nanoTime() - t0Soak) / 1e9
+      query.stop()
+      val recs = CountingTransport.userRecords.get()
+      println(
+        s"""{"metric":"stream_soak_user_rec_per_sec","value":${(recs / sec).round},"unit":"rec/sec",""" +
+        s""""stage":"$stage","state":"${sys.env.getOrElse("SPARK_GRAFT_STATE", "hdfs")}",""" +
+        s""""shuffle":$shuffle,"soak_sec":${sec.round},"input_msgs":${gen - 1000},""" +
+        s""""delivered_user_records":$recs,"mb":${CountingTransport.bytes.get() / 1e6},""" +
+        s""""samples":${samples.mkString("[", ",", "]")}}""")
+      spark.stop()
+      httpSink.foreach(_.stop())
+      sys.exit(0)
+    }
+
     val work = msgs.drop(1000)
     val t0 = System.nanoTime()
     work.grouped(20000).foreach { chunk => input.addData(chunk) }

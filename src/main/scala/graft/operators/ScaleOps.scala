@@ -120,6 +120,27 @@ object ScaleOps {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** [[cJoinSalted]] with the salt factor DERIVED by [[recommendedSalt]]
+    * from the fact side's own key profile instead of hardcoded — the
+    * profile→action bridge promoted to an oracle-visible declared query
+    * (round-13 verdict item 7): the diagnostic-to-knob path now runs
+    * inside the correctness gate at both sf0.01 and sf0.1, so a
+    * regression in the derivation arithmetic (or a salt factor that
+    * breaks join semantics) hash-mismatches instead of hiding in a spec.
+    * The derivation is one bounded 1-row aggregate; the answer is
+    * salt-count-invariant, so the oracle is the plain join. */
+  def cJoinSaltedAuto(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    val salts = math.max(1, recommendedSalt(li, "l_orderkey"))
+    saltedJoin(li.withColumnRenamed("l_orderkey", "k"), ord.withColumnRenamed("o_orderkey", "k"), "k", salts)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---------------------------------------------------------------- as-of join
 
   /** As-of join (point-in-time lookup): each click is matched to the user's
@@ -299,6 +320,7 @@ object ScaleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_join_bucketed" -> (cJoinBucketed _),
     "c_join_salted" -> (cJoinSalted _),
+    "c_join_salted_auto" -> (cJoinSaltedAuto _),
     "c_join_asof" -> (cJoinAsof _),
     "c_join_bloom" -> (cJoinBloom _),
     "g_event_rate" -> (gEventRate _),
@@ -308,6 +330,7 @@ object ScaleOps {
   def oracle: Map[String, String] = Map(
     "c_join_bucketed" -> cJoinBucketedSql,
     "c_join_salted" -> cJoinSaltedSql,
+    "c_join_salted_auto" -> cJoinSaltedSql,
     "c_join_asof" -> cJoinAsofSql,
     "c_join_bloom" -> cJoinBloomSql,
     "g_event_rate" -> gEventRateSql,
