@@ -1608,7 +1608,15 @@ object TrainingOps {
     * Block-size overshoot between crossings is now ≤2.5× (pair volume
     * ≤~2.5× the linear target at ANY corpus size, vs 10×/100× before).
     * At today's scale factors the derived m is exactly the previous
-    * constant 100. */
+    * constant 100.
+    *
+    * K=40 stress adjudication (round 14, BASELINE.md): phase-profiled
+    * via [[graft.tools.MinhashProfile]] — every term is at-most-linear
+    * (sig 8.05× wall for exactly 40× md5 work; inter 6.40× for ~33–40×
+    * matches); the measured 5±1× full-query ratio reflects a K=1
+    * baseline that is ~90 % real work, not a super-linear term. A
+    * SHUFFLE_HASH gram join is 40 % faster isolated but OOMs at K=40
+    * (non-spilling build side) — the sort-merge plan is deliberate. */
   def hMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     Checkpoints.track(s.sql(
