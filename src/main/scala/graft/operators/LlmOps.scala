@@ -1444,58 +1444,125 @@ object LlmOps {
     * rows; everything downstream is domain-bounded. At 10⁹ vectors this
     * is one pass + a KB-sized aggregate — exactly what a nightly
     * staleness check must cost. */
+  /** The staleness-audit CTE chain (everything up to `rep`) — shared by
+    * [[hIvfStaleness]] (the report) and [[hIvfRetrain]] (the action), so
+    * the alarm and the retrain it drives can never drift. */
+  private def ivfStalenessCtes: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+       |${ivfCentSql(refined = true)},
+       |cents AS (
+       |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+       |  FROM centn),
+       |assigned AS (
+       |  SELECT vec_id, v, vec_id % 2 = 1 AS is_new,
+       |    array_sort(transform(cs, c -> named_struct(
+       |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
+       |  FROM normed CROSS JOIN cents),
+       |qv AS (
+       |  SELECT c_id, is_new,
+       |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
+       |  FROM assigned),
+       |dims AS (
+       |  SELECT c_id, is_new, i, CAST(element_at(q, i + 1) AS BIGINT) AS xi
+       |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
+       |sums AS (
+       |  SELECT c_id, i,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE xi END) AS BIGINT) AS s_old,
+       |    CAST(sum(xi) AS BIGINT) AS s_all,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS no_i,
+       |    count(*) AS nt_i
+       |  FROM dims GROUP BY c_id, i),
+       |dots AS (
+       |  SELECT c_id,
+       |    CAST(sum(s_old * s_all) AS BIGINT) AS dot,
+       |    CAST(sum(s_old * s_old) AS BIGINT) AS nn0,
+       |    CAST(sum(s_all * s_all) AS BIGINT) AS nn1,
+       |    CAST(max(CASE WHEN i = 0 THEN no_i END) AS BIGINT) AS n_old,
+       |    CAST(max(CASE WHEN i = 0 THEN nt_i - no_i END) AS BIGINT) AS n_new
+       |  FROM sums GROUP BY c_id),
+       |rep AS (
+       |  SELECT d.c_id, d.n_old, d.n_new,
+       |    CAST(CASE WHEN d.n_old = 0 THEN -1
+       |         ELSE 1000L * d.n_new DIV d.n_old END AS BIGINT) AS growth_milli,
+       |    CAST(CASE WHEN d.n_old = 0 OR d.nn0 = 0 OR d.nn1 = 0 THEN -2000
+       |         ELSE floor(1000.0 * d.dot /
+       |              (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
+       |      AS BIGINT) AS shift_cos_milli
+       |  FROM dots d)""".stripMargin
+
   def hIvfStaleness(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
-    s.sql(
-      s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |normed AS (
-         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
-         |cents AS (
-         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
-         |  FROM centn),
-         |assigned AS (
-         |  SELECT vec_id, v, vec_id % 2 = 1 AS is_new,
-         |    array_sort(transform(cs, c -> named_struct(
-         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
-         |  FROM normed CROSS JOIN cents),
-         |qv AS (
-         |  SELECT c_id, is_new,
-         |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
-         |  FROM assigned),
-         |dims AS (
-         |  SELECT c_id, is_new, i, CAST(element_at(q, i + 1) AS BIGINT) AS xi
-         |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
-         |sums AS (
-         |  SELECT c_id, i,
-         |    CAST(sum(CASE WHEN is_new THEN 0 ELSE xi END) AS BIGINT) AS s_old,
-         |    CAST(sum(xi) AS BIGINT) AS s_all,
-         |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS no_i,
-         |    count(*) AS nt_i
-         |  FROM dims GROUP BY c_id, i),
+    s.sql(ivfStalenessCtes +
+      """
+        |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
+        |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995
+        |    AS needs_retrain
+        |FROM rep ORDER BY c_id""".stripMargin)
+  }
+
+  /** The retrain ACTION as an oracle-visible declared query (the
+    * spec-level bridge [[ivfRetrainedCentroids]] promoted, mirroring the
+    * `c_join_salted_auto` pattern): per cluster, consume
+    * [[hIvfStaleness]]'s `needs_retrain` IN-QUERY — no driver round-trip
+    * — and refresh each flagged centroid to its current-member mean. The
+    * report row carries what a nightly index job logs: current
+    * membership, whether the cluster retrained, and how far the
+    * refreshed centroid moved from the shipped one (`drift_milli` =
+    * round(1000·cos), sentinel 1000 for untouched clusters).
+    *
+    * Scale shape — the [[hIvfStaleness]] fold idiom taken one step
+    * further: the refreshed centroid is the member MEAN, cosine is
+    * scale-invariant, so cos(stale, mean) = cos(stale, SUM) and the
+    * per-dim member sums `s_all` ALREADY ride the audit's one
+    * (cluster, dim) exchange. The retrain drift therefore costs zero
+    * extra corpus passes: the stale centroid explodes to 16×64
+    * (c_id, dim) rows and joins the sums BEFORE the per-cluster
+    * aggregate, so flags AND drift come out of one domain-sized
+    * aggregation. (A naive formulation — flag via subquery, re-scan
+    * members for means — re-inlined the audit chain and planned 27
+    * exchanges; this one plans the audit's own count plus the tiny
+    * centroid-explode join.) The member mean lives in the audit's
+    * 1/1024-quantized space — cosine at milli precision is insensitive
+    * to the quantization, and both engines replay it identically. */
+  def hIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(ivfStalenessCtes.replace(
+      // splice the stale-centroid per-dim join into the audit chain: the
+      // dots aggregate also folds the retrain dot products
+      """|dots AS (
+         |  SELECT c_id,""".stripMargin,
+      """|centd AS (
+         |  SELECT c_id, pos AS i, cvi FROM centn LATERAL VIEW posexplode(cv) t AS pos, cvi),
          |dots AS (
-         |  SELECT c_id,
-         |    CAST(sum(s_old * s_all) AS BIGINT) AS dot,
-         |    CAST(sum(s_old * s_old) AS BIGINT) AS nn0,
-         |    CAST(sum(s_all * s_all) AS BIGINT) AS nn1,
-         |    CAST(max(CASE WHEN i = 0 THEN no_i END) AS BIGINT) AS n_old,
-         |    CAST(max(CASE WHEN i = 0 THEN nt_i - no_i END) AS BIGINT) AS n_new
-         |  FROM sums GROUP BY c_id),
-         |rep AS (
-         |  SELECT d.c_id, d.n_old, d.n_new,
-         |    CAST(CASE WHEN d.n_old = 0 THEN -1
-         |         ELSE 1000L * d.n_new DIV d.n_old END AS BIGINT) AS growth_milli,
-         |    CAST(CASE WHEN d.n_old = 0 OR d.nn0 = 0 OR d.nn1 = 0 THEN -2000
-         |         ELSE floor(1000.0 * d.dot /
-         |              (sqrt(CAST(d.nn0 AS DOUBLE)) * sqrt(CAST(d.nn1 AS DOUBLE)))) END
-         |      AS BIGINT) AS shift_cos_milli
-         |  FROM dots d)
-         |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
-         |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995
-         |    AS needs_retrain
-         |FROM rep ORDER BY c_id""".stripMargin)
+         |  SELECT s.c_id,
+         |    CAST(sum(s.s_all * d.cvi) AS DOUBLE) AS rdot,
+         |    CAST(sum(d.cvi * d.cvi) AS DOUBLE) AS cnn,""".stripMargin)
+      .replace(
+        """|  FROM sums GROUP BY c_id),
+           |rep AS (""".stripMargin,
+        """|  FROM sums s JOIN centd d ON s.c_id = d.c_id AND s.i = d.i
+           |  GROUP BY s.c_id),
+           |rep AS (""".stripMargin)
+      .replace("CASE WHEN i = 0", "CASE WHEN s.i = 0")
+      .replace(
+        "AS shift_cos_milli\n  FROM dots d)",
+        """AS shift_cos_milli,
+          |    d.rdot, d.cnn, CAST(d.nn1 AS BIGINT) AS rnn1
+          |  FROM dots d)""".stripMargin) +
+      """
+        |SELECT c_id,
+        |  CAST(n_old + n_new AS BIGINT) AS n_members,
+        |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995 AS retrained,
+        |  CAST(CASE WHEN NOT (growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995)
+        |              OR n_old + n_new = 0 OR rnn1 = 0 THEN 1000L
+        |       ELSE round(1000.0 * rdot /
+        |            (sqrt(cnn) * sqrt(CAST(rnn1 AS DOUBLE)))) END
+        |    AS BIGINT) AS drift_milli
+        |FROM rep ORDER BY c_id""".stripMargin)
   }
 
   /** DuckDB replays the shipped centroid chain, the assignment, and the
@@ -1565,6 +1632,44 @@ object LlmOps {
       |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
       |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995
       |    AS needs_retrain
+      |FROM rep ORDER BY c_id""".stripMargin
+
+  /** DuckDB replay of [[hIvfRetrain]]: the identical string surgery on
+    * [[hIvfStalenessSql]]'s chain (so the two oracles cannot drift) —
+    * stale-centroid per-dim explode joined into the one (cluster, dim)
+    * aggregate, flags and rounded drift off the same 16-row `rep`. */
+  val hIvfRetrainSql: String =
+    hIvfStalenessSql.substring(0, hIvfStalenessSql.indexOf("\nSELECT c_id, n_old"))
+      .replace(
+        """|dots AS (
+           |  SELECT c_id,""".stripMargin,
+        """|centd AS (
+           |  SELECT c_id, generate_subscripts(cv, 1) - 1 AS i, unnest(cv) AS cvi FROM cent),
+           |dots AS (
+           |  SELECT s.c_id,
+           |    CAST(sum(s.s_all * d.cvi) AS DOUBLE) AS rdot,
+           |    CAST(sum(d.cvi * d.cvi) AS DOUBLE) AS cnn,""".stripMargin)
+      .replace(
+        """|  FROM sums GROUP BY c_id),
+           |rep AS (""".stripMargin,
+        """|  FROM sums s JOIN centd d ON s.c_id = d.c_id AND s.i = d.i
+           |  GROUP BY s.c_id),
+           |rep AS (""".stripMargin)
+      .replace("CASE WHEN i = 0", "CASE WHEN s.i = 0")
+      .replace(
+        "AS shift_cos_milli\n  FROM dots d)",
+        """AS shift_cos_milli,
+          |    d.rdot, d.cnn, CAST(d.nn1 AS BIGINT) AS rnn1
+          |  FROM dots d)""".stripMargin) +
+    """
+      |SELECT c_id,
+      |  CAST(n_old + n_new AS BIGINT) AS n_members,
+      |  growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995 AS retrained,
+      |  CAST(CASE WHEN NOT (growth_milli >= 500 OR growth_milli = -1 OR shift_cos_milli < 995)
+      |              OR n_old + n_new = 0 OR rnn1 = 0 THEN 1000
+      |       ELSE round(1000.0 * rdot /
+      |            (sqrt(cnn) * sqrt(CAST(rnn1 AS DOUBLE)))) END
+      |    AS BIGINT) AS drift_milli
       |FROM rep ORDER BY c_id""".stripMargin
 
   /** DuckDB replays the whole query path relationally: the shared
@@ -2814,6 +2919,7 @@ object LlmOps {
     "h_ivfpq_search" -> (hIvfPqSearch _),
     "h_pq_recall" -> (hPqRecall _),
     "h_ivf_staleness" -> (hIvfStaleness _),
+    "h_ivf_retrain" -> (hIvfRetrain _),
     "h_semdedup" -> (hSemDedup _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
@@ -2853,6 +2959,7 @@ object LlmOps {
     "h_ivfpq_search" -> hIvfPqSearchSql,
     "h_pq_recall" -> hPqRecallSql,
     "h_ivf_staleness" -> hIvfStalenessSql,
+    "h_ivf_retrain" -> hIvfRetrainSql,
     "h_semdedup" -> hSemDedupSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,
