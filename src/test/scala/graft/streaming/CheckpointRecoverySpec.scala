@@ -112,6 +112,57 @@ class CheckpointRecoverySpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("StreamPipeline watermark dedup: dedup state survives restart — replayed bodies stay suppressed") {
+    // operator O3 (the reference pipeline's own dedup, dropDuplicatesWithin
+    // Watermark) gets the same restart contract as the seven twins: the
+    // NSQ crash posture redelivers un-FINed messages after MsgTimeout
+    // (main.go:66), and those redeliveries can land AFTER a restart — a
+    // forgotten dedup state would double-deliver everything in flight.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val wave1 = Seq(
+      Msg("0000000000000001", new Timestamp(1700000000001L), 1, "pa".getBytes("UTF-8")),
+      Msg("0000000000000002", new Timestamp(1700000000002L), 1, "pb".getBytes("UTF-8")))
+    val fresh = Msg("0000000000000003", new Timestamp(1700000000003L), 1, "pc".getBytes("UTF-8"))
+    val captured = new ConcurrentHashMap[Long, Array[org.apache.spark.sql.Row]]()
+    val out = StreamPipeline.transform(input.toDF())
+    val checkpoint = ckpt("recover-pipeline")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) captured.put(id, rows)
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    val preRestartMax =
+      try {
+        input.addData(wave1)
+        await(() => captured.asScala.values.map(_.length).sum == 2, "first wave emitted")
+        settle()
+        maxBatch(captured)
+      } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave1 :+ fresh) // post-restart redelivery + one new body
+      await(() => captured.asScala.exists { case (id, rows) =>
+        id > preRestartMax && rows.exists(_.getAs[String]("id") == fresh.id) },
+        "fresh body emitted post-restart")
+      settle()
+      val postRestart = captured.asScala.collect {
+        case (id, rows) if id > preRestartMax => rows.map(_.getAs[String]("id")).toSeq
+      }.flatten.toSeq
+      assert(postRestart === Seq(fresh.id),
+        s"replayed bodies must stay suppressed by the RECOVERED dedup state, got $postRestart")
+    } finally q2.stop()
+  }
+
   test("StreamingNearDup: bucket residents survive restart — a post-restart probe still hits") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
