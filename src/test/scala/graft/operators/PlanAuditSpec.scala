@@ -742,4 +742,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(generates <= 2,
       s"expected at most the training posexplode + the dims explode, got $generates:\n$plan")
   }
+
+  test("h_ivf_retrain: the retrain fold adds no corpus pass to the audit plan") {
+    val plan = LlmOps.hIvfRetrain(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment must ride the broadcast centroid array:\n$plan")
+    // the drift arithmetic folds into the audit's own (c_id, i) aggregate
+    // via the 16×64 stale-centroid explode — the corpus-sized dims chain
+    // must appear ONCE (the naive flag-subquery formulation re-inlined it:
+    // 27 exchanges, multiple corpus Generates). Budget: the training
+    // posexplode (×2 — the sample-sized centroid chain is consumed by both
+    // assignment and the drift join), the dims explode, and the
+    // centroid-explode Generate — all but dims are 16-to-1024-row work.
+    val generates = plan.linesIterator.count(l => l.trim.stripPrefix("+- ").stripPrefix(": ")
+      .dropWhile(c => !c.isLetter).startsWith("Generate"))
+    assert(generates <= 4,
+      s"expected sample/centroid explodes + ONE corpus dims explode, got $generates:\n$plan")
+    // scan fan-out: 7 at HEAD — the audit's own scans plus two for the
+    // duplicated sample chain, all but one carrying the pushed
+    // `vec_id < 256` / `< 16` sample filters that row-group pruning
+    // bounds; pin so a regression to full re-inlining (the 27-exchange
+    // naive form planned corpus-sized scans) fails loudly
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 7, s"unexpected scan fan-out ($scans):\n$plan")
+  }
 }
