@@ -142,6 +142,65 @@ object LlmOps {
   /** DuckDB replays the exact classification on text equality (≡ the
     * 64-bit hash join, collision-free on any real corpus) and asserts the
     * two Bloom contract booleans. */
+  /** The SHARDED Bloom seen-before pass — the scale path past
+    * [[hDedupBloom]]'s self-documented ceiling (a monolithic 10⁹-key
+    * filter is a ~1.2 GB sketch: one final-merge reducer holds it, every
+    * probe task references all of it). Here the key space splits into 16
+    * shards by `pmod(fnv64a, 16)`: the build is 16 INDEPENDENT
+    * partial-then-merge aggregates (each reducer merges a shard-sized
+    * sketch), the filter table is 16 domain-sized rows, and the probe
+    * side shuffles on the shard key and joins it — so each probe task
+    * deserializes only the shard filters it actually meets, once per
+    * task (the [[org.apache.spark.sql.graft.BloomProbeExpr]] cache; the
+    * per-row filter bytes from the join are copies, which is exactly why
+    * the cache keys on the cheap shard int). At 10⁹ keys each task holds
+    * ~75 MB instead of 1.2 GB, and shard count scales the ceiling
+    * linearly. Per-shard filters are sized from the LARGEST shard (one
+    * 16-row count aggregate), so every shard meets the same 1 % design
+    * fpp and the [[hDedupBloom]] contract booleans carry over verbatim —
+    * as does the DuckDB oracle, which checks the exact counts and
+    * expects both booleans true. */
+  def hDedupBloomSharded(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val d = Tables.load(s, dir, "documents")
+    val nShards = 16
+    val history = d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k"))
+      .withColumn("shard", pmod(col("k"), lit(nShards)).cast("int"))
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k"))
+      .unionAll(
+        d.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 10 === 0)
+          .select(col("lang"), GraftFunctions.fnv64a(col("text")).as("k")))
+      .withColumn("shard", pmod(col("k"), lit(nShards)).cast("int"))
+    // size every shard's filter from the largest shard: one 16-row count
+    // aggregate (bounded control plane), same 1 % design fpp per shard
+    val maxShard = math.max(1L,
+      history.groupBy(col("shard")).count().agg(max(col("count"))).head.getLong(0))
+    val designBits = math.max(64L, math.ceil(maxShard * 9.585058).toLong)
+    val filters = history.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.graft.BloomCols
+        .bloomFilterAgg(col("k"), maxShard, designBits).as("bf"))
+    val probed = batch
+      .repartition(nShards, col("shard")) // probe tasks see few shards -> cache hits
+      .join(broadcast(filters), "shard")
+      .withColumn("flagged", org.apache.spark.sql.graft.BloomCols
+        .probeSharded(col("shard"), col("bf"), col("k")))
+      .drop("bf")
+    val hkeys = history.select(col("k").as("hk")).distinct()
+    probed.join(hkeys, probed("k") === hkeys("hk"), "left")
+      .withColumn("is_dup", col("hk").isNotNull)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_exact"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_new"),
+        (sum(when(col("is_dup") && !col("flagged"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!col("is_dup") && col("flagged"), 1L).otherwise(0L)) * 20L <=
+          sum(when(!col("is_dup"), 1L).otherwise(0L))).as("fpr_within"))
+      .orderBy(col("lang"))
+  }
+
   val hDedupBloomSql: String =
     """WITH history AS (
       |  SELECT lang, text FROM documents WHERE doc_id % 3 <> 0),
@@ -2891,6 +2950,7 @@ object LlmOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_dedup_exact" -> (hDedupExact _),
     "h_dedup_bloom" -> (hDedupBloom _),
+    "h_dedup_bloom_sharded" -> (hDedupBloomSharded _),
     "h_simhash_dedup" -> (hSimhashDedup _),
     "h_neardup_minhash" -> (hNeardupMinhash _),
     "h_dedup_incremental" -> (hDedupIncremental _),
@@ -2936,6 +2996,7 @@ object LlmOps {
     "h_token_quality" -> hTokenQualitySql,
     "h_dedup_exact" -> hDedupExactSql,
     "h_dedup_bloom" -> hDedupBloomSql,
+    "h_dedup_bloom_sharded" -> hDedupBloomSql,
     "h_simhash_dedup" -> hSimhashDedupSql,
     "h_neardup_minhash" -> hNeardupMinhashSql,
     "h_dedup_incremental" -> hDedupIncrementalSql,

@@ -49,7 +49,7 @@ object ScaleStressBench {
     "h_lsh_balance", "h_ann_recall", "h_dim_variance", "h_source_overlap",
     "h_sampling_bias", "h_class_margin", "h_cluster_purity",
     "h_langid_confusion", "h_padding_waste", "h_bloom_calibration",
-    "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain")
+    "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded")
   /** Orders/events profile set (round 13): the replicator now scales
     * those tables too, so the ANALYZE/active-user pairs — exact and the
     * HLL approximate twins — get real K-fold stress rows. The remaining

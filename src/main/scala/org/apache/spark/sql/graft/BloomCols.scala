@@ -32,4 +32,12 @@ object BloomCols {
     Bridge.column(BloomFilterMightContain(
       Literal(filterBytes, BinaryType),
       new XxHash64(Seq(Bridge.expression(key)))))
+
+  /** Codegen'd probe against a NON-LITERAL filter column from a sharded
+    * filter-table join — deserialized once per shard per task (see
+    * [[BloomProbeExpr]]). Key hashing matches [[bloomFilterAgg]]. */
+  def probeSharded(shard: Column, filterBytes: Column, key: Column): Column =
+    Bridge.column(BloomProbeExpr(
+      Bridge.expression(shard), Bridge.expression(filterBytes),
+      new XxHash64(Seq(Bridge.expression(key)))))
 }

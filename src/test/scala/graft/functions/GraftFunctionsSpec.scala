@@ -134,6 +134,31 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(graft.kernel.Int8Quant.stats(Array(Double.NegativeInfinity)) === null)
   }
 
+  test("bloom_probe: sharded filter join has no false negatives and caches per shard") {
+    // the non-literal-filter probe behind h_dedup_bloom_sharded: build 4
+    // per-shard filters distributed, join them back by shard, probe with
+    // member AND disjoint non-member keys — every member must hit (Bloom
+    // filters cannot false-negative), and the disjoint range must stay
+    // under the design fpp with wide margin
+    import org.apache.spark.sql.functions._
+    val keys = spark.range(1000L).select(col("id").as("k"),
+      pmod(col("id"), lit(4)).cast("int").as("shard"))
+    val filters = keys.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.graft.BloomCols
+        .bloomFilterAgg(col("k"), 250L, 4096L).as("bf"))
+    def flagged(lo: Long, hi: Long): Long =
+      spark.range(lo, hi).select(col("id").as("k"),
+          pmod(col("id"), lit(4)).cast("int").as("shard"))
+        .repartition(4, col("shard"))
+        .join(broadcast(filters), "shard")
+        .select(org.apache.spark.sql.graft.BloomCols
+          .probeSharded(col("shard"), col("bf"), col("k")).as("f"))
+        .where(col("f")).count()
+    assert(flagged(0L, 1000L) === 1000L, "a Bloom filter must never false-negative")
+    val fp = flagged(1000000L, 1001000L)
+    assert(fp <= 50L, s"false-positive rate collapsed: $fp/1000 disjoint keys flagged")
+  }
+
   test("int8_quant_stats stays inside whole-stage codegen over a real scan") {
     val df = spark.range(100)
       .selectExpr("int8_quant_stats(array(CAST(id AS DOUBLE), 1.0D)) AS st")
