@@ -821,10 +821,12 @@ object CorpusOps {
     *
     * Scale shape: each rung is one distributed partial-then-merge sketch
     * build (only the ~b·n/8-byte filter reaches the driver — at 10⁹ keys
-    * the 16-bit rung is a ~2 GB broadcast, the documented ceiling; shard
-    * the filter beyond) plus ONE codegen probe pass over the tagged
-    * member∪probe union. The 4-rung loop is driver control-plane like
-    * [[FormatOps.dHeavyHitters]]'s probe loop. */
+    * the 16-bit rung is a ~2 GB broadcast, the documented ceiling; the
+    * sharded path past it exists as [[LlmOps.hDedupBloomSharded]]'s
+    * shard-keyed filter table + `bloom_probe` join, round 14) plus ONE
+    * codegen probe pass over the tagged member∪probe union. The 4-rung
+    * loop is driver control-plane like [[FormatOps.dHeavyHitters]]'s
+    * probe loop. */
   def hBloomCalibration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     GraftFunctions.registerAll(s)

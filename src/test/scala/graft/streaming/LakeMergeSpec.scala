@@ -58,6 +58,43 @@ class LakeMergeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: batch ids resume, so idempotence never swallows a real batch") {
+    // the exactly-once claim depends on TWO things across a crash: the
+    // engine re-running the last uncommitted batch under its ORIGINAL id
+    // (which mergeBatch's applied-id check no-ops), and batch numbering
+    // RESUMING after restart — if a restarted query restarted ids at 0,
+    // the applied-id check would silently swallow genuinely new batches.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lake-merge-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lake-merge-restart-ckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    def start() = input.toDF().toDF("doc_id", "text", "op")
+      .writeStream
+      .foreachBatch(LakeMerge.mergeBatch(dir) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    val idBefore =
+      try {
+        input.addData((1L, "one", "upsert"), (2L, "two", "upsert"))
+        q1.processAllAvailable()
+        assert(corpus(dir) === Map(1L -> "one", 2L -> "two"))
+        LakeMerge.latest(dir).get._1
+      } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData((2L, "two-v2", "upsert"), (3L, "three", "upsert"))
+      q2.processAllAvailable()
+      assert(corpus(dir) === Map(1L -> "one", 2L -> "two-v2", 3L -> "three"),
+        "the post-restart batch must apply — a swallowed batch means ids reset")
+      assert(LakeMerge.latest(dir).get._1 > idBefore,
+        "snapshot id must advance past the pre-restart snapshot")
+    } finally q2.stop()
+  }
+
   test("model check: random batch sequences equal a sequential Map fold") {
     import spark.implicits._
     // deterministic pseudo-random workload (fixed seed — reproducible)
