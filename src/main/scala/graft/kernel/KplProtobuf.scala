@@ -105,29 +105,52 @@ object KplProtobuf {
 
   // ---------------------------------------------------------------- decode
 
+  /** Bounds-checked protobuf reader. Every length and every advance is
+    * validated against the buffer (round-14 fuzz hardening): without
+    * these checks, adversarial bytes — which CAN carry a valid MD5
+    * trailer, since the producer computes it over its own payload — could
+    * claim a 2 GB field length (`Arrays.copyOfRange` zero-PADS past the
+    * source, so a 30-byte input allocated gigabytes) or a NEGATIVE length
+    * (`pos += len` walked backwards: an infinite re-parse loop). All
+    * malformed input now fails with `IllegalArgumentException`, the same
+    * defined error the framing check uses — never an allocation bomb, a
+    * hang, or a raw index error. */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def readVarint(): Long = {
       var shift = 0; var result = 0L
-      while (true) {
+      while (shift <= 63) {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      result
+      throw new IllegalArgumentException("varint exceeds 64 bits")
+    }
+    private def checkedLen(): Int = {
+      val len = readVarint()
+      if (len < 0L || pos + len > end)
+        throw new IllegalArgumentException(
+          s"malformed length $len at $pos (end $end)")
+      len.toInt
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
+      val len = checkedLen()
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
     }
+    private def advance(n: Int): Unit = {
+      if (pos + n > end)
+        throw new IllegalArgumentException(s"truncated field at $pos (end $end)")
+      pos += n
+    }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => advance(8)
+      case 2 => advance(checkedLen())
+      case 5 => advance(4)
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
   }
