@@ -114,7 +114,7 @@ class CheckpointRecoverySpec extends SparkSuite {
 
   test("StreamPipeline watermark dedup: dedup state survives restart — replayed bodies stay suppressed") {
     // operator O3 (the reference pipeline's own dedup, dropDuplicatesWithin
-    // Watermark) gets the same restart contract as the seven twins: the
+    // Watermark) gets the same restart contract as the stateful twins: the
     // NSQ crash posture redelivers un-FINed messages after MsgTimeout
     // (main.go:66), and those redeliveries can land AFTER a restart — a
     // forgotten dedup state would double-deliver everything in flight.
