@@ -767,4 +767,20 @@ class PlanAuditSpec extends SparkSuite {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans <= 7, s"unexpected scan fan-out ($scans):\n$plan")
   }
+
+  test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
+    val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the filter-table join must be shard-keyed, never all-pairs:\n$plan")
+    // the 16-row filter table must reach the probe as a BROADCAST build
+    // side — a shuffled join here would move the batch twice
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the filter table to broadcast into the probe join:\n$plan")
+    // the probe is the custom codegen expression, not a Scala UDF (a UDF
+    // would both break the codegen span and deserialize per row)
+    assert(plan.contains("bloom_probe"), s"probe expression missing:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"the probe must not fall back to a UDF:\n$plan")
+  }
 }
