@@ -1325,7 +1325,88 @@ object AnalyticsOps {
       |SELECT cv2_bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_gaps
       |FROM cls GROUP BY cv2_bucket ORDER BY cv2_bucket""".stripMargin
 
+  // ====================================================== SCD2 state history
+
+  /** SCD2 (type-2 slowly-changing-dimension) state history build — the
+    * warehouse primitive that turns an append-only event log into an
+    * effective-dated dimension: per user, collapse consecutive runs of the
+    * same event_type into versioned `[valid_from, valid_to)` intervals
+    * with a version number, the run's event count, and an is_current flag.
+    * This is the interval-building inverse of [[gMarkovTransitions]]
+    * (which keeps only the transition EDGES) and the history-table
+    * complement of [[hCorpusMerge]]'s type-1 overwrite merge.
+    *
+    * Classic gaps-and-islands: island starts where `lag(event_type)`
+    * differs (canonical (tus, event_id) total order, so ties are
+    * deterministic cross-engine), version = running count of starts,
+    * intervals close at the NEXT version's valid_from (`lead`), the open
+    * interval carries the 9999-12-31 sentinel `253402300800000000` µs.
+    *
+    * Scale shape: every window and aggregate here is keyed on `user_id`
+    * (or a superset of it), so the corpus crosses ONE exchange: the lag
+    * and running-sum windows share a (user_id)-hash partitioning, the
+    * (user_id, version) group-by is satisfied by that same partitioning
+    * (subset clustering), and the lead window over the already
+    * island-sized table re-uses it again. No self-joins, no per-user
+    * state beyond the window frame; skew-free on the natural
+    * high-cardinality key. */
+  def gScd2State(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_type, tus, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS prev
+        |  FROM events),
+        |ver AS (
+        |  SELECT user_id, event_type, tus,
+        |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id) AS version
+        |  FROM seq),
+        |iv AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(event_type) AS state, min(tus) AS valid_from,
+        |    count(*) AS n_events
+        |  FROM ver GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from,
+        |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |    253402300800000000L) AS valid_to,
+        |  n_events,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv
+        |ORDER BY user_id, version""".stripMargin)
+  }
+
+  val gScd2StateSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type, tus, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |ver AS (
+      |  SELECT user_id, event_type, tus,
+      |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tus, event_id) AS version
+      |  FROM seq),
+      |iv AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    min(event_type) AS state, min(tus) AS valid_from,
+      |    count(*) AS n_events
+      |  FROM ver GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from,
+      |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+      |    253402300800000000) AS valid_to,
+      |  n_events,
+      |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM iv
+      |ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_scd2_state" -> (gScd2State _),
     "g_top_paths" -> (gTopPaths _),
     "g_funnel_timing" -> (gFunnelTiming _),
     "g_changepoint" -> (gChangepoint _),
@@ -1348,6 +1429,7 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_scd2_state" -> gScd2StateSql,
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,
     "g_changepoint" -> gChangepointSql,

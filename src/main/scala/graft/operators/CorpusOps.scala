@@ -138,6 +138,103 @@ object CorpusOps {
       |WHERE rn <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  // ============================================== PMI collocation mining
+
+  /** PMI collocation mining — the top-15 adjacent-word pairs per language
+    * ranked by pointwise mutual information, the classic phrase-detection
+    * pass (word2vec's phrase pre-join, "new york"-style compound
+    * discovery) that complements [[LlmOps.hBpePairs]]: BPE ranks pairs by
+    * RAW count (merge order), PMI by LIFT over independence
+    * `p(xy)/(p(x)p(y))`, which surfaces rare-but-coupled compounds raw
+    * counting never sees. A min-support c_xy ≥ 5 cut keeps hapax pairs
+    * (PMI's textbook failure mode) out of the ranking.
+    *
+    * Exact-integer form: since log is monotone, ranking by PMI equals
+    * ranking by the lift ratio itself, so the score is
+    * `pmi_micro = (10⁶·c_xy·N) DIV (c_x·c_y)` — the floor'd
+    * micro-lift in DECIMAL(38,0) products (Spark) / HUGEINT (DuckDB),
+    * identical on both engines with no libm anywhere. The quotient is ≤
+    * 10⁶·N (BIGINT-safe to N ~ 10¹², i.e. a trillion-bigram corpus) while
+    * the 38-digit products are safe to 10³⁰ — headroom past 100 TB.
+    *
+    * Scale shape: unigram and bigram counts are explode → map-side-combined
+    * hash aggregates (shuffle volume is vocabulary / vocabulary², never
+    * corpus); the per-lang bigram total N is a window over the ALREADY
+    * AGGREGATED bigram table (the [[AnalyticsOps.gMarkovTransitions]]
+    * no-self-join trick); the two unigram lookups are vocab-sized
+    * equi-joins on (lang, word); and the `rn <= 15` window plans as
+    * WindowGroupLimit, so the final exchange carries 15·langs rows. */
+  def hPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (SELECT lang, split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT lang, tk, count(*) AS c
+        |  FROM tok LATERAL VIEW explode(t) e AS tk
+        |  GROUP BY lang, tk),
+        |big AS (
+        |  SELECT lang, element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+        |    count(*) AS cxy
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 1)) x AS i
+        |  WHERE size(t) >= 2
+        |  GROUP BY lang, element_at(t, i), element_at(t, i + 1)),
+        |bign AS (
+        |  SELECT lang, w1, w2, cxy,
+        |    sum(cxy) OVER (PARTITION BY lang) AS n
+        |  FROM big),
+        |sc AS (
+        |  SELECT b.lang, b.w1, b.w2, b.cxy,
+        |    (CAST(1000000 AS DECIMAL(38, 0)) * CAST(b.cxy AS DECIMAL(38, 0))
+        |       * CAST(b.n AS DECIMAL(38, 0)))
+        |      DIV (CAST(u1.c AS DECIMAL(38, 0)) * CAST(u2.c AS DECIMAL(38, 0)))
+        |      AS pmi_micro
+        |  FROM bign b
+        |  JOIN uni u1 ON b.lang = u1.lang AND b.w1 = u1.tk
+        |  JOIN uni u2 ON b.lang = u2.lang AND b.w2 = u2.tk
+        |  WHERE b.cxy >= 5)
+        |SELECT lang, w1, w2, cxy, CAST(pmi_micro AS BIGINT) AS pmi_micro,
+        |  CAST(rn AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT lang, w1, w2, cxy, pmi_micro,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY pmi_micro DESC, w1, w2) AS rn
+        |  FROM sc)
+        |WHERE rn <= 15
+        |ORDER BY lang, rnk""".stripMargin)
+  }
+
+  val hPmiCollocationsSql: String =
+    """WITH tok AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT lang, unnest(t) AS tk FROM tok),
+      |unic AS (SELECT lang, tk, count(*) AS c FROM uni GROUP BY lang, tk),
+      |big AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      |  FROM tok WHERE len(t) >= 2),
+      |bigc AS (SELECT lang, w1, w2, count(*) AS cxy FROM big GROUP BY lang, w1, w2),
+      |bign AS (
+      |  SELECT lang, w1, w2, cxy, sum(cxy) OVER (PARTITION BY lang) AS n
+      |  FROM bigc),
+      |sc AS (
+      |  SELECT b.lang, b.w1, b.w2, b.cxy,
+      |    (CAST(1000000 AS HUGEINT) * b.cxy * b.n)
+      |      // (CAST(u1.c AS HUGEINT) * u2.c) AS pmi_micro
+      |  FROM bign b
+      |  JOIN unic u1 ON b.lang = u1.lang AND b.w1 = u1.tk
+      |  JOIN unic u2 ON b.lang = u2.lang AND b.w2 = u2.tk
+      |  WHERE b.cxy >= 5)
+      |SELECT lang, w1, w2, cxy, CAST(pmi_micro AS BIGINT) AS pmi_micro,
+      |  CAST(rn AS BIGINT) AS rnk
+      |FROM (
+      |  SELECT lang, w1, w2, cxy, pmi_micro,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY pmi_micro DESC, w1, w2) AS rn
+      |  FROM sc)
+      |WHERE rn <= 15
+      |ORDER BY lang, rnk""".stripMargin
+
   // ============================================== quality-gate waterfall
 
   /** First-failing-gate rejection waterfall — the audit table a curation
@@ -881,6 +978,7 @@ object CorpusOps {
     "h_bloom_calibration" -> (hBloomCalibration _),
     "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
+    "h_pmi_collocations" -> (hPmiCollocations _),
     "h_quality_ensemble" -> (hQualityEnsemble _),
     "h_repeat_epochs" -> (hRepeatEpochs _),
     "h_shard_rebalance" -> (hShardRebalance _),
@@ -893,6 +991,7 @@ object CorpusOps {
     "h_bloom_calibration" -> hBloomCalibrationSql,
     "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,
+    "h_pmi_collocations" -> hPmiCollocationsSql,
     "h_quality_ensemble" -> hQualityEnsembleSql,
     "h_repeat_epochs" -> hRepeatEpochsSql,
     "h_shard_rebalance" -> hShardRebalanceSql,

@@ -708,6 +708,95 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Equi-depth (equal-height) 16-bucket histogram over order totals — the
+    * optimizer-statistics twin of [[dHistogram]] (fixed WIDTH) and the
+    * histogram ANALYZE actually persists: bucket boundaries at the exact
+    * 1/16-quantiles of `round(o_totalprice·100)` cents, each bucket
+    * reporting its value range, population, and exact integer mean cents.
+    * Duplicate-heavy values keep all their mass in one bucket (the honest
+    * exact-equi-depth semantics), so depths deviate from n/16 only by
+    * duplicate straddle — deterministically, identically on both engines.
+    *
+    * Scale shape — distributed SELECTION, never a global sort: a naive
+    * `ntile(16) OVER (ORDER BY price)` is one task sorting the corpus.
+    * Here the corpus collapses scan-locally to a cents HISTOGRAM (domain-
+    * bounded: ≤ |distinct cents|), which two-level selection then probes:
+    * (1) a cumulative window over the ~5·10³-row table of 100-currency
+    * CLASSES locates each boundary's class; (2) a within-class cumulative
+    * window — partitioned by class, so fully parallel, each partition ≤
+    * 10⁴ rows — picks the exact boundary value inside it (16-row
+    * broadcast probe). Bucket assignment and the final stats ride the
+    * histogram (≤ domain·16 broadcast cross), so no pass after the first
+    * scan ever touches corpus-sized data. The mean uses DECIMAL(38,0)/
+    * HUGEINT products, BIGINT-safe past 100 TB. */
+  def dHistogramEqdepth(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    // The cents histogram feeds three consumers (class rollup, within-class
+    // cumulative, bucket stats); as a CTE Spark re-inlines it into each —
+    // three corpus scans + three corpus-wide aggregates (9 exchanges
+    // censused). Materialize it once: it is DOMAIN-sized (≤ |distinct
+    // cents|), the only thing this query ever checkpoints.
+    Checkpoints.track(s.sql(
+      """SELECT v, count(*) AS c
+        |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+        |GROUP BY v""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("eqd_hist")
+    s.sql(dHistogramEqdepthBody(spark = true))
+  }
+
+  private def dHistogramEqdepthBody(spark: Boolean): String = {
+    val idiv = if (spark) "DIV" else "//"
+    val ks =
+      if (spark) "FROM (SELECT CAST(max(n) AS BIGINT) AS max_n FROM cum)\n  LATERAL VIEW explode(sequence(1, 16)) t AS k"
+      else "FROM (SELECT CAST(max(n) AS BIGINT) AS max_n FROM cum) m, generate_series(1, 16) t(k)"
+    val big = if (spark) "DECIMAL(38, 0)" else "HUGEINT"
+    val hist =
+      if (spark) "hist AS (SELECT v, c FROM eqd_hist),"
+      else
+        """hist AS (
+          |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+          |  FROM orders GROUP BY 1),""".stripMargin
+    s"""WITH $hist
+       |cls AS (
+       |  SELECT v $idiv 10000 AS cl, CAST(sum(c) AS BIGINT) AS cc
+       |  FROM hist GROUP BY v $idiv 10000),
+       |cum AS (
+       |  SELECT cl, cc,
+       |    sum(cc) OVER (ORDER BY cl) AS cum,
+       |    sum(cc) OVER () AS n
+       |  FROM cls),
+       |targets AS (
+       |  SELECT CAST(k AS BIGINT) AS k,
+       |    CAST((CAST(k AS BIGINT) * max_n + 15) $idiv 16 AS BIGINT) AS tgt
+       |  $ks),
+       |bcls AS (
+       |  SELECT t.k, t.tgt, c.cl, CAST(c.cum - c.cc AS BIGINT) AS prev_cum
+       |  FROM targets t JOIN cum c ON c.cum >= t.tgt AND c.cum - c.cc < t.tgt),
+       |cic AS (
+       |  SELECT v, c, v $idiv 10000 AS cl,
+       |    sum(c) OVER (PARTITION BY v $idiv 10000 ORDER BY v) AS cumv
+       |  FROM hist),
+       |bnd AS (
+       |  SELECT b.k, CAST(min(i.v) AS BIGINT) AS ub
+       |  FROM bcls b JOIN cic i
+       |    ON i.cl = b.cl AND i.cumv >= b.tgt - b.prev_cum
+       |  GROUP BY b.k),
+       |vb AS (
+       |  SELECT h.v, h.c,
+       |    min(CASE WHEN h.v <= b.ub THEN b.k END) AS bucket
+       |  FROM hist h CROSS JOIN bnd b
+       |  GROUP BY h.v, h.c)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(min(v) AS BIGINT) AS lo_cents,
+       |  CAST(max(v) AS BIGINT) AS hi_cents,
+       |  CAST(sum(c) AS BIGINT) AS n_orders,
+       |  CAST(sum(CAST(v AS $big) * c) $idiv sum(c) AS BIGINT) AS avg_cents
+       |FROM vb GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
+  val dHistogramEqdepthSql: String = dHistogramEqdepthBody(spark = false)
+
   /** E: top-3 parts by retail price per brand (dense_rank; rank+row_number too). */
   def eWindowRank(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "part").createOrReplaceTempView("part")
@@ -1327,6 +1416,130 @@ object RelationalQueries {
 
   val q21WaitingSql: String = q21Body(spark = false)
 
+  /** TPC-H Q4 shape — the single-EXISTS decorrelation: count orders per
+    * priority in one quarter where at least one lineitem shipped late
+    * (this schema has no commit/receipt dates, so "late" is
+    * `l_shipdate > o_orderdate + 30 days`, the same adaptation q21 uses).
+    * The correlated EXISTS carries a predicate on the OUTER row's
+    * o_orderdate, so Catalyst must decorrelate it into a left-semi join
+    * on l_orderkey with the date comparison as a join residual — one
+    * orderkey-keyed shuffle pair, never a per-order lineitem rescan.
+    * At 100 TB the quarter filter reaches the orders parquet scan
+    * (PushedFilters) and the semi join's build side is quarter-sized,
+    * not corpus-sized; the 5-row aggregate is map-side partial. */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape — the double-dimension (nation × nation) volume
+    * rollup: cross-half trade between supplier nations and customer
+    * nations by ship year. TPC-H picks one nation pair; this corpus has
+    * ~1 supplier per nation at the smallest SF, so the pair is widened to
+    * the two STABLE key halves (nationkey < 13 vs ≥ 13, both directions)
+    * — same plan problem, non-empty at every scale factor.
+    *
+    * Scale shape: the nation dim is broadcast TWICE under different
+    * aliases (supplier side and customer side) — the classic double-role
+    * dimension — while the fact chain lineitem⋈orders⋈customer shuffles
+    * on its own keys once. The cross-half predicate is a residual on the
+    * already-joined row (two ints), never a cartesian of nations; the
+    * (supp_nation, cust_nation, year) aggregate is ≤ |nations|²·years
+    * rows, map-side partial first. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter((col("s_nkey") < 13 && col("c_nkey") >= 13) ||
+        (col("s_nkey") >= 13 && col("c_nkey") < 13))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+      |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_nationkey < 13 AND n2.n_nationkey >= 13)
+      |    OR (n1.n_nationkey >= 13 AND n2.n_nationkey < 13))
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: for one quarter of
+    * orders, the 20 customers with the highest revenue from lineitems
+    * flagged 'R', carrying customer attributes and nation name through
+    * the aggregate. The returnflag and quarter filters both push to
+    * their parquet scans; the group-by key is the customer key (bounded
+    * by |customers|, partial-agg friendly since each carries its
+    * attributes functionally); the final top-20 is a
+    * TakeOrderedAndProject — per-partition top-20 fold then a 20-row
+    * driver merge, never a global sort. Nation broadcasts into the
+    * customer probe. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, CAST(c_acctbal AS DOUBLE), n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1335,6 +1548,9 @@ object RelationalQueries {
     "q18_top" -> (q18Top _),
     "q21_waiting" -> (q21Waiting _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q4_priority" -> (q4Priority _),
+    "q7_volume" -> (q7Volume _),
+    "q10_returns" -> (q10Returns _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -1357,6 +1573,7 @@ object RelationalQueries {
     "e_window_dist" -> (eWindowDist _),
     "e_window_firstlast" -> (eWindowFirstLast _),
     "d_histogram" -> (dHistogram _),
+    "d_histogram_eqdepth" -> (dHistogramEqdepth _),
     "d_rollup" -> (dRollup _),
     "d_cube" -> (dCube _),
     "d_grouping_sets" -> (dGroupingSets _),
@@ -1386,6 +1603,9 @@ object RelationalQueries {
     "q18_top" -> q18TopSql,
     "q21_waiting" -> q21WaitingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "q4_priority" -> q4PrioritySql,
+    "q7_volume" -> q7VolumeSql,
+    "q10_returns" -> q10ReturnsSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,
@@ -1408,6 +1628,7 @@ object RelationalQueries {
     "e_window_dist" -> eWindowDistSql,
     "e_window_firstlast" -> eWindowFirstLastSql,
     "d_histogram" -> dHistogramSql,
+    "d_histogram_eqdepth" -> dHistogramEqdepthSql,
     "d_rollup" -> dRollupSql,
     "d_cube" -> dCubeSql,
     "d_grouping_sets" -> dGroupingSetsSql,
