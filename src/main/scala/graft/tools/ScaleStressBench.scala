@@ -49,7 +49,8 @@ object ScaleStressBench {
     "h_lsh_balance", "h_ann_recall", "h_dim_variance", "h_source_overlap",
     "h_sampling_bias", "h_class_margin", "h_cluster_purity",
     "h_langid_confusion", "h_padding_waste", "h_bloom_calibration",
-    "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded")
+    "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded",
+    "h_pmi_collocations")
   /** Orders/events profile set (round 13): the replicator now scales
     * those tables too, so the ANALYZE/active-user pairs — exact and the
     * HLL approximate twins — get real K-fold stress rows. The remaining
@@ -57,7 +58,8 @@ object ScaleStressBench {
     * the replicator leaves unscaled and stay excluded. */
   private val profileQueries = Seq(
     "a_column_stats", "a_column_stats_approx",
-    "g_active_users", "g_active_users_approx")
+    "g_active_users", "g_active_users_approx",
+    "g_scd2_state", "d_histogram_eqdepth")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -768,6 +768,79 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans <= 7, s"unexpected scan fan-out ($scans):\n$plan")
   }
 
+  test("g_scd2_state: one user_id hash Exchange shared by both windows and the interval aggregate") {
+    // lag window, running-sum window, (user_id, version) group-by, and the
+    // lead window must all ride ONE user_id partitioning — a second hash
+    // exchange means the gaps-and-islands chain stopped sharing layout
+    val plan = AnalyticsOps.gScd2State(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"SCD2 build must partition by user_id:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash Exchange (user_id, reused), got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"islands need no join:\n$plan")
+  }
+
+  test("d_histogram_eqdepth: selection rides the checkpointed histogram; all joins broadcast") {
+    val plan = RelationalQueries.dHistogramEqdepth(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    try {
+      // every consumer must read the materialized cents histogram, never
+      // re-derive it from orders — zero parquet scans in the final plan
+      assert(!plan.contains("Scan parquet"),
+        s"a consumer re-derived the histogram from the orders scan:\n$plan")
+      // boundary probes are ≤16-row build sides: broadcast, never shuffled
+      // or sorted joins
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"boundary joins must broadcast their 16-row side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"the bucket-assignment cross must be a broadcast loop, not a cartesian:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
+  test("h_pmi_collocations: per-lang rank is WindowGroupLimit; unigram lookups are equi-joins") {
+    val plan = CorpusOps.hPmiCollocations(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-15 must fold map-side before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unigram lookups must stay (lang, word) equi-joins:\n$plan")
+  }
+
+  test("q4_priority: the EXISTS decorrelates to one LeftSemi join, no per-row rescan") {
+    val plan = RelationalQueries.q4Priority(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"correlated EXISTS must decorrelate to a left-semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the date residual must ride the orderkey equi-join:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"expected exactly one scan per table (orders, lineitem):\n$plan")
+  }
+
+  test("q10_returns: top-20 runs as TakeOrderedAndProject, not global sort") {
+    val plan = RelationalQueries.q10Returns(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a per-partition top-20 fold:\n$plan")
+    // the quarter and returnflag cuts must reach their parquet scans
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter did not push to the scan:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter did not push to the scan:\n$plan")
+  }
+
+  test("q7_volume: both nation roles broadcast; the cross-half cut is a residual, not a cartesian") {
+    val plan = RelationalQueries.q7Volume(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"nation pairing must never expand to all-pairs:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"expected the nation dim broadcast under both aliases:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
