@@ -1540,6 +1540,78 @@ object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q14 shape — promo revenue share per month: lineitem ⋈ part
+    * restricted to one shipping year, revenue split by whether the part
+    * type is PROMO, reported monthly. The share is exact: revenues sum in
+    * DECIMAL(18,2), convert to BIGINT cents (both exact), and the milli
+    * share is integer division — no float ratio to diverge cross-engine.
+    *
+    * Scale shape: part is the broadcast dimension into the lineitem probe
+    * (at 100 TB part is ~10⁻⁴ of lineitem; if it outgrows the broadcast
+    * threshold the partkey equi-join shuffles and AQE decides); the
+    * shipdate year filter pushes to the lineitem scan; the (month)
+    * aggregate is 12 rows with map-side partials carrying two decimal
+    * sums. */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """WITH m AS (
+        |  SELECT CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |    CAST(floor(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS promo_cents,
+        |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY month(l_shipdate))
+        |SELECT mth, promo_cents, total_cents,
+        |  CAST(1000 * promo_cents DIV total_cents AS BIGINT) AS promo_milli
+        |FROM m ORDER BY mth""".stripMargin)
+  }
+
+  val q14PromoSql: String =
+    """WITH m AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS mth,
+      |    CAST(floor(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS promo_cents,
+      |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT) AS total_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY month(l_shipdate))
+      |SELECT mth, promo_cents, total_cents,
+      |  CAST(1000 * promo_cents // total_cents AS BIGINT) AS promo_milli
+      |FROM m ORDER BY mth""".stripMargin
+
+  /** TPC-H Q19 shape — the disjunctive-predicate join: revenue over
+    * lineitem ⋈ part where ANY of three (brand, size-range,
+    * quantity-range) conjunct groups holds. The optimizer test: Catalyst
+    * must factor the disjunction — the partkey equi-join key is extracted
+    * (never a nested-loop over the OR), the part-only conjuncts
+    * (p_size ≥ 1) and lineitem-only bounds that appear in every branch
+    * push below the join, and the remaining OR evaluates as a residual on
+    * the joined row inside whole-stage codegen. One broadcast (or
+    * AQE-shuffled) equi-join plus a 1-row aggregate — a naive plan that
+    * treats the OR as a join condition goes cartesian. */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q19Body)
+  }
+
+  private val q19Body: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE
+      |  (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+      |  OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+      |  OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+
+  val q19DisjunctSql: String = q19Body
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1551,6 +1623,8 @@ object RelationalQueries {
     "q4_priority" -> (q4Priority _),
     "q7_volume" -> (q7Volume _),
     "q10_returns" -> (q10Returns _),
+    "q14_promo" -> (q14Promo _),
+    "q19_disjunct" -> (q19Disjunct _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -1606,6 +1680,8 @@ object RelationalQueries {
     "q4_priority" -> q4PrioritySql,
     "q7_volume" -> q7VolumeSql,
     "q10_returns" -> q10ReturnsSql,
+    "q14_promo" -> q14PromoSql,
+    "q19_disjunct" -> q19DisjunctSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,

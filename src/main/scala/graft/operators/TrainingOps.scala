@@ -1730,7 +1730,114 @@ object TrainingOps {
       |FROM pairs WHERE nu > 0
       |GROUP BY agree ORDER BY agree""".stripMargin
 
+  // ================================================= prefix-filter sim join
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al., WWW 2007) — every document pair with 3-gram Jaccard
+    * ≥ 0.6, with NO false negatives and NO all-pairs expansion. This
+    * completes the dedup family's algorithm coverage: MinHash-LSH
+    * ([[LlmOps.hNeardupMinhash]]) is probabilistic (misses pairs at band
+    * odds), the inverted-gram profile ([[hDupNgrams]]) counts shared grams
+    * without a similarity threshold — this is the exact-threshold join a
+    * legal/compliance dedup must run.
+    *
+    * The two classic filters, both in exact integer arithmetic:
+    *  - LENGTH: J ≥ 0.6 forces 3·|a| ≤ 5·|b| and 3·|b| ≤ 5·|a|.
+    *  - PREFIX: order every doc's grams by GLOBAL rarity (df asc, gram);
+    *    with prefix length p = n − ⌈0.6n⌉ + 1 (⌈0.6n⌉ = (3n+4) DIV 5),
+    *    any pair at J ≥ 0.6 shares ≥ ⌈0.6·|a|⌉ grams, which cannot all
+    *    hide in a's (⌈0.6·|a|⌉−1)-gram suffix — so some shared gram sits
+    *    in a's prefix (pigeonhole; completeness needs only ONE side's
+    *    prefix, probed against the other side's full list).
+    * Candidates = prefix ⋈ full on the gram key — volume rides collisions
+    * on RARE grams (the df-ascending order is what makes the prefix
+    * selective), then exact verification by array intersection on the
+    * candidate pairs only. Verdict threshold 5·ni ≥ 3·(na+nb−ni) is
+    * cross-multiplied — no float ever decides a pair.
+    *
+    * Grams are 60-bit md5-prefix keys, hashed ONCE at the signature
+    * build (the cross-engine `conv(substr(md5(..)))` idiom): every
+    * downstream join, window, and intersection runs on BIGINTs instead
+    * of ~30-byte strings — 3–5× less shuffle volume and a long-typed
+    * array_intersect, which is what keeps the verification join linear
+    * in candidates at K-fold corpus stress. BOTH engines hash the same
+    * way, so a hash collision (< 10⁻⁹ at any real gram vocabulary)
+    * affects both sides identically — the compare never diverges.
+    *
+    * Scale shape: the corpus is scanned ONCE into the checkpointed
+    * per-doc distinct-shingle table (the [[LlmOps.hBpeTrain]] precedent
+    * for corpus-sized materialization — at cluster scale this is the
+    * disk-backed signature table every similarity-join system persists);
+    * the ranked gram table (one explode + vocabulary-sized df join + one
+    * doc_id window) is checkpointed too, serving both the prefix subset
+    * and the full probe side with zero re-derivation. Every join is an
+    * equi-join (gram key for candidates, doc_id for verification); the
+    * only corpus-sized exchanges are the df aggregate and the rank
+    * window. DuckDB verifies from the full inverted index (every pair at
+    * J ≥ 0.6 shares a gram, so the rewrite is exact — the h_dup_clusters
+    * oracle argument). */
+  def hSimjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT doc_id, shingles, CAST(size(shingles) AS BIGINT) AS n
+        |FROM (
+        |  SELECT doc_id,
+        |    array_distinct(transform(sequence(1, size(t) - 2),
+        |      i -> CAST(conv(substr(md5(concat(element_at(t, i), '|', element_at(t, i + 1), '|', element_at(t, i + 2))), 1, 15), 16, 10) AS BIGINT))) AS shingles
+        |  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
+        |  WHERE size(t) >= 3)""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("pfx_sh")
+    Checkpoints.track(s.sql(
+      """WITH cg AS (
+        |  SELECT doc_id, n, gram FROM pfx_sh LATERAL VIEW explode(shingles) e AS gram),
+        |df AS (SELECT gram, count(*) AS df FROM cg GROUP BY gram)
+        |SELECT c.doc_id, c.n, c.gram,
+        |  row_number() OVER (PARTITION BY c.doc_id ORDER BY d.df, c.gram) AS rn
+        |FROM cg c JOIN df d ON c.gram = d.gram""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("pfx_rg")
+    s.sql(
+      """WITH cand AS (
+        |  SELECT DISTINCT p.doc_id AS a_id, c.doc_id AS b_id
+        |  FROM (SELECT doc_id, n, gram FROM pfx_rg
+        |        WHERE rn <= n - ((3 * n + 4) DIV 5) + 1) p
+        |  JOIN pfx_rg c ON p.gram = c.gram AND p.doc_id < c.doc_id
+        |  WHERE 3 * p.n <= 5 * c.n AND 3 * c.n <= 5 * p.n)
+        |SELECT a_id, b_id, ni, ntot - ni AS nu,
+        |  CAST(1000 * ni DIV (ntot - ni) AS BIGINT) AS jac_milli
+        |FROM (
+        |  SELECT cand.a_id, cand.b_id, a.n + b.n AS ntot,
+        |    CAST(size(array_intersect(a.shingles, b.shingles)) AS BIGINT) AS ni
+        |  FROM cand
+        |  JOIN pfx_sh a ON cand.a_id = a.doc_id
+        |  JOIN pfx_sh b ON cand.b_id = b.doc_id)
+        |WHERE 5 * ni >= 3 * (ntot - ni)
+        |ORDER BY a_id, b_id""".stripMargin)
+  }
+
+  val hSimjoinPrefixSql: String =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> CAST(concat('0x', substr(md5(t[i] || '|' || t[i + 1] || '|' || t[i + 2]), 1, 15)) AS BIGINT))) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |lens AS MATERIALIZED (
+      |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+      |cg AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+      |ih AS MATERIALIZED (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS ni
+      |  FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.a_id, i.b_id, i.ni, la.n + lb.n - i.ni AS nu,
+      |  CAST(1000 * i.ni // (la.n + lb.n - i.ni) AS BIGINT) AS jac_milli
+      |FROM ih i
+      |JOIN lens la ON i.a_id = la.doc_id
+      |JOIN lens lb ON i.b_id = lb.doc_id
+      |WHERE 5 * i.ni >= 3 * (la.n + lb.n - i.ni)
+      |ORDER BY i.a_id, i.b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_simjoin_prefix" -> (hSimjoinPrefix _),
     "h_stratified_sample" -> (hStratifiedSample _),
     "h_minhash_calibration" -> (hMinhashCalibration _),
     "h_token_budget_mix" -> (hTokenBudgetMix _),
@@ -1757,6 +1864,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_simjoin_prefix" -> hSimjoinPrefixSql,
     "h_stratified_sample" -> hStratifiedSampleSql,
     "h_minhash_calibration" -> hMinhashCalibrationSql,
     "h_token_budget_mix" -> hTokenBudgetMixSql,

@@ -841,6 +841,36 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the nation dim broadcast under both aliases:\n$plan")
   }
 
+  test("h_simjoin_prefix: gram-keyed candidates, doc-keyed verification, no cartesian") {
+    val plan = TrainingOps.hSimjoinPrefix(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"prefix filtering must never expand to all-pairs:\n$plan")
+      // the checkpointed shingle/rank tables feed every consumer — the
+      // final plan must not re-derive them from the documents scan
+      assert(!plan.contains("Scan parquet"),
+        s"a consumer re-derived the gram tables from the corpus scan:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
+  test("q19_disjunct: the OR factors out the partkey equi-join — never a nested loop") {
+    val plan = RelationalQueries.q19Disjunct(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction must ride the extracted p_partkey = l_partkey key:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join with the OR as residual:\n$plan")
+  }
+
+  test("q14_promo: the ship-year filter reaches the lineitem scan below the part join") {
+    val plan = RelationalQueries.q14Promo(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("l_shipdate >="),
+      s"ship-year filter did not push below the join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"join must key on partkey:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
