@@ -1768,14 +1768,16 @@ object TrainingOps {
     * per-doc distinct-shingle table (the [[LlmOps.hBpeTrain]] precedent
     * for corpus-sized materialization — at cluster scale this is the
     * disk-backed signature table every similarity-join system persists);
-    * the ranked gram table (one explode + vocabulary-sized df join + one
-    * doc_id window) is checkpointed too, serving both the prefix subset
-    * and the full probe side with zero re-derivation. Every join is an
-    * equi-join (gram key for candidates, doc_id for verification); the
-    * only corpus-sized exchanges are the df aggregate and the rank
-    * window. DuckDB verifies from the full inverted index (every pair at
-    * J ≥ 0.6 shares a gram, so the rewrite is exact — the h_dup_clusters
-    * oracle argument). */
+    * everything downstream explodes THAT table, never the corpus: the
+    * df-ranked prefix chain (one explode + vocabulary-sized df join +
+    * one doc_id window), the full probe side (a plain explode — the
+    * probe needs no ranks, so no second materialization exists), and
+    * the two verification lookups. Every join is an equi-join (gram key
+    * for candidates, doc_id for verification); the only corpus-sized
+    * exchanges are the df aggregate and the rank window. DuckDB
+    * verifies from the full inverted index (every pair at J ≥ 0.6
+    * shares a gram, so the rewrite is exact — the h_dup_clusters oracle
+    * argument). */
   def hSimjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     Checkpoints.track(s.sql(
@@ -1787,20 +1789,20 @@ object TrainingOps {
         |  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
         |  WHERE size(t) >= 3)""".stripMargin)
       .localCheckpoint()).createOrReplaceTempView("pfx_sh")
-    Checkpoints.track(s.sql(
+    s.sql(
       """WITH cg AS (
         |  SELECT doc_id, n, gram FROM pfx_sh LATERAL VIEW explode(shingles) e AS gram),
-        |df AS (SELECT gram, count(*) AS df FROM cg GROUP BY gram)
-        |SELECT c.doc_id, c.n, c.gram,
-        |  row_number() OVER (PARTITION BY c.doc_id ORDER BY d.df, c.gram) AS rn
-        |FROM cg c JOIN df d ON c.gram = d.gram""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("pfx_rg")
-    s.sql(
-      """WITH cand AS (
+        |df AS (SELECT gram, count(*) AS df FROM cg GROUP BY gram),
+        |pfx AS (
+        |  SELECT doc_id, n, gram FROM (
+        |    SELECT c.doc_id, c.n, c.gram,
+        |      row_number() OVER (PARTITION BY c.doc_id ORDER BY d.df, c.gram) AS rn
+        |    FROM cg c JOIN df d ON c.gram = d.gram)
+        |  WHERE rn <= n - ((3 * n + 4) DIV 5) + 1),
+        |cand AS (
         |  SELECT DISTINCT p.doc_id AS a_id, c.doc_id AS b_id
-        |  FROM (SELECT doc_id, n, gram FROM pfx_rg
-        |        WHERE rn <= n - ((3 * n + 4) DIV 5) + 1) p
-        |  JOIN pfx_rg c ON p.gram = c.gram AND p.doc_id < c.doc_id
+        |  FROM pfx p
+        |  JOIN cg c ON p.gram = c.gram AND p.doc_id < c.doc_id
         |  WHERE 3 * p.n <= 5 * c.n AND 3 * c.n <= 5 * p.n)
         |SELECT a_id, b_id, ni, ntot - ni AS nu,
         |  CAST(1000 * ni DIV (ntot - ni) AS BIGINT) AS jac_milli
