@@ -440,4 +440,53 @@ class CheckpointRecoverySpec extends SparkSuite {
         "post-restart estimate equals batch over both waves")
     } finally q2.stop()
   }
+
+  test("StreamingScd2: the open interval survives restart — closures continue version and valid_from") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val us = 1000000L
+    // wave 1 ends with an OPEN interval (version 2, 'b', valid_from 3s)
+    val wave1 = Seq((1L, 9L, 1L * us, "a"), (2L, 9L, 2L * us, "a"), (3L, 9L, 3L * us, "b"))
+    // wave 2: extend 'b', then switch to 'a' — closing version 2 with the
+    // PRE-restart valid_from and n_events spanning the restart, plus a
+    // replayed wave-1 row the recovered frontier must drop
+    val wave2 = Seq((2L, 9L, 2L * us, "a"), (4L, 9L, 4L * us, "b"), (5L, 9L, 5L * us, "a"))
+    val captured = new ConcurrentHashMap[Long, Array[StreamingScd2.ClosedInterval]]()
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingScd2(input.toDF().toDF("event_id", "user_id", "tus", "event_type"))
+    val checkpoint = ckpt("recover-scd2")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+    def closures(): Seq[StreamingScd2.ClosedInterval] =
+      captured.asScala.toSeq.sortBy(_._1).flatMap(_._2)
+
+    val q1 = start()
+    var lastId = -1L
+    try {
+      input.addData(wave1)
+      await(() => closures().size == 1, "wave-1 closure")
+      assert(closures().head ==
+        StreamingScd2.ClosedInterval(9L, 1L, "a", 1L * us, 3L * us, 2L))
+      settle()
+      lastId = captured.asScala.keys.max
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave2)
+      await(() => closures().size == 2, "post-restart closure")
+      val post = captured.asScala.toSeq.filter(_._1 > lastId).flatMap(_._2)
+      // version 2 with valid_from 3 s and n_events 2 (the pre-restart 'b'
+      // plus the post-restart extension): lost state would emit version 1
+      // from valid_from 4 s with n_events 1 — and the replayed wave-1 row
+      // must not close anything
+      assert(post.toSeq == Seq(
+        StreamingScd2.ClosedInterval(9L, 2L, "b", 3L * us, 5L * us, 2L)),
+        s"post-restart closures wrong: $post")
+    } finally q2.stop()
+  }
 }
