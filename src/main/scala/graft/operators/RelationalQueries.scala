@@ -1612,6 +1612,80 @@ object RelationalQueries {
 
   val q19DisjunctSql: String = q19Body
 
+  /** TPC-H Q15 shape — the aggregate-reuse pattern: build the quarterly
+    * per-supplier revenue rollup once, find its maximum, and return the
+    * supplier(s) achieving it. The plan problem is reusing ONE aggregate
+    * for both the argmax filter and the final projection: the rollup CTE
+    * feeds a 1-row max() aggregate that broadcasts back onto the rollup
+    * itself (a scalar-subquery semi filter) — the rollup is
+    * |suppliers|-sized, so even when Spark re-inlines the CTE the second
+    * derivation aggregates the same quarter-pruned scan, never the full
+    * corpus; ties return deterministically (ORDER BY supplier key). */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape — the anti-join + scalar-average pattern: customers
+    * in a key-range "country band" with above-average account balance and
+    * no order in the 1998-H1 churn window (this corpus's order stream
+    * spans every customer, so the textbook never-ordered form is vacuous
+    * at every SF — the windowed form is also the realistic churn query). Three decorrelation problems at once: the scalar
+    * AVG subquery (over the positive-balance band) becomes a 1-row
+    * broadcast; the NOT EXISTS becomes a left-anti join on custkey
+    * against the orders scan; and the final per-band aggregate carries
+    * exact decimal sums. Bands are nationkey DIV 5 — stable keys, so the
+    * query is meaningful at every scale factor.
+    *
+    * At 100 TB: the anti join is the only fact-sized shuffle pair
+    * (custkey ⋈ o_custkey); the AVG is a 1-row aggregate broadcast into
+    * a scan-local filter; the result is ≤5 rows. */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q22Body(spark = true))
+  }
+
+  private def q22Body(spark: Boolean): String = {
+    val idiv = if (spark) "DIV" else "//"
+    s"""SELECT CAST(c_nationkey AS BIGINT) $idiv 5 AS band, count(*) AS numcust,
+       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT avg(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00')
+       |GROUP BY CAST(c_nationkey AS BIGINT) $idiv 5
+       |ORDER BY band""".stripMargin
+  }
+
+  val q22GlobalSalesSql: String = q22Body(spark = false)
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1625,6 +1699,8 @@ object RelationalQueries {
     "q10_returns" -> (q10Returns _),
     "q14_promo" -> (q14Promo _),
     "q19_disjunct" -> (q19Disjunct _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_global_sales" -> (q22GlobalSales _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -1682,6 +1758,8 @@ object RelationalQueries {
     "q10_returns" -> q10ReturnsSql,
     "q14_promo" -> q14PromoSql,
     "q19_disjunct" -> q19DisjunctSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q22_global_sales" -> q22GlobalSalesSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,

@@ -871,6 +871,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"join must key on partkey:\n$plan")
   }
 
+  test("q22_global_sales: scalar AVG pushes to the scan; NOT EXISTS is a LeftAnti join") {
+    val plan = RelationalQueries.q22GlobalSales(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to a left-anti join on custkey:\n$plan")
+    // the 1-row average lands INSIDE the customer scan's pushed filters —
+    // the strongest form of the scalar-subquery broadcast
+    assert(plan.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"the scalar AVG subquery did not push into the scan filter:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs shapes:\n$plan")
+  }
+
+  test("q15_top_supplier: argmax filter is a scalar subquery over the rollup, never a rescan loop") {
+    val plan = RelationalQueries.q15TopSupplier(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the max() comparison must broadcast as a scalar subquery:\n$plan")
+    // both revenue derivations aggregate the QUARTER-pruned scan: the
+    // ship-date bounds reach every lineitem scan in the plan
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+      .filter(_.contains("l_shipdate"))
+    assert(scans.nonEmpty && scans.forall(_.contains("GreaterThanOrEqual(l_shipdate")),
+      s"quarter filter missing from a lineitem scan:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
