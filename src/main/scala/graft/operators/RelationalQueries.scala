@@ -1686,6 +1686,113 @@ object RelationalQueries {
 
   val q22GlobalSalesSql: String = q22Body(spark = false)
 
+  /** TPC-H Q6 shape — the pure-pushdown showcase: one fact scan, three
+    * range predicates, one global aggregate, zero joins. The entire query
+    * is scan-local work: all three predicates reach the parquet reader as
+    * `PushedFilters` (shipdate year band, discount band, quantity cap) so
+    * row groups outside the 1996 stripe never decompress, and the only
+    * exchange is the 1-row partial→final aggregate merge. At 100 TB this
+    * is the query whose cost is set entirely by how much the scan skips —
+    * the plan pin asserts the pushdown actually happened. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q6Body)
+  }
+
+  private val q6Body: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  val q6ForecastSql: String = q6Body
+
+  /** TPC-H Q12 shape (adapted: this corpus has no l_shipmode/l_receiptdate,
+    * so "late" is shipped ≥90 days after the order date and the class axis
+    * is l_linestatus): one orders⋈lineitem equi-join, a non-equi lateness
+    * predicate evaluated post-join, and the CASE-sum priority split. The
+    * scan-local year band prunes lineitem before the join; the priority
+    * columns ride the orders side so the CASE needs no extra join. Exact:
+    * the counts are integer CASE sums cast BIGINT on both engines. */
+  def q12LateLines(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q12Body)
+  }
+
+  private val q12Body: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  val q12LateLinesSql: String = q12Body
+
+  /** TPC-H Q13 shape — the two-level aggregate over an outer join: count
+    * orders per customer INCLUDING the zero-order customers (LEFT JOIN with
+    * the exclusion predicate in the ON clause, so non-matching customers
+    * survive with count 0), then histogram the counts. The first aggregate
+    * shuffles on custkey; the second is over a ≤|distinct counts| table, so
+    * the expensive exchange happens exactly once. At 100 TB the custkey
+    * join and the custkey aggregate share a partitioning — one shuffle
+    * feeds both. */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q13Body)
+  }
+
+  private val q13Body: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val q13CustDistSql: String = q13Body
+
+  /** TPC-H Q17 shape — the correlated per-group average filter: lines whose
+    * quantity is below 20 % of their part's average order quantity. The
+    * correlated scalar AVG decorrelates into one per-part aggregate joined
+    * back on partkey; the comparison is cross-multiplied into exact DECIMAL
+    * (`qty * 5 * cnt < sum_qty`) so no engine ever divides. The part filter
+    * semi-reduces BOTH the probe side and the per-part aggregate before the
+    * join, so at 100 TB the aggregate runs over the brand-band slice, not
+    * the full corpus. avg_yearly divides two identical exact doubles — same
+    * result on both engines. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q17Body)
+  }
+
+  private val q17Body: String =
+    """WITH band AS (
+      |  SELECT p_partkey FROM part
+      |  WHERE p_brand IN ('Brand#11','Brand#12','Brand#13','Brand#14','Brand#15')
+      |    AND p_type = 'MEDIUM'),
+      |pq AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS cnt
+      |  FROM lineitem JOIN band ON p_partkey = l_partkey
+      |  GROUP BY l_partkey)
+      |SELECT
+      |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |  count(*) AS n_small
+      |FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sq""".stripMargin
+
+  val q17SmallQtySql: String = q17Body
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1701,6 +1808,10 @@ object RelationalQueries {
     "q19_disjunct" -> (q19Disjunct _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q22_global_sales" -> (q22GlobalSales _),
+    "q6_forecast" -> (q6Forecast _),
+    "q12_late_lines" -> (q12LateLines _),
+    "q13_custdist" -> (q13CustDist _),
+    "q17_small_qty" -> (q17SmallQty _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -1760,6 +1871,10 @@ object RelationalQueries {
     "q19_disjunct" -> q19DisjunctSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q22_global_sales" -> q22GlobalSalesSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q12_late_lines" -> q12LateLinesSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q17_small_qty" -> q17SmallQtySql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,

@@ -896,6 +896,64 @@ class PlanAuditSpec extends SparkSuite {
       s"quarter filter missing from a lineitem scan:\n$plan")
   }
 
+  test("q6_forecast: all three predicates reach the scan; the plan is join-free") {
+    // the default 100-char metadata truncation cuts PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try RelationalQueries.q6Forecast(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // the whole query is one scan + one agg: any join node means the plan
+    // re-derived something it should not have
+    assert(!plan.contains("Join"), s"q6 must be join-free:\n$plan")
+    val scan = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scan.nonEmpty && scan.forall(l =>
+      l.contains("GreaterThanOrEqual(l_shipdate") &&
+        l.contains("LessThan(l_shipdate") &&
+        l.contains("GreaterThanOrEqual(l_discount") &&
+        l.contains("LessThanOrEqual(l_discount") &&
+        l.contains("LessThan(l_quantity")),
+      s"q6's predicates must all reach the parquet reader:\n$plan")
+  }
+
+  test("q12_late_lines: equi-join on orderkey with the lateness predicate post-join") {
+    val plan = RelationalQueries.q12LateLines(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the non-equi lateness comparison must NOT demote the join to a
+    // nested-loop — the orderkey equi-condition drives the join, the
+    // 90-day comparison evaluates as a residual on matched rows
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateness must be a residual on the orderkey equi-join:\n$plan")
+    val li = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")).toSeq
+    assert(li.nonEmpty && li.forall(_.contains("GreaterThanOrEqual(l_shipdate")),
+      s"the 1997 ship-year band must prune the lineitem scan:\n$plan")
+  }
+
+  test("q13_custdist: the ON-clause exclusion pushes to the orders scan under the outer join") {
+    val plan = RelationalQueries.q13CustDist(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // LEFT JOIN with the predicate in ON: the filter applies to the
+    // null-producing side only, so it is pushable into the orders scan —
+    // a post-join Filter here would break the zero-order customers
+    val orders = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderpriority")).toSeq
+    assert(orders.nonEmpty && orders.forall(_.contains("Not(EqualTo(o_orderpriority")),
+      s"exclusion predicate must reach the orders scan:\n$plan")
+    assert(plan.contains("LeftOuter"), s"outer join lost:\n$plan")
+  }
+
+  test("q17_small_qty: correlated AVG decorrelates; the brand band prunes the part scan") {
+    val plan = RelationalQueries.q17SmallQty(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"per-part average must be a decorrelated aggregate join:\n$plan")
+    val part = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")).toSeq
+    assert(part.nonEmpty && part.forall(l => l.contains("In(p_brand") && l.contains("EqualTo(p_type")),
+      s"brand/type band must prune the part scan:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
