@@ -1793,6 +1793,125 @@ object RelationalQueries {
 
   val q17SmallQtySql: String = q17Body
 
+  /** TPC-H Q2 shape (adapted: no partsupp table in this corpus, so the
+    * supplier catalog is reconstructed as each supplier's minimum observed
+    * sale price per part — `offers`): find, per STANDARD mid-size part, the
+    * European supplier(s) offering the minimum cost. The plan problems are
+    * Q2's: a three-dim snowflake (supplier⋈nation⋈region) that must
+    * broadcast, and a correlated scalar `min()` over the offer table that
+    * must decorrelate into a per-part aggregate joined back — never a
+    * per-row rescan. The region filter is applied INSIDE the offer
+    * aggregation, so both the outer offers and the correlated min see the
+    * same EU-pruned slice (one definition, no drift). Exact DECIMAL min;
+    * full ORDER BY so the LIMIT is deterministic under cost ties. */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    // The offer table has two consumers (the outer join and the correlated
+    // min); Spark re-inlines CTEs, so without a checkpoint the EU-pruned
+    // lineitem scan + aggregate would run twice. The checkpoint is
+    // (part × EU-supplier)-domain-sized, not corpus-sized.
+    Checkpoints.track(s.sql(
+      """SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |FROM lineitem JOIN (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE') ON l_suppkey = s_suppkey
+        |GROUP BY l_partkey, l_suppkey""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("offers")
+    s.sql(
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT /*+ BROADCAST(eu) */
+        |  s_acctbal, s_name, n_name, p_partkey, p_type, CAST(o.cost AS DOUBLE) AS cost
+        |FROM part JOIN offers o ON p_partkey = o.partkey
+        |JOIN eu ON o.suppkey = eu.s_suppkey
+        |WHERE p_size BETWEEN 11 AND 20 AND p_type = 'STANDARD'
+        |  AND o.cost = (SELECT min(o2.cost) FROM offers o2 WHERE o2.partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  val q2MinCostSql: String =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |offers AS MATERIALIZED (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, CAST(o.cost AS DOUBLE) AS cost
+      |FROM part JOIN offers o ON p_partkey = o.partkey
+      |JOIN eu ON o.suppkey = eu.s_suppkey
+      |WHERE p_size BETWEEN 11 AND 20 AND p_type = 'STANDARD'
+      |  AND o.cost = (SELECT min(o2.cost) FROM offers o2 WHERE o2.partkey = p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape (adapted: part "stock value" is the revenue booked
+    * through one region's suppliers): parts whose value exceeds 1.5× the
+    * MEAN part value — the aggregate-vs-its-own-total pattern, made
+    * scale-invariant (TPC-H's fixed fraction goes vacuous as the part
+    * count grows; a mean-relative threshold selects a stable tail at
+    * every SF). The totals are a 1-row aggregate over the SAME per-part
+    * rollup the outer query reads, attached as a broadcast cross join so
+    * ONE scalar derivation carries both count and sum; the comparison is
+    * cross-multiplied in exact DECIMAL (`val·cnt·2 > total·3`) so the
+    * fraction never divides. The supplier⋈nation side broadcasts. */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q11Body)
+  }
+
+  private val q11Body: String =
+    """WITH vbp AS (
+      |  SELECT l_partkey AS partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = 3
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT count(*) AS cnt, sum(val) AS total FROM vbp)
+      |SELECT partkey, CAST(val AS DOUBLE) AS part_value
+      |FROM vbp CROSS JOIN tot
+      |WHERE val * cnt * 2 > total * 3
+      |ORDER BY part_value DESC, partkey""".stripMargin
+
+  val q11ImportantStockSql: String = q11Body
+
+  /** TPC-H Q16 shape — the distinct-count census behind an exclusion
+    * anti-join: how many distinct suppliers serve each (brand, type, size)
+    * combination, excluding one brand, one type, and every "complained
+    * about" supplier (negative balance — the NOT IN subquery). The NOT IN
+    * plans as a left-anti join on suppkey (the subquery's key set is
+    * provably null-free, so no null-aware nested loop); the distinct count
+    * is Spark's two-phase partial-distinct aggregate, shuffled once on the
+    * (brand, type, size) group key. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q16Body)
+  }
+
+  private val q16Body: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  val q16SupplierCntSql: String = q16Body
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1812,6 +1931,9 @@ object RelationalQueries {
     "q12_late_lines" -> (q12LateLines _),
     "q13_custdist" -> (q13CustDist _),
     "q17_small_qty" -> (q17SmallQty _),
+    "q2_min_cost" -> (q2MinCost _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -1875,6 +1997,9 @@ object RelationalQueries {
     "q12_late_lines" -> q12LateLinesSql,
     "q13_custdist" -> q13CustDistSql,
     "q17_small_qty" -> q17SmallQtySql,
+    "q2_min_cost" -> q2MinCostSql,
+    "q11_important_stock" -> q11ImportantStockSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,

@@ -954,6 +954,50 @@ class PlanAuditSpec extends SparkSuite {
       s"brand/type band must prune the part scan:\n$plan")
   }
 
+  test("q2_min_cost: correlated min decorrelates over the checkpointed offers; EU dim broadcasts") {
+    val plan =
+      try RelationalQueries.q2MinCost(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      finally Checkpoints.releaseAll()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the per-part min must be a decorrelated aggregate join:\n$plan")
+    // the offer table is checkpointed: the FINAL plan must never rescan
+    // lineitem — both the outer offers and the correlated min read the RDD
+    assert(!plan.contains("lineitem.parquet"),
+      s"final plan re-derived the offer aggregate from lineitem:\n$plan")
+    assert(plan.split("Scan ExistingRDD").length - 1 == 2,
+      s"expected exactly two readers of the checkpointed offer table:\n$plan")
+    // the 3-table EU snowflake is a dim — it must reach the join as a
+    // broadcast, never a shuffled SMJ against the offer table
+    assert(plan.contains("BroadcastHashJoin [suppkey") || plan.contains("BroadcastHashJoin [o.suppkey") ||
+      plan.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("s_suppkey")),
+      s"EU supplier dim must broadcast:\n$plan")
+  }
+
+  test("q11_important_stock: ONE totals derivation broadcast back over the rollup") {
+    val plan = RelationalQueries.q11ImportantStock(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the 1-row totals side joins as a broadcast nested loop (the
+    // f_keyset_page pattern: a 1-row boundary broadcast is not a risk)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"totals must broadcast:\n$plan")
+    // vbp has two consumers (outer rows + totals): the region-pruned
+    // lineitem join aggregates at most twice — a third derivation means
+    // the scalar count/sum split into separate subqueries
+    assert(plan.split("lineitem.parquet").length - 1 <= 2,
+      s"expected at most two vbp derivations:\n$plan")
+  }
+
+  test("q16_supplier_cnt: NOT IN plans as a plain left-anti join, never null-aware nested loop") {
+    val plan = RelationalQueries.q16SupplierCnt(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN must become an anti join:\n$plan")
+    // s_suppkey is non-null, so the anti join must be hash/merge — a
+    // BroadcastNestedLoopJoin here means the null-aware fallback fired
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"anti join fell back to the null-aware nested loop:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
