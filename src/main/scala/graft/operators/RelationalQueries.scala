@@ -1912,6 +1912,118 @@ object RelationalQueries {
 
   val q16SupplierCntSql: String = q16Body
 
+  /** TPC-H Q8 shape — national market share: of all ECONOMY-part revenue
+    * sold into the ASIA market over two years, what fraction was supplied
+    * by NATION_7, per year. The classic 8-table snowflake: both nation
+    * arms (customer's for the market filter, supplier's for the share
+    * numerator) plus region broadcast; the two fact joins
+    * (lineitem⋈orders on orderkey, orders⋈customer on custkey) are the
+    * only shuffles. The share is a conditional aggregate — numerator and
+    * denominator ride ONE pass as exact DECIMAL sums; the final division
+    * happens on two already-exact doubles, so both engines divide the
+    * same bits. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "region", "orders", "customer")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q8Body)
+  }
+
+  private val q8Body: String =
+    """WITH volumes AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(sum(volume) AS DOUBLE) AS total_volume,
+      |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |     / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM volumes
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  val q8MarketShareSql: String = q8Body
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and year
+    * (adapted: no partsupp, so cost is the part's retail price times
+    * quantity — profit stays a per-line DECIMAL expression). The plan is
+    * Q9's: a name-pattern part filter that can only evaluate post-scan
+    * (LIKE '%gear%' is not pushable), four fact/dim joins, and a
+    * (nation, year) aggregate. part⋈lineitem is the big join; supplier
+    * and nation broadcast; orders joins on orderkey to supply the year.
+    * All profit arithmetic is exact DECIMAL until the final cast. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "orders")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q9Body)
+  }
+
+  private val q9Body: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  val q9ProfitSql: String = q9Body
+
+  /** TPC-H Q20 shape — the nested-exists supplier screen (adapted: no
+    * partsupp/availqty, so "has excess stock to promote" becomes "is the
+    * dominant shipper" — supplied more than 30 % of a PROMO part's 1997
+    * volume). Q20's textbook form nests two correlated subqueries; here
+    * the inner one collapses into a WINDOW over the per-(part, supplier)
+    * rollup (one derivation, no self-join: `sum(sq) OVER (PARTITION BY
+    * partkey)` attaches each part's total in place), and the outer EXISTS
+    * decorrelates into a left-semi join on suppkey. The share test is
+    * cross-multiplied exact DECIMAL (`sq·10 > tq·3`). At 100 TB the only
+    * fact shuffle is the (part, supplier) aggregate; the window reuses
+    * its partitioning modulo the partkey-only re-hash. */
+  def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q20Body)
+  }
+
+  private val q20Body: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'PROMO'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey),
+      |dom AS (
+      |  SELECT DISTINCT suppkey FROM (
+      |    SELECT suppkey, sq, sum(sq) OVER (PARTITION BY partkey) AS tq
+      |    FROM shipped) sh
+      |  WHERE sq * 10 > tq * 3)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_nationkey < 13
+      |  AND EXISTS (SELECT 1 FROM dom WHERE suppkey = s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin
+
+  val q20DominantSupplierSql: String = q20Body
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1934,6 +2046,9 @@ object RelationalQueries {
     "q2_min_cost" -> (q2MinCost _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_profit" -> (q9Profit _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "d_recursive_cte" -> (dRecursiveCte _),
     "d_lateral_topn" -> (dLateralTopn _),
     "b_filter_project" -> (bFilterProject _),
@@ -2000,6 +2115,9 @@ object RelationalQueries {
     "q2_min_cost" -> q2MinCostSql,
     "q11_important_stock" -> q11ImportantStockSql,
     "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_profit" -> q9ProfitSql,
+    "q20_dominant_supplier" -> q20DominantSupplierSql,
     "d_recursive_cte" -> dRecursiveCteSql,
     "d_lateral_topn" -> dLateralTopnSql,
     "b_filter_project" -> bFilterProjectSql,

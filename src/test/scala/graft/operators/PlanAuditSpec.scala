@@ -998,6 +998,52 @@ class PlanAuditSpec extends SparkSuite {
       s"anti join fell back to the null-aware nested loop:\n$plan")
   }
 
+  test("q8_market_share: numerator and denominator ride one aggregate; dims broadcast") {
+    val plan = RelationalQueries.q8MarketShare(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"8-table snowflake must stay equi-joined:\n$plan")
+    // the share must NOT split into two aggregate passes over volumes —
+    // one HashAggregate pair (partial+final) computes both sums
+    val finals = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && !l.contains("partial_"))
+    assert(finals == 1, s"expected one final aggregate, found $finals:\n$plan")
+    // both nation arms + region are dims: at least three broadcast joins
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"nation/region dims must broadcast:\n$plan")
+  }
+
+  test("q9_profit: name pattern filters post-scan without breaking column pruning") {
+    // the LIKE '%gear%' predicate is not pushable (no leading literal),
+    // but the scan must still prune to the three part columns used
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try RelationalQueries.q9Profit(spark, SparkSpec.sf0001)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"profit joins must stay equi:\n$plan")
+    val partScan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("part.parquet")).get
+    assert(partScan.contains("StringContains(p_name,gear)"),
+      s"the contains-pattern should still reach the reader as a pushed string filter:\n$partScan")
+    assert(partScan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+      s"part scan must prune to the three used columns:\n$partScan")
+  }
+
+  test("q20_dominant_supplier: inner subquery collapses to a window; EXISTS to a semi join") {
+    val plan = RelationalQueries.q20DominantSupplier(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"the part-total must be a window, not a self-join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback:\n$plan")
+    // exactly one scan of lineitem: the rollup is derived once and the
+    // window + distinct + semi join all consume it downstream
+    assert(plan.split("lineitem.parquet").length - 1 == 1,
+      s"the shipped rollup must derive from one lineitem scan:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
