@@ -954,6 +954,106 @@ object TrainingOps {
       |FROM agg a LEFT JOIN docs_hit h ON a.lang = h.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** Within-document repetition CURVE (the Gopher char-coverage rules,
+    * Rae et al. 2021 table A1): where [[hRepetition]] flags two
+    * count-based proxies (distinct-word ratio, top-2-gram occurrence
+    * share), this measures the paper's actual CHARACTER-coverage metrics
+    * across gram sizes — per (lang, n) for n ∈ {2,3,4}: the char fraction
+    * covered by the single heaviest word n-gram (`max(cnt·chars)` — a
+    * plain aggregate, no argmax window needed since coverage itself is
+    * the metric) and the char fraction covered by all n-grams occurring
+    * at least twice (every occurrence counted). Both in integer milli
+    * over the doc's non-space chars; per-lang flagged counts + mean
+    * milli. Top-family thresholds are Gopher's published values
+    * (n=2→200‰, 3→180‰, 4→160‰); the dup family's 5..10-gram band is
+    * unreachable in this corpus's 10–99-word docs, so dup runs over the
+    * same n ∈ {2,3,4} with corpus-calibrated thresholds (300/150/100‰).
+    *
+    * Scale shape: ONE documents scan; the (n, position) double explode is
+    * scan-local codegen and one gram per (n, position) serves BOTH
+    * metrics. Grams are hashed to 60-bit md5-prefix BIGINTs at the
+    * explode (the [[LlmOps.hSimjoinPrefix]] idiom — both engines hash
+    * identically, so a collision could never diverge the compare, and
+    * the big rollup groups on longs, not ~20-byte strings; char counts
+    * ride along as `length − separators` before the string is dropped).
+    * The only exchanges are the (doc, n, g) rollup (map-side partials
+    * eat within-doc repeats), the (doc, n) fold, and the ≤|langs|·3-row
+    * finish. Pure integer arithmetic (milli via DIV); measured K=40
+    * replication: 40× docs → ~3.9× wall. */
+  def hDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, total_chars, n,
+        |    CAST(conv(substr(md5(concat_ws('|', slice(t, i, n))), 1, 15), 16, 10) AS BIGINT) AS g,
+        |    CAST(length(concat_ws('|', slice(t, i, n))) - (n - 1) AS BIGINT) AS chars
+        |  FROM tok
+        |  LATERAL VIEW explode(array(2, 3, 4)) nn AS n
+        |  LATERAL VIEW explode(sequence(1, size(t) - n + 1)) x AS i
+        |  WHERE size(t) >= n),
+        |gc AS (
+        |  SELECT doc_id, lang, total_chars, n, g,
+        |    min(chars) AS chars, count(*) AS cnt
+        |  FROM pos GROUP BY doc_id, lang, total_chars, n, g),
+        |perdoc AS (
+        |  SELECT doc_id, lang, n,
+        |    1000 * max(cnt * chars) DIV total_chars AS top_milli,
+        |    1000 * coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * chars END), CAST(0 AS BIGINT))
+        |      DIV total_chars AS dup_milli,
+        |    CASE n WHEN 2 THEN 200 WHEN 3 THEN 180 ELSE 160 END AS top_thr,
+        |    CASE n WHEN 2 THEN 300 WHEN 3 THEN 150 ELSE 100 END AS dup_thr
+        |  FROM gc GROUP BY doc_id, lang, total_chars, n)
+        |SELECT lang, CAST(n AS BIGINT) AS n, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN top_milli > top_thr THEN 1 ELSE 0 END) AS BIGINT) AS top_flagged,
+        |  CAST(sum(top_milli) DIV count(*) AS BIGINT) AS top_mean_milli,
+        |  CAST(sum(CASE WHEN dup_milli > dup_thr THEN 1 ELSE 0 END) AS BIGINT) AS dup_flagged,
+        |  CAST(sum(dup_milli) DIV count(*) AS BIGINT) AS dup_mean_milli
+        |FROM perdoc
+        |GROUP BY lang, n
+        |ORDER BY lang, n""".stripMargin)
+  }
+
+  val hDocRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+      |    CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS total_chars
+      |  FROM documents),
+      |docn AS (
+      |  SELECT doc_id, lang, total_chars, t, nn.n AS n
+      |  FROM tok CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) nn
+      |  WHERE len(t) >= nn.n),
+      |pos AS (
+      |  SELECT doc_id, lang, total_chars, n,
+      |    CAST(concat('0x', substr(md5(array_to_string(t[i : i + n - 1], '|')), 1, 15)) AS BIGINT) AS g,
+      |    CAST(strlen(array_to_string(t[i : i + n - 1], '|')) - (n - 1) AS BIGINT) AS chars
+      |  FROM (SELECT doc_id, lang, total_chars, t, n,
+      |          unnest(range(1, len(t) - n + 2)) AS i
+      |        FROM docn)),
+      |gc AS (
+      |  SELECT doc_id, lang, total_chars, n, g,
+      |    min(chars) AS chars, count(*) AS cnt
+      |  FROM pos GROUP BY doc_id, lang, total_chars, n, g),
+      |perdoc AS (
+      |  SELECT doc_id, lang, n,
+      |    1000 * max(cnt * chars) // total_chars AS top_milli,
+      |    1000 * coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * chars END), CAST(0 AS BIGINT))
+      |      // total_chars AS dup_milli,
+      |    CASE n WHEN 2 THEN 200 WHEN 3 THEN 180 ELSE 160 END AS top_thr,
+      |    CASE n WHEN 2 THEN 300 WHEN 3 THEN 150 ELSE 100 END AS dup_thr
+      |  FROM gc GROUP BY doc_id, lang, total_chars, n)
+      |SELECT lang, CAST(n AS BIGINT) AS n, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN top_milli > top_thr THEN 1 ELSE 0 END) AS BIGINT) AS top_flagged,
+      |  CAST(sum(top_milli) // count(*) AS BIGINT) AS top_mean_milli,
+      |  CAST(sum(CASE WHEN dup_milli > dup_thr THEN 1 ELSE 0 END) AS BIGINT) AS dup_flagged,
+      |  CAST(sum(dup_milli) // count(*) AS BIGINT) AS dup_mean_milli
+      |FROM perdoc
+      |GROUP BY lang, n
+      |ORDER BY lang, n""".stripMargin
+
   /** Exact-substring dedup ACTION pass (Lee et al. 2022): where
     * [[hDupNgrams]] only profiles cross-document duplication, this emits
     * the concrete spans a dedup pass would strip. A token position is
@@ -1861,6 +1961,7 @@ object TrainingOps {
     "h_pq_codes" -> (hPqCodes _),
     "h_curation_funnel" -> (hCurationFunnel _),
     "h_dup_ngrams" -> (hDupNgrams _),
+    "h_doc_repetition" -> (hDocRepetition _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
   )
@@ -1888,6 +1989,7 @@ object TrainingOps {
     "h_pq_codes" -> hPqCodesSql,
     "h_curation_funnel" -> hCurationFunnelSql,
     "h_dup_ngrams" -> hDupNgramsSql,
+    "h_doc_repetition" -> hDocRepetitionSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
   )

@@ -21,7 +21,10 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = if (name == "ALL") graft.SparkEntry.queries
-             else graft.SparkEntry.queries.filter(_._1 == name)
+             else { // comma-separated names also accepted
+               val want = name.split(',').toSet
+               graft.SparkEntry.queries.filter(kv => want.contains(kv._1))
+             }
     qs.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       println(s"\n===== $n =====")
       try fn(spark, sfDir).explain("formatted")

@@ -1044,6 +1044,21 @@ class PlanAuditSpec extends SparkSuite {
       s"the shipped rollup must derive from one lineitem scan:\n$plan")
   }
 
+  test("h_doc_repetition: one scan, scan-local double explode, no window and no join") {
+    val plan = TrainingOps.hDocRepetition(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // coverage is max(cnt·chars) — a plain aggregate: a Window or any
+    // join in this plan means an argmax/self-join crept back in
+    assert(!plan.contains("Window"), s"coverage needs no window rank:\n$plan")
+    assert(!plan.contains("Join"), s"a per-doc metric must not join:\n$plan")
+    // the whole curve derives from ONE documents scan; both explodes
+    // (gram sizes × positions) are scan-local Generates
+    assert(plan.split("documents.parquet").length - 1 == 1,
+      s"expected exactly one documents scan:\n$plan")
+    assert(plan.split("Generate").length - 1 <= 2,
+      s"expected the two scan-local explodes only:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
