@@ -675,7 +675,11 @@ object AnalyticsOps {
     * Σ deg² blow-up a random orientation suffers on skewed graphs
     * (Suri & Vassilvitskii, WWW'11). All counts exact BIGINT; the
     * clustering coefficient ships in millis via integer division. */
-  def hGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The sparse undirected co-supply edge list (u < v) shared by
+    * [[hGraphTriangles]] and [[hRankConvergence]]: suppliers sharing ≥ 2
+    * distinct 1996 orders. See [[hGraphTriangles]]'s Scaladoc for why the
+    * repetition threshold is the scale decision. */
+  private def coSupplyPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val ord96 = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -688,7 +692,7 @@ object AnalyticsOps {
     // (order, u, v) dedup then a (u, v)-keyed count — both aggregations
     // run with map-side partials; the HAVING >= 2 is what keeps the edge
     // list (and everything downstream) sparse.
-    val pairs = li.as("a")
+    li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -698,6 +702,26 @@ object AnalyticsOps {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select(col("u"), col("v"))
+  }
+
+  /** The co-supply graph construction as oracle-SQL CTEs (li → copresent
+    * → pairs), shared by the triangle and rank-convergence oracles. */
+  private val coSupplyPairsCtes: String =
+    """li AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |copresent AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      |pairs AS MATERIALIZED (
+      |  SELECT u, v FROM copresent GROUP BY u, v HAVING count(*) >= 2)""".stripMargin
+
+  def hGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = coSupplyPairs(s, dir)
     val degIn = pairs.select(col("u").as("node"))
       .unionAll(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -730,17 +754,7 @@ object AnalyticsOps {
   /** DuckDB recomputes the whole chain declaratively (its CTEs
     * materialize, so the repeated references are cheap there). */
   val hGraphTrianglesSql: String =
-    """WITH li AS (
-      |  SELECT l.l_orderkey, l.l_suppkey
-      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
-      |copresent AS (
-      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM li a JOIN li b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
-      |pairs AS (
-      |  SELECT u, v FROM copresent GROUP BY u, v HAVING count(*) >= 2),
+    s"""WITH $coSupplyPairsCtes,
       |deg AS (
       |  SELECT node, count(*) AS d FROM (
       |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) x
@@ -762,6 +776,113 @@ object AnalyticsOps {
       |  CAST(tri.n_triangles AS BIGINT) AS n_triangles, wed.n_wedges,
       |  CAST(3 * tri.n_triangles * 1000 // wed.n_wedges AS BIGINT) AS clustering_millis
       |FROM tri CROSS JOIN wed""".stripMargin
+
+  // ======================================== fixpoint convergence audit
+
+  /** Power-iteration CONVERGENCE audit — answers the question
+    * [[hSupplierRank]]'s fixed 3 rounds leaves open: how many rounds
+    * does damped iteration need before ranks stop moving? At 100 TB
+    * every extra round is a full edge-list pass, so the iteration count
+    * is a real cluster-hours knob — this is its sizing table (the same
+    * audit-before-action discipline as `h_ivf_staleness` →
+    * `h_ivf_retrain`). It runs 8 mass-conserving PageRank rounds
+    * (d = 0.85, total mass 10¹² split evenly, contribution `p DIV deg`
+    * per edge, update `(150·base + 850·Σin) DIV 1000`) over
+    * [[hGraphTriangles]]' sparse co-supply graph and reports, per
+    * round: the L1 movement Σ|p_r − p_{r−1}|, the max single-node move,
+    * and the surviving total mass (DIV truncation leaks ≤1 unit per
+    * node per round — the mass column makes the loss observable instead
+    * of assumed). A collapsing L1 curve says where to stop; a plateau
+    * says the graph has slow-mixing structure worth a look.
+    *
+    * Everything is EXACT INTEGER, so an 8-round distributed fixpoint
+    * hash-matches DuckDB bit-for-bit — non-negative BIGINTs throughout
+    * (values differenced under abs() before summing), truncating
+    * division identical in both engines, order-independent integer
+    * sums; no float formulation survives cross-engine SUM reordering.
+    *
+    * Scale shape: the (src, dst, deg) out-table materializes ONCE
+    * (localCheckpoint, edge-sized); each round is one equi-join of the
+    * node-sized rank vector against it plus one dst-keyed aggregate
+    * with map-side partials — the classic Pregel superstep as two
+    * exchanges, no corpus rescan (plan-pinned: the returned plan reads
+    * only checkpointed vectors). Per-round vectors checkpoint
+    * (node-sized, the [[TrainingOps]] label-propagation discipline);
+    * the delta rows join consecutive node-sized vectors — never the
+    * corpus. Driver-side node count is a 1-row scalar (bounded control
+    * plane, the [[ScaleOps.recommendedSalt]] precedent). */
+  def hRankConvergence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = coSupplyPairs(s, dir)
+    val und = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val out = Checkpoints.track(
+      und.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint())
+    val n = out.select(col("src")).distinct().count()
+    require(n > 0, "empty co-supply graph")
+    val base = 1000000000000L / n
+    var p = Checkpoints.track(
+      out.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(base).as("p")).localCheckpoint())
+    val roundRows = (1 to 8).map { r =>
+      val next = Checkpoints.track(
+        out.join(p, col("src") === col("node"))
+          .select(col("dst"), expr("p DIV deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+          .select(col("dst").as("node"),
+            expr(s"(150 * ${base}L + 850 * m) DIV 1000").as("p"))
+          .localCheckpoint())
+      // every node keeps degree >= 1 on an undirected edge list, so the
+      // round-over-round node sets are identical and the join is total
+      val delta = next.as("b")
+        .join(p.as("a"), col("a.node") === col("b.node"))
+        .agg(lit(r.toLong).as("round"),
+          sum(abs(col("b.p") - col("a.p"))).as("l1_delta"),
+          max(abs(col("b.p") - col("a.p"))).as("max_delta"),
+          sum(col("b.p")).as("total_mass"))
+      p = next // superseded vectors stay tracked: the delta rows read them
+      delta
+    }
+    roundRows.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** DuckDB replays the 8 rounds as MATERIALIZED CTEs (materialization
+    * stops the chain re-inlining 8-fold — the label-propagation oracle
+    * lesson). Sums cast to BIGINT (DuckDB sum() promotes to HUGEINT);
+    * `//` floors where Spark DIV truncates — all divided values
+    * non-negative, so they agree. */
+  val hRankConvergenceSql: String = {
+    val rounds = (1 to 8).map { i =>
+      val prev = if (i == 1) "p0" else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT o.dst AS node,
+         |    CAST((150 * (SELECT base FROM nb)
+         |      + 850 * CAST(sum(p.p // o.deg) AS BIGINT)) // 1000 AS BIGINT) AS p
+         |  FROM out0 o JOIN $prev p ON o.src = p.node GROUP BY o.dst)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to 8).map { i =>
+      val prev = if (i == 1) "p0" else s"r${i - 1}"
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST(sum(abs(b.p - a.p)) AS BIGINT) AS l1_delta,
+         |  CAST(max(abs(b.p - a.p)) AS BIGINT) AS max_delta,
+         |  CAST(sum(b.p) AS BIGINT) AS total_mass
+         |FROM r$i b JOIN $prev a ON a.node = b.node""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coSupplyPairsCtes,
+       |und AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pairs
+       |  UNION ALL SELECT v AS src, u AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |out0 AS MATERIALIZED (
+       |  SELECT und.src, und.dst, deg.deg FROM und JOIN deg ON und.src = deg.src),
+       |nb AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base FROM deg),
+       |p0 AS MATERIALIZED (
+       |  SELECT src AS node, (SELECT base FROM nb) AS p FROM deg),
+       |$rounds
+       |SELECT * FROM ($deltas) ORDER BY round""".stripMargin
+  }
 
   // ==================================================== attribution
 
@@ -1417,6 +1538,7 @@ object AnalyticsOps {
     "g_attribution" -> (gAttribution _),
     "g_concurrency" -> (gConcurrency _),
     "h_graph_triangles" -> (hGraphTriangles _),
+    "h_rank_convergence" -> (hRankConvergence _),
     "g_event_funnel" -> (gEventFunnel _),
     "g_cohort_retention" -> (gCohortRetention _),
     "g_gap_fill" -> (gGapFill _),
@@ -1440,6 +1562,7 @@ object AnalyticsOps {
     "g_attribution" -> gAttributionSql,
     "g_concurrency" -> gConcurrencySql,
     "h_graph_triangles" -> hGraphTrianglesSql,
+    "h_rank_convergence" -> hRankConvergenceSql,
     "g_event_funnel" -> gEventFunnelSql,
     "g_cohort_retention" -> gCohortRetentionSql,
     "g_gap_fill" -> gGapFillSql,

@@ -979,7 +979,7 @@ object TrainingOps {
     * The only exchanges are the (doc, n, g) rollup (map-side partials
     * eat within-doc repeats), the (doc, n) fold, and the ≤|langs|·3-row
     * finish. Pure integer arithmetic (milli via DIV); measured K=40
-    * replication: 40× docs → ~3.9× wall. */
+    * replication: 40× docs → ~3.5× wall. */
   def hDocRepetition(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -1654,6 +1654,117 @@ object TrainingOps {
       |    AS utilization_millis
       |FROM run GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ========================================== importance resampling (DSIR)
+
+  /** DSIR-style IMPORTANCE selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-bigram profile resembles a curated
+    * target slice (here sources src1–src4, standing in for the paper's
+    * Wikipedia+books target), then keep the top 20 % per language.
+    * [[hDomainMix]]/[[hTokenBudgetMix]] decide how much of each FACET to
+    * keep; this decides WHICH documents, by content. Per-bucket weight is
+    * the integer bit-length gap
+    * `floor(log2(target_count+1)) − floor(log2(raw_count+1))` — the
+    * [[LlmOps.hLmQuality]] `length(bin(n))−1` idiom, a pure
+    * integer+string path both engines share exactly, instead of the
+    * paper's float log-likelihood ratio whose libm last-ulp rounding
+    * differs across engines. Weights are shifted +64 so every integer
+    * division runs on non-negative values (Spark `DIV` truncates toward
+    * zero, DuckDB `//` floors — they only agree above zero); the shift
+    * cancels out of the reported per-doc milli score. Selection is the
+    * deterministic top-quota variant of the paper's Gumbel resampling
+    * (rank by score, doc_id tiebreak — re-derivable on re-partitioned
+    * data). Output: per-lang corpus size, selected count, exact selected
+    * vs overall score sums, and the selection cutoff.
+    *
+    * Scale shape: the corpus is scanned twice, each time through the
+    * SAME scan-local bigram explode (the [[hDecontaminate]] codegen
+    * form): once folding straight into the 1024-row bucket statistics
+    * table (map-side partials collapse to ≤1024 rows before the
+    * exchange — both target and raw counts in ONE aggregate via a CASE
+    * mask, the [[LlmOps.hIvfStaleness]] fold), once into the per-(doc,
+    * bucket) counts that join the broadcast-sized weight table and fold
+    * to one score row per doc. No corpus-sized intermediate is
+    * materialized and the per-lang quota rank windows over score-sized
+    * rows (one row per doc, not per gram). Measured K=40 replication:
+    * 40× docs → ~2.4× wall. */
+  def hImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source IN ('src1', 'src2', 'src3', 'src4') AS tgt,
+        |    split(text, ' ') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang, tgt,
+        |    CAST(conv(substr(md5(concat_ws('|', element_at(t, i), element_at(t, i + 1))),
+        |      1, 15), 16, 10) AS BIGINT) % 1024 AS b
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 1)) x AS i
+        |  WHERE size(t) >= 2),
+        |bs AS (
+        |  SELECT b,
+        |    (length(bin(coalesce(CAST(sum(CASE WHEN tgt THEN 1 END) AS BIGINT), CAST(0 AS BIGINT)) + 1)) - 1)
+        |      - (length(bin(count(*) + 1)) - 1) + 64 AS w
+        |  FROM gr GROUP BY b),
+        |db AS (
+        |  SELECT doc_id, lang, b, count(*) AS c FROM gr GROUP BY doc_id, lang, b),
+        |ds AS (
+        |  SELECT d.doc_id, d.lang,
+        |    1000 * sum(d.c * bs.w) DIV sum(d.c) - 64000 AS score_milli
+        |  FROM db d JOIN bs ON d.b = bs.b
+        |  GROUP BY d.doc_id, d.lang),
+        |rk AS (
+        |  SELECT lang, doc_id, score_milli,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score_milli DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_docs
+        |  FROM ds)
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN rn * 5 <= n_docs THEN 1 END) AS BIGINT) AS n_selected,
+        |  CAST(sum(CASE WHEN rn * 5 <= n_docs THEN score_milli END) AS BIGINT) AS sel_score_sum,
+        |  CAST(sum(score_milli) AS BIGINT) AS all_score_sum,
+        |  CAST(min(CASE WHEN rn * 5 <= n_docs THEN score_milli END) AS BIGINT) AS cutoff_milli
+        |FROM rk GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB: list indexing + the concat-0x hex cast; `//` floors where
+    * Spark DIV truncates — every division here runs on non-negative
+    * values by the +64 shift, so they agree. */
+  val hImportanceSampleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source IN ('src1', 'src2', 'src3', 'src4') AS tgt,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, lang, tgt,
+      |    CAST(concat('0x', substr(md5(concat_ws('|', t[i], t[i + 1])), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, lang, tgt, t, unnest(range(1, len(t))) AS i
+      |        FROM tok WHERE len(t) >= 2)),
+      |bs AS (
+      |  SELECT b,
+      |    (length(bin(coalesce(CAST(sum(CASE WHEN tgt THEN 1 END) AS BIGINT), CAST(0 AS BIGINT)) + 1)) - 1)
+      |      - (length(bin(count(*) + 1)) - 1) + 64 AS w
+      |  FROM gr GROUP BY b),
+      |db AS (
+      |  SELECT doc_id, lang, b, count(*) AS c FROM gr GROUP BY doc_id, lang, b),
+      |ds AS (
+      |  SELECT d.doc_id, d.lang,
+      |    1000 * CAST(sum(d.c * bs.w) AS BIGINT) // CAST(sum(d.c) AS BIGINT) - 64000 AS score_milli
+      |  FROM db d JOIN bs ON d.b = bs.b
+      |  GROUP BY d.doc_id, d.lang),
+      |rk AS (
+      |  SELECT lang, doc_id, score_milli,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score_milli DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n_docs
+      |  FROM ds)
+      |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN rn * 5 <= n_docs THEN 1 END) AS BIGINT) AS n_selected,
+      |  CAST(sum(CASE WHEN rn * 5 <= n_docs THEN score_milli END) AS BIGINT) AS sel_score_sum,
+      |  CAST(sum(score_milli) AS BIGINT) AS all_score_sum,
+      |  CAST(min(CASE WHEN rn * 5 <= n_docs THEN score_milli END) AS BIGINT) AS cutoff_milli
+      |FROM rk GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ============================================== MinHash calibration audit
 
   /** MinHash calibration audit — the empirical check that signature
@@ -1962,6 +2073,7 @@ object TrainingOps {
     "h_curation_funnel" -> (hCurationFunnel _),
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_doc_repetition" -> (hDocRepetition _),
+    "h_importance_sample" -> (hImportanceSample _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
   )
@@ -1990,6 +2102,7 @@ object TrainingOps {
     "h_curation_funnel" -> hCurationFunnelSql,
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_doc_repetition" -> hDocRepetitionSql,
+    "h_importance_sample" -> hImportanceSampleSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
   )

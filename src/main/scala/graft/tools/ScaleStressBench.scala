@@ -50,7 +50,8 @@ object ScaleStressBench {
     "h_sampling_bias", "h_class_margin", "h_cluster_purity",
     "h_langid_confusion", "h_padding_waste", "h_bloom_calibration",
     "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded",
-    "h_pmi_collocations", "h_simjoin_prefix", "h_doc_repetition")
+    "h_pmi_collocations", "h_simjoin_prefix", "h_doc_repetition",
+    "h_importance_sample")
   /** Orders/events profile set (round 13): the replicator now scales
     * those tables too, so the ANALYZE/active-user pairs — exact and the
     * HLL approximate twins — get real K-fold stress rows. The remaining

@@ -1059,6 +1059,42 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the two scan-local explodes only:\n$plan")
   }
 
+  test("h_importance_sample: two scans, 1024-row weight table broadcasts, no corpus-wide sort-merge") {
+    val plan = TrainingOps.hImportanceSample(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // two passes over documents, each through its own scan-local explode:
+    // one folds to the <=1024-row bucket-stats table, one to per-doc counts
+    assert(plan.split("documents.parquet").length - 1 == 2,
+      s"expected exactly two documents scans:\n$plan")
+    assert(plan.split("Generate").length - 1 <= 2,
+      s"expected the two scan-local explodes only:\n$plan")
+    // the weight table joins the per-doc counts as a broadcast — a
+    // sort-merge here would shuffle the corpus-sized count table on a
+    // 1024-value key
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-weight join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs in this plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("h_rank_convergence: final plan reads only checkpointed vectors — no corpus rescan") {
+    val plan = AnalyticsOps.hRankConvergence(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // 8 rounds of power iteration ran eagerly behind localCheckpoints;
+    // the returned plan must derive from those RDDs alone — any parquet
+    // scan means the edge build or degree table leaked back in (the
+    // orders/lineitem chain would re-derive a 9th time)
+    assert(!plan.contains("Scan parquet"),
+      s"final plan must not rescan the corpus:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed round vectors:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the delta rows join NODE-sized vectors pairwise: 8 rounds, so at
+    // most 16 RDD reads — a corpus-sized operator has no business here
+    assert(!plan.contains("Window"), s"no window over the vectors:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
