@@ -243,4 +243,34 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(3 * tris <= wedges, "each triangle closes exactly 3 wedges; count exceeds wedges")
     assert(cc >= 0 && cc <= 1000, s"clustering coefficient out of range: $cc")
   }
+
+  test("h_rank_convergence: L1 contracts monotonically, mass conserved within truncation") {
+    // sf0.001's co-supply graph is REGULAR (every supplier shares every
+    // order window), so uniform init IS the fixpoint and L1 hits 0 in
+    // round 2 — run the audit where the curve has structure
+    val rows = AnalyticsOps.hRankConvergence(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Checkpoints.releaseAll()
+    assert(rows.map(_._1).toSeq == (1L to 8L), "one row per round, ordered")
+    // damped power iteration contracts until the integer floor; a rising
+    // L1 at any point means the update rule broke
+    rows.sliding(2).foreach { case Array((_, l1a, _, _), (r, l1b, _, _)) =>
+      assert(l1b <= l1a, s"L1 must never grow into round $r: $l1a -> $l1b")
+      assert(l1b < l1a || l1a == 0,
+        s"a nonzero L1 plateau at round $r says mixing stalled: $l1a -> $l1b")
+    }
+    rows.foreach { case (r, l1, mx, mass) =>
+      assert(mx <= l1, s"round $r: max single-node move $mx exceeds the L1 total $l1")
+      // DIV truncation leaks < 1 unit per node per contribution + 1 per
+      // update: total mass stays within nodes × (rounds + 1) of 10^12
+      // (node count bounded by the supplier domain, far under 10^6 here)
+      assert(mass <= 1000000000000L, s"round $r: mass grew past the invariant total")
+      assert(1000000000000L - mass < 1000000L * (r + 1),
+        s"round $r: mass leak beyond truncation bounds: $mass")
+    }
+    // round 8 should be deep into convergence: L1 under one millionth
+    // of total mass — otherwise 8 rounds wasn't the fixpoint story told
+    assert(rows.last._2 < 1000000L,
+      s"round-8 L1 ${rows.last._2} says the iteration is far from fixed point")
+  }
 }

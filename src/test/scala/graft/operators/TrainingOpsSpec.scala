@@ -109,6 +109,25 @@ class TrainingOpsSpec extends SparkSuite {
       s"zero signature agreement must mean near-disjoint: $byAgree")
   }
 
+  test("h_importance_sample: exact top-20% quota, selected mean dominates corpus mean") {
+    val rows = TrainingOps.hImportanceSample(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nDocs, nSel) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (selSum, allSum, cutoff) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nSel == nDocs / 5, s"$lang: quota must be floor(n/5): $nSel of $nDocs")
+      // the selection is the TOP quota by score, so its mean can never
+      // fall below the corpus mean (cross-multiplied, no FP division)
+      assert(selSum * nDocs >= allSum * nSel,
+        s"$lang: selected mean below corpus mean: $selSum/$nSel vs $allSum/$nDocs")
+      // the cutoff is the WORST selected score: quota * cutoff is a lower
+      // bound on the selected sum, and no doc beats the +64-shift ceiling
+      assert(selSum >= nSel * cutoff, s"$lang: cutoff $cutoff contradicts sum $selSum")
+      assert(cutoff <= 0, s"$lang: target slice is a subset of raw, so " +
+        s"log2(tgt+1) <= log2(raw+1) bucket-wise and no score is positive: $cutoff")
+    }
+  }
+
   test("c_join_asof: matched purchase is the latest at-or-before each click") {
     val out = ScaleOps.cJoinAsof(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
