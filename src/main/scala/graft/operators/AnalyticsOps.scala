@@ -187,6 +187,123 @@ object AnalyticsOps {
       |FROM filled GROUP BY CAST(h AS DATE)
       |ORDER BY day""".stripMargin
 
+  // ===================================== time-series profile similarity
+
+  /** Time-series SIMILARITY search over daily activity profiles — the
+    * retrieved-corpus family (EDBT'19 streaming time-series similarity,
+    * SIGMOD'20 adaptive similarity search) expressed on the data at
+    * hand: which pairs of days have the most similar 24-hour traffic
+    * shapes? The ops answer load-forecasting ("which past day looked
+    * like today"), anomaly triage ("today matches no historical shape"),
+    * and cache-warming questions. Each day becomes a 24-dim per-mille
+    * share vector (1000·hour_count DIV day_total over a gap-filled
+    * hour-of-day axis — shares, not raw counts, so a 10× traffic day
+    * with the same shape is a perfect match); pairs rank by SIGNED
+    * SQUARED Pearson correlation in exact integer arithmetic:
+    * cov = 24·Σxy − Σx·Σy, var = 24·Σx² − (Σx)², then
+    * `((cov² DIV vx) · 1000) DIV vy` with the sign carried separately —
+    * per-mille shares are ≤1000 BY CONSTRUCTION at any corpus size, so
+    * every product provably fits BIGINT (cov² ≤ 3.4e17) and
+    * Cauchy–Schwarz caps the two-step division's operands; a flat
+    * (zero-variance) day ships the −1 sentinel in both engines rather
+    * than dividing by zero.
+    *
+    * Scale shape: exactly ONE corpus-sized exchange — the (day, hour)
+    * rollup with map-side partials. Everything downstream is
+    * CALENDAR-bounded, not corpus-bounded: profiles are days×24 rows,
+    * the hour-aligned self-join produces days²/2 pairs — and the day
+    * count grows with TIME, not data volume (the testdata replicates
+    * this: 10×/100× the events, same 30 days), so at 100 TB the pair
+    * table is still a few-thousand-row control table. Top-15 ships via
+    * TakeOrdered. The (day, hour) rollup localCheckpoints (720 rows —
+    * domain-sized, the prescribed cure for CTE re-inlining): the axis
+    * build, the gap-fill join, and the profile's three consumers all
+    * read that one materialization, so events is scanned exactly once
+    * no matter how the calendar-sized tail re-derives. */
+  def gDaySimilarity(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    val c = Checkpoints.track(s.sql(
+      """SELECT tus DIV 86400000000 AS day, (tus DIV 3600000000) % 24 AS hod,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY tus DIV 86400000000, (tus DIV 3600000000) % 24""".stripMargin)
+      .localCheckpoint())
+    c.createOrReplaceTempView("day_hour_counts")
+    s.sql(
+      """WITH tot AS (
+        |  SELECT day, sum(n) AS t FROM day_hour_counts GROUP BY day),
+        |axis AS (
+        |  SELECT day, t, explode(sequence(0, 23)) AS hod FROM tot),
+        |prof AS (
+        |  SELECT a.day, a.hod, 1000 * coalesce(c.n, CAST(0 AS BIGINT)) DIV a.t AS s
+        |  FROM axis a LEFT JOIN day_hour_counts c
+        |    ON a.day = c.day AND a.hod = c.hod),
+        |st AS (
+        |  SELECT day, sum(s) AS sx, sum(s * s) AS sxx FROM prof GROUP BY day),
+        |pair AS (
+        |  SELECT p.day AS day1, q.day AS day2, sum(p.s * q.s) AS sxy
+        |  FROM prof p JOIN prof q ON p.hod = q.hod AND p.day < q.day
+        |  GROUP BY p.day, q.day),
+        |m AS (
+        |  SELECT pair.day1, pair.day2,
+        |    24 * sxy - a.sx * b.sx AS cov,
+        |    24 * a.sxx - a.sx * a.sx AS vx,
+        |    24 * b.sxx - b.sx * b.sx AS vy
+        |  FROM pair JOIN st a ON pair.day1 = a.day JOIN st b ON pair.day2 = b.day)
+        |SELECT day1, day2,
+        |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS corr_sign,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE ((cov * cov DIV vx) * 1000) DIV vy END AS cor2_milli
+        |FROM m
+        |ORDER BY CASE WHEN vx = 0 OR vy = 0 THEN CAST(-1001 AS BIGINT)
+        |              WHEN cov >= 0 THEN ((cov * cov DIV vx) * 1000) DIV vy
+        |              ELSE -(((cov * cov DIV vx) * 1000) DIV vy) END DESC,
+        |  day1, day2
+        |LIMIT 15""".stripMargin)
+  }
+
+  /** DuckDB: identical arithmetic; `//` floors where Spark DIV truncates
+    * — every division here runs on non-negative operands (cov is squared
+    * before dividing), so they agree. */
+  val gDaySimilaritySql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY day),
+      |axis AS (
+      |  SELECT day, t, unnest(range(0, 24)) AS hod FROM tot),
+      |prof AS (
+      |  SELECT a.day, CAST(a.hod AS BIGINT) AS hod,
+      |    1000 * coalesce(c.n, CAST(0 AS BIGINT)) // a.t AS s
+      |  FROM axis a LEFT JOIN c ON a.day = c.day AND a.hod = c.hod),
+      |st AS (
+      |  SELECT day, CAST(sum(s) AS BIGINT) AS sx,
+      |    CAST(sum(s * s) AS BIGINT) AS sxx FROM prof GROUP BY day),
+      |pair AS (
+      |  SELECT p.day AS day1, q.day AS day2,
+      |    CAST(sum(p.s * q.s) AS BIGINT) AS sxy
+      |  FROM prof p JOIN prof q ON p.hod = q.hod AND p.day < q.day
+      |  GROUP BY p.day, q.day),
+      |m AS (
+      |  SELECT pair.day1, pair.day2,
+      |    24 * sxy - a.sx * b.sx AS cov,
+      |    24 * a.sxx - a.sx * a.sx AS vx,
+      |    24 * b.sxx - b.sx * b.sx AS vy
+      |  FROM pair JOIN st a ON pair.day1 = a.day JOIN st b ON pair.day2 = b.day)
+      |SELECT day1, day2,
+      |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |    AS corr_sign,
+      |  CASE WHEN vx = 0 OR vy = 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE ((cov * cov // vx) * 1000) // vy END AS cor2_milli
+      |FROM m
+      |ORDER BY CASE WHEN vx = 0 OR vy = 0 THEN CAST(-1001 AS BIGINT)
+      |              WHEN cov >= 0 THEN ((cov * cov // vx) * 1000) // vy
+      |              ELSE -(((cov * cov // vx) * 1000) // vy) END DESC,
+      |  day1, day2
+      |LIMIT 15""".stripMargin
+
   // ============================================ exact-moment regression
 
   /** One-pass parallel OLS of extendedprice-in-whole-dollars on quantity,
@@ -1542,6 +1659,7 @@ object AnalyticsOps {
     "g_event_funnel" -> (gEventFunnel _),
     "g_cohort_retention" -> (gCohortRetention _),
     "g_gap_fill" -> (gGapFill _),
+    "g_day_similarity" -> (gDaySimilarity _),
     "d_regression" -> (dRegression _),
     "a_compaction_bins" -> (aCompactionBins _),
     "h_inverted_index" -> (hInvertedIndex _),
@@ -1566,6 +1684,7 @@ object AnalyticsOps {
     "g_event_funnel" -> gEventFunnelSql,
     "g_cohort_retention" -> gCohortRetentionSql,
     "g_gap_fill" -> gGapFillSql,
+    "g_day_similarity" -> gDaySimilaritySql,
     "d_regression" -> dRegressionSql,
     "a_compaction_bins" -> aCompactionBinsSql,
     "h_inverted_index" -> hInvertedIndexSql,

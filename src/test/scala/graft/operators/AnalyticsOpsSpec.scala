@@ -244,6 +244,23 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(cc >= 0 && cc <= 1000, s"clustering coefficient out of range: $cc")
   }
 
+  test("g_day_similarity: top-15 well-formed — ordered pairs, cor2 in range, sign consistent") {
+    val rows = AnalyticsOps.gDaySimilarity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Checkpoints.releaseAll()
+    assert(rows.length == 15, s"top-15 contract: got ${rows.length}")
+    rows.foreach { case (d1, d2, sign, cor2) =>
+      assert(d1 < d2, s"pairs must be ordered: ($d1, $d2)")
+      assert(sign >= -1 && sign <= 1, s"sign out of range: $sign")
+      // squared correlation: Cauchy-Schwarz caps the integer milli at
+      // 1000; the -1 sentinel marks a flat (zero-variance) day
+      assert(cor2 >= -1 && cor2 <= 1000, s"cor2_milli out of range: $cor2")
+    }
+    // the list must arrive ranked by signed squared correlation
+    val signed = rows.map { case (_, _, sg, c2) => if (c2 == -1) -1001L else sg * c2 }
+    assert(signed.sameElements(signed.sortBy(-_)), "rows not rank-ordered")
+  }
+
   test("h_rank_convergence: L1 contracts monotonically, mass conserved within truncation") {
     // sf0.001's co-supply graph is REGULAR (every supplier shares every
     // order window), so uniform init IS the fixpoint and L1 hits 0 in

@@ -1095,6 +1095,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"no window over the vectors:\n$plan")
   }
 
+  test("g_day_similarity: calendar-sized tail reads the one checkpointed rollup — no events rescan") {
+    val plan = AnalyticsOps.gDaySimilarity(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the (day, hour) rollup is the ONLY corpus-sized work and it
+    // checkpointed; the profile CTE has three consumers, so any parquet
+    // scan here means re-inlining dragged the corpus back in
+    assert(!plan.contains("Scan parquet"),
+      s"final plan must not rescan events:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed day-hour rollup:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-15 must ride TakeOrderedAndProject:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
