@@ -1189,6 +1189,90 @@ object AnalyticsOps {
       |SELECT path, path_len, n_users FROM census
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
 
+  // ============================================ trajectory similarity search
+
+  /** Top-k TRAJECTORY similarity search (the REPOSE ICDE'21 distributed
+    * top-k trajectory family, on the trajectories this log actually has):
+    * for each of a fixed 20-user probe panel, the 3 users whose
+    * event-type journey most resembles the probe's, by edit distance
+    * over the first-12-event initial string. [[gTopPaths]] censuses
+    * exact path POPULARITY; this answers the similarity question a
+    * behavioral-cohort or bot-hunting pipeline asks — "who else behaves
+    * like this user", tolerant of insertions/swaps that break exact path
+    * equality. The probe panel is the 20 lowest user_ids (deterministic
+    * cross-engine, the `h_ann_recall` fixed-panel discipline); distance
+    * is unit-cost Levenshtein on ≤12-char strings — exact integer, both
+    * engines agree; ties rank by (dist, user_id).
+    *
+    * Scale shape: the trajectory build is one user_id exchange (the
+    * window and the fold share the clustering; WindowGroupLimit caps the
+    * sort at 12 rows per user) and runs twice — once for the corpus arm,
+    * once for the 20-row panel arm (two scans beat materializing a
+    * user-count-sized checkpoint for a 20-row result); the panel is a
+    * 20-row broadcast and the scoring join is BroadcastNestedLoop BY
+    * INTENT —
+    * 20 × users rows of scan-local codegen `levenshtein`, linear in the
+    * user population (the README's documented non-equi posture: the
+    * all-pairs variant is the one that doesn't scale, a panel search
+    * does). The rank window partitions by probe over the 20×users score
+    * table — never the corpus. */
+  def hTrajectorySearch(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, substr(event_type, 1, 1) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+        |  FROM events),
+        |traj AS (
+        |  SELECT user_id,
+        |    array_join(transform(
+        |      array_sort(collect_list(named_struct('rn', rn, 'c', c))),
+        |      p -> p.c), '') AS path
+        |  FROM seq WHERE rn <= 12 GROUP BY user_id),
+        |panel AS (
+        |  SELECT user_id AS q_id, path AS q_path FROM traj
+        |  ORDER BY user_id LIMIT 20),
+        |scored AS (
+        |  SELECT p.q_id, t.user_id, levenshtein(p.q_path, t.path) AS dist
+        |  FROM panel p JOIN traj t ON t.user_id <> p.q_id),
+        |ranked AS (
+        |  SELECT q_id, user_id, dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, user_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, user_id AS match_id,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin)
+  }
+
+  /** DuckDB: `list(... ORDER BY rn)` builds the trajectory; its
+    * `levenshtein` is the same unit-cost metric. */
+  val hTrajectorySearchSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |seq AS (
+      |  SELECT user_id, substr(event_type, 1, 1) AS c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+      |  FROM e),
+      |traj AS (
+      |  SELECT user_id,
+      |    array_to_string(list(c ORDER BY rn), '') AS path
+      |  FROM seq WHERE rn <= 12 GROUP BY user_id),
+      |panel AS (
+      |  SELECT user_id AS q_id, path AS q_path FROM traj
+      |  ORDER BY user_id LIMIT 20),
+      |scored AS (
+      |  SELECT p.q_id, t.user_id, levenshtein(p.q_path, t.path) AS dist
+      |  FROM panel p JOIN traj t ON t.user_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, user_id, dist,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, user_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, CAST(rk AS BIGINT) AS rk, user_id AS match_id,
+      |  CAST(dist AS BIGINT) AS dist
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY q_id, rk""".stripMargin
+
   // ====================================================== active users
 
   /** DAU / WAU / MAU + stickiness — the product-analytics vital signs
@@ -1660,6 +1744,7 @@ object AnalyticsOps {
     "g_cohort_retention" -> (gCohortRetention _),
     "g_gap_fill" -> (gGapFill _),
     "g_day_similarity" -> (gDaySimilarity _),
+    "h_trajectory_search" -> (hTrajectorySearch _),
     "d_regression" -> (dRegression _),
     "a_compaction_bins" -> (aCompactionBins _),
     "h_inverted_index" -> (hInvertedIndex _),
@@ -1685,6 +1770,7 @@ object AnalyticsOps {
     "g_cohort_retention" -> gCohortRetentionSql,
     "g_gap_fill" -> gGapFillSql,
     "g_day_similarity" -> gDaySimilaritySql,
+    "h_trajectory_search" -> hTrajectorySearchSql,
     "d_regression" -> dRegressionSql,
     "a_compaction_bins" -> aCompactionBinsSql,
     "h_inverted_index" -> hInvertedIndexSql,

@@ -1110,6 +1110,24 @@ class PlanAuditSpec extends SparkSuite {
       s"top-15 must ride TakeOrderedAndProject:\n$plan")
   }
 
+  test("h_trajectory_search: panel broadcasts into a BNLJ, per-user sort capped by WindowGroupLimit") {
+    val plan = AnalyticsOps.hTrajectorySearch(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the scoring join is 20-row-panel × users — BroadcastNestedLoop BY
+    // INTENT (non-equi); a CartesianProduct here means the broadcast was
+    // lost and both sides shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"panel must broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the first-12-event trajectory window must plan as WindowGroupLimit:
+    // without it every user's FULL event history sorts just to keep 12
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 12 must push into WindowGroupLimit:\n$plan")
+    // corpus + panel arms: exactly two events scans, never more
+    assert(plan.split("events.parquet").length - 1 == 2,
+      s"expected the corpus and panel arms' two scans only:\n$plan")
+  }
+
   test("h_dedup_bloom_sharded: filter table broadcasts, probe rides the codegen expression") {
     val plan = LlmOps.hDedupBloomSharded(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString

@@ -122,7 +122,12 @@ class NsqClusterSpec extends AnyFunSuite {
         val victim = execIds.peek()
         assert(sc.killExecutors(Seq(victim)), s"kill request for executor $victim refused")
         (150 until total).foreach(i => srv.publish(f"$i%016d", s"m-$i".getBytes("UTF-8")))
-        eventually(120000) {
+        // 240 s, not 120: post-kill shard reassignment rides idleTtl plus
+        // micro-batch progress, and under heavy host co-tenant load the
+        // single surviving 1-core executor can sit starved for minutes —
+        // measured 188/300 at the 120 s deadline at loadavg ~3, complete
+        // shortly after (quiesced runs finish in ~20 s)
+        eventually(240000) {
           val n = spark.sql("SELECT count(DISTINCT payload) FROM nsq_cluster").head.getLong(0)
           assert(n == total.toLong, s"migration lost messages: $n/$total distinct")
         }
