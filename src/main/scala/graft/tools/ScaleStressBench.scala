@@ -60,7 +60,12 @@ object ScaleStressBench {
   private val profileQueries = Seq(
     "a_column_stats", "a_column_stats_approx",
     "g_active_users", "g_active_users_approx",
-    "g_scd2_state", "d_histogram_eqdepth")
+    "g_scd2_state", "d_histogram_eqdepth",
+    // round-14 fifth wave: both read ONLY events. g_day_similarity is the
+    // calendar-bounded claim's direct measurement — K× events, same 30
+    // days, so the pair table must not grow; h_trajectory_search is
+    // panel × (K× users), the linear-in-users claim.
+    "g_day_similarity", "h_trajectory_search")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
