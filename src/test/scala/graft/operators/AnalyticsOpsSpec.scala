@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{SparkSpec, SparkSuite}
+import graft.{SparkSpec, SparkSuite, Tables}
 
 /** Semantic invariants for the event-analytics / lake-maintenance group —
   * properties that must hold on ANY input, complementing the hash oracle
@@ -259,6 +259,29 @@ class AnalyticsOpsSpec extends SparkSuite {
     // the list must arrive ranked by signed squared correlation
     val signed = rows.map { case (_, _, sg, c2) => if (c2 == -1) -1001L else sg * c2 }
     assert(signed.sameElements(signed.sortBy(-_)), "rows not rank-ordered")
+  }
+
+  test("h_trajectory_search: 20 probes x top-3, distances ranked, no self-matches") {
+    val rows = AnalyticsOps.hTrajectorySearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    // the panel is the 20 lowest user_ids — or every user when the
+    // population is smaller (sf0.001 has 15)
+    val nUsers = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(byProbe.size == math.min(20L, nUsers),
+      s"panel contract: ${byProbe.size} probes for $nUsers users")
+    byProbe.foreach { case (q, ms) =>
+      assert(ms.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)),
+        s"probe $q: ranks must be exactly 1..3")
+      assert(ms.forall(_._3 != q), s"probe $q matched itself")
+      val byRank = ms.sortBy(_._2).map(_._4)
+      assert(byRank.sameElements(byRank.sorted),
+        s"probe $q: distance must be non-decreasing in rank: ${byRank.toSeq}")
+      // 12-initial strings: unit-cost edit distance is bounded by 12
+      assert(ms.forall(m => m._4 >= 0 && m._4 <= 12),
+        s"probe $q: distance out of [0, 12]: ${ms.map(_._4).toSeq}")
+    }
   }
 
   test("h_rank_convergence: L1 contracts monotonically, mass conserved within truncation") {
