@@ -78,4 +78,66 @@ class StreamingSimJoinSpec extends SparkSuite {
     assert(pairs() == batch,
       s"missing: ${(batch -- pairs()).take(5)}; extra: ${(pairs() -- batch).take(5)}")
   }
+
+  test("at-least-once redelivery: replayed docs re-emit but never re-enroll") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    def doc(seed: Int): String = (0 until 30).map(i => s"w${seed}_${(i * 7) % 97}").mkString(" ")
+    // b = a with one word dropped: 3-gram Jaccard well above 0.6
+    val a = 1L -> doc(1)
+    val b = 2L -> doc(1).split(" ").drop(1).mkString(" ")
+
+    val input = MemoryStream[(Long, String)]
+    val captured = new ConcurrentHashMap[Long, Array[StreamingSimJoin.SimPair]]()
+    val q = StreamingSimJoin(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSimJoin.SimPair], id: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) captured.put(id, rows)
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("simjoin-replay-ckpt").toString)
+      .start()
+    try {
+      def all() = captured.asScala.values.flatten.toSeq
+      input.addData(Seq(a, b))
+      await(() => all().exists(p => p.a_id == 1L && p.b_id == 2L), "the planted pair")
+      val jac = all().find(p => p.a_id == 1L && p.b_id == 2L).get.jac_milli
+
+      // redeliver BOTH docs (at-least-once: same content, new offsets),
+      // then land a fresh near-dup of `a` and count its raw hits — a
+      // double-enrolled resident would double them
+      input.addData(Seq(a, b))
+      Thread.sleep(2000L)
+      val c = 3L -> doc(1).split(" ").dropRight(1).mkString(" ")
+      input.addData(Seq(c))
+      await(() => all().exists(p => p.a_id == 1L && p.b_id == 3L), "the post-replay pair")
+      Thread.sleep(1500L)
+
+      val rows = all()
+      // replay re-emits (1,2) hits but never with a different score, and
+      // never invents pairs
+      assert(rows.map(p => (p.a_id, p.b_id)).toSet.subsetOf(
+        Set((1L, 2L), (1L, 3L), (2L, 3L))),
+        s"unexpected pairs: ${rows.map(p => (p.a_id, p.b_id)).distinct}")
+      assert(rows.filter(p => p.a_id == 1L && p.b_id == 2L).forall(_.jac_milli == jac),
+        "a replayed emission changed its exact score")
+      // the double-enrollment detector: doc 3 probes EVERY gram key once,
+      // so its hits against doc 1 equal the number of shared gram keys
+      // doc 1 is enrolled under — a duplicate resident would exactly
+      // double that count. Bound: shared keys <= doc 1's prefix length
+      // (its only enrollments), so hits <= |sig1| strictly; 2x would
+      // exceed it only if... compute directly instead:
+      val hits13 = rows.count(p => p.a_id == 1L && p.b_id == 3L)
+      val sig = (s: String) => s.split(" ").sliding(3).map(_.mkString("|")).toSet
+      val n1 = sig(a._2).size
+      val prefix1 = n1 - ((3 * n1 + 4) / 5) + 1
+      assert(hits13 <= prefix1,
+        s"doc 3 hit doc 1 $hits13 times > prefix $prefix1: a replayed doc re-enrolled")
+    } finally q.stop()
+  }
 }
