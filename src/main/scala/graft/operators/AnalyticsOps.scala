@@ -442,7 +442,12 @@ object AnalyticsOps {
         |JOIN binned b
         |  ON l.l_orderkey DIV 400 = b.file_id
         |  AND CAST(date_trunc('month', l.l_shipdate) AS DATE) = b.month""".stripMargin)
-    val nBins = binned.selectExpr("max(bin) + 1").head.getLong(0)
+    val maxRow = binned.selectExpr("max(bin) + 1").head
+    require(!maxRow.isNullAt(0),
+      s"executeCompactionMonth: no lineitem rows in month $month under $dir")
+    val nBins = maxRow.getLong(0)
+    require(nBins <= Int.MaxValue,
+      s"executeCompactionMonth: $nBins bins exceed repartition's Int range")
     binned
       .repartition(nBins.toInt, org.apache.spark.sql.functions.col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)

@@ -20,25 +20,54 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * correctness condition) — so the stream orders each signature by the
   * gram's 60-bit md5-prefix hash VALUE, a data-independent order every
   * arrival agrees on forever. Each document enrolls in the state-resident
-  * inverted index under its PREFIX grams (`n − ⌈0.6n⌉ + 1` smallest
-  * hashes) and probes with its FULL gram set. For any pair at J ≥ 0.6,
-  * J ≥ 0.6 forces `3·max(na,nb) ≤ 5·min(na,nb)` and
-  * `|a∩b| ≥ 0.6·max(na,nb)`, so EACH side's own-size prefix intersects
-  * the other's full set — whichever of the two documents arrives (or is
-  * processed within a batch) first, some shared gram key routes the later
-  * one onto the earlier one's enrollment. Verification is an exact sorted
-  * two-pointer intersection on the stored signatures, so a candidate
-  * collision never inflates a score.
+  * inverted index under its PREFIX grams (`plen = n − ⌈0.6n⌉ + 1`
+  * smallest hashes) and probes with its FULL gram set.
+  *
+  * COMPLETENESS LEMMA (the order-free guarantee; pinned by the ScalaCheck
+  * property in SimJoinLemmaSpec): for any pair (a, b) with
+  * `J(a,b) ≥ 0.6`, the SMALLEST shared gram `g* = min(a ∩ b)` lies inside
+  * BOTH prefixes. Proof: `ni = |a∩b| ≥ 0.6·nu ≥ 0.6·max(na,nb)`, so
+  * `ni ≥ ⌈0.6·na⌉` (integrality). On side a, every gram ordered before
+  * `g*` is non-shared, and there are at most `na − ni ≤ na − ⌈0.6·na⌉ =
+  * plen_a − 1` of them — so `g*`'s 0-based position is `< plen_a`;
+  * symmetrically for b. Hence BOTH documents carry `enroll = true` on
+  * key `g*`, and within that single grouped key, whichever row Spark
+  * processes second finds the first already enrolled — no appeal to any
+  * global processing order across gram tasks is needed (there is none
+  * within a micro-batch). Weaker arguments of the form "either side's
+  * own-size prefix intersects the other's full set" are NOT sufficient
+  * on their own: they admit an interleaving where each singly-prefixed
+  * collision key probes before the other side enrolls. The double
+  * enrollment on `g*` is what closes same-batch pairs. Verification is
+  * an exact sorted two-pointer intersection on the stored signatures, so
+  * a candidate collision never inflates a score.
   *
   * Scale posture: state is THE standing prefix inverted index, keyed by
   * gram hash and hash-partitioned across executors (RocksDB, off-heap) —
   * the same standing-index framing as [[StreamingNovelty]]'s (lang, gram)
   * seen-set, sharded by gram so no document or language is a hot key.
-  * Residency is prefix-only (~40 % of the gram stream), the price of an
-  * exactness contract a capped bucket would break. Re-delivered documents
-  * re-probe (duplicate hits collapse in the consumer's (a_id, b_id)
-  * dedup, exactly like the batch DISTINCT) but the residency check never
-  * enrolls a second copy — state is replay-idempotent.
+  * Residency is prefix-only (~40 % of the gram stream). Retention is the
+  * operator's one genuine knob:
+  *
+  *  - `retention = None` (default): exact FOREVER — state grows
+  *    O(corpus), ~`Σ plen·(16 + 8·n)` bytes ≈ measured by the soak row
+  *    in BASELINE.md (§streaming soak: bytes/doc at the synthetic shape).
+  *    The right mode for bounded backfills and batch-parity audits.
+  *  - `retention = Some(d)`: every enrollment carries Spark's native
+  *    state TTL (`TTLConfig(d)`) — the streaming analogue of
+  *    [[TwoGenDeduper]]'s generation rotation, except eviction is
+  *    per-value and sliding rather than two-phase. The contract narrows
+  *    to: every pair whose members arrive within `d` of each other is
+  *    emitted exactly; pairs straddling a wider gap are the declared
+  *    job of the batch `h_simjoin_prefix` repair pass over the lake
+  *    (same signatures, same threshold — the pair sets compose).
+  *    This is the mode an unbounded ingest runs: state residency becomes
+  *    O(arrival rate × d), flat forever.
+  *
+  * Re-delivered documents re-probe (duplicate hits collapse in the
+  * consumer's (a_id, b_id) dedup, exactly like the batch DISTINCT) but
+  * the residency check never enrolls a second copy — state is
+  * replay-idempotent.
   */
 object StreamingSimJoin {
 
@@ -57,13 +86,17 @@ object StreamingSimJoin {
     n
   }
 
-  class Processor extends StatefulProcessor[Long, GramKeyed, SimPair] {
+  class Processor(retentionMs: Long = 0L)
+      extends StatefulProcessor[Long, GramKeyed, SimPair] {
 
     @transient private var residents: ListState[StoredDoc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (retentionMs > 0L) TTLConfig(java.time.Duration.ofMillis(retentionMs))
+        else TTLConfig.NONE
       residents = getHandle.getListState[StoredDoc](
-        "residents", Encoders.product[StoredDoc], TTLConfig.NONE)
+        "residents", Encoders.product[StoredDoc], ttl)
     }
 
     override def handleInputRows(
@@ -101,8 +134,12 @@ object StreamingSimJoin {
   /** Wire the exact join onto a stream of (doc_id LONG, text STRING).
     * Emits one [[SimPair]] per (shared-gram, resident) collision above
     * J ≥ 0.6 — the same pair may surface from several shared grams;
-    * dedup on (a_id, b_id) downstream, as the batch DISTINCT does. */
-  def apply(stream: DataFrame): Dataset[SimPair] = {
+    * dedup on (a_id, b_id) downstream, as the batch DISTINCT does.
+    *
+    * `retentionMs = 0` keeps enrollments forever (exact, O(corpus)
+    * state); `> 0` bounds residency to the sliding window via native
+    * state TTL — see the retention contract in the class doc. */
+  def apply(stream: DataFrame, retentionMs: Long = 0L): Dataset[SimPair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     // session-wide provider switch — see StreamingState.requireRocksDB
@@ -125,6 +162,7 @@ object StreamingSimJoin {
         (col("pos") < col("plen")).as("enroll"))
       .as[GramKeyed]
       .groupByKey(_.gram)
-      .transformWithState(new Processor, TimeMode.ProcessingTime(), OutputMode.Append())
+      .transformWithState(new Processor(retentionMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

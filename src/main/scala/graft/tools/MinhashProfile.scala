@@ -95,8 +95,10 @@ object MinhashProfile {
         val cp = spark.sql(calShSql).localCheckpoint()
         cp.createOrReplaceTempView("cal_sh")
         noop(cp)
-        // release between reps so reps don't accumulate blocks
-        org.apache.spark.sql.SparkSession.active.sharedState.cacheManager
+        // release this rep's checkpoint blocks so reps don't accumulate
+        // (Dataset.unpersist only consults the CacheManager, which never
+        // saw a localCheckpoint — walk the LogicalRDD leaves instead)
+        graft.operators.Checkpoints.release(cp)
       }
       // keep ONE checkpointed cal_sh live for the downstream phases
       val calSh = spark.sql(calShSql).localCheckpoint()
@@ -127,7 +129,7 @@ object MinhashProfile {
         noop(graft.operators.TrainingOps.hMinhashCalibration(spark, dir))
         graft.operators.Checkpoints.releaseAll()
       }
-      calSh.unpersist(true)
+      graft.operators.Checkpoints.release(calSh)
       val nDocs = spark.table("documents").count()
       println(s"""{"bench":"minhash_profile","dir":"$dir","docs":$nDocs,"cal_sh":${f"$tCal%.3f"},"sig":${f"$tSig%.3f"},"inter":${f"$tInter%.3f"},"inter_shj":${f"$tInterShj%.3f"},"inter_agg":${f"$tInterAgg%.3f"},"full":${f"$tFull%.3f"}}""")
     }

@@ -52,6 +52,22 @@ object ScaleStressBench {
     "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded",
     "h_pmi_collocations", "h_simjoin_prefix", "h_doc_repetition",
     "h_importance_sample")
+  /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
+    * at 100 TB, now with measured K-curves instead of plan pins alone.
+    * The v3 replicator gives them exactly the 100 TB growth shape: facts
+    * (lineitem + orders, co-strided on orderkey) grow ×K, dimensions
+    * (customer/supplier/part/nation/region, copied verbatim) are HELD —
+    * so per-dimension fan-outs grow (orders-per-customer, lines-per-part)
+    * while every dim join stays broadcast-able, and the no-partsupp
+    * catalog rollups (q2/q11/q16/q20's (part,supp) reconstruction)
+    * re-dedup to the fixed source domain the way real growth would. */
+  private val tpchQueries = Seq(
+    "q1_pricing", "q2_min_cost", "q3_shipping", "q4_priority",
+    "q5_local_supplier", "q6_forecast", "q7_volume", "q8_market_share",
+    "q9_profit", "q10_returns", "q11_important_stock", "q12_late_lines",
+    "q13_custdist", "q14_promo", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty", "q18_top", "q19_disjunct", "q20_dominant_supplier",
+    "q21_waiting", "q22_global_sales")
   /** Orders/events profile set (round 13): the replicator now scales
     * those tables too, so the ANALYZE/active-user pairs — exact and the
     * HLL approximate twins — get real K-fold stress rows. The remaining
@@ -88,8 +104,9 @@ object ScaleStressBench {
     val marker = new java.io.File(fs, "_built")
     // the marker records the SOURCE dir + replicator version: a rerun with
     // a different SPARK_GRAFT_SF_DIR (or an older scaled layout — v2 added
-    // orders/events) must rebuild, not silently reuse stale data
-    val markerContent = s"$srcDir v2"
+    // orders/events, v3 added lineitem + held dims) must rebuild, not
+    // silently reuse stale data
+    val markerContent = s"$srcDir v3"
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == markerContent)
       return
@@ -131,19 +148,47 @@ object ScaleStressBench {
     // of silently folding replicas together and deflating the ×K ndv the
     // comment above promises (mirrors the embeddings-rotation require)
     val maxKeys = spark.sql(
-      """SELECT greatest(max(o_orderkey), max(o_custkey)) FROM src_orders
+      """SELECT max(o_orderkey) FROM src_orders
         |UNION ALL SELECT greatest(max(event_id), max(user_id)) FROM src_events""".stripMargin)
       .collect().map(_.getLong(0))
     require(maxKeys.forall(_ < 1000000L),
       s"source keys reach ${maxKeys.max} >= 1e6 replica stride; keys would collide across replicas " +
         "(raise the stride past max(key) for this source scale)")
+    // v3: o_custkey is HELD (verbatim) — customers are a dimension and
+    // dimensions don't grow at 100 TB; orders-per-customer grows ×K
+    // instead. (v2 strided custkey, which kept replicas join-free;
+    // ANALYZE's o_custkey ndv column now stays fixed across K, the shape
+    // real growth has.)
     spark.sql(
-      s"""SELECT o_orderkey + r * 1000000L AS o_orderkey,
-         |  o_custkey + r * 1000000L AS o_custkey,
+      s"""SELECT o_orderkey + r * 1000000L AS o_orderkey, o_custkey,
          |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          |FROM src_orders LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // v3: lineitem co-strided with orders on the SAME 1e6 orderkey stride,
+    // so each replica's lines resolve against exactly its replica's
+    // orders; l_partkey / l_suppkey are held, so lines-per-part and
+    // lines-per-supplier grow ×K against the fixed dims. DataFrame-API
+    // replication keeps every other column verbatim whatever the
+    // generator's exact column set is.
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      require(li.select(max(col("l_orderkey"))).head.getLong(0) < 1000000L,
+        "lineitem orderkeys reach the 1e6 replica stride; raise the stride for this source scale")
+      li.withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+        .withColumn("l_orderkey", col("l_orderkey") + col("r") * 1000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // dimensions held: copied verbatim so every dim-joining query runs
+      // against the scaled dir with the fixed dimension base
+      Seq("region", "nation", "customer", "supplier", "part").foreach { d =>
+        spark.read.parquet(s"$srcDir/$d.parquet")
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$outDir/$d.parquet")
+      }
+    }
     spark.sql(
       s"""SELECT event_id + r * 1000000L AS event_id, ts,
          |  user_id + r * 1000000L AS user_id, event_type, value, props
@@ -169,7 +214,8 @@ object ScaleStressBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
-    val names = (defaultQueries ++ profileQueries).filter(n => only.forall(_.contains(n)))
+    val names = (defaultQueries ++ profileQueries ++ tpchQueries)
+      .filter(n => only.forall(_.contains(n)))
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
 
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

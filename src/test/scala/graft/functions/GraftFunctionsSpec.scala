@@ -159,6 +159,37 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(fp <= 50L, s"false-positive rate collapsed: $fp/1000 disjoint keys flagged")
   }
 
+  test("bloom_probe: a second filter VERSION under the same shard key is not served stale") {
+    // the general-primitive guard: when a joined filter table carries more
+    // than one filter version per shard (e.g. a per-micro-batch filter
+    // stream), the per-task cache must re-validate on the payload — a
+    // shard-int-only cache would serve version 1's sketch for version 2's
+    // rows. Build two disjoint filters, probe both under ONE shard key in
+    // one task, and require each row to answer from ITS OWN filter bytes.
+    import org.apache.spark.sql.functions._
+    val v1 = spark.range(0L, 500L)
+      .agg(org.apache.spark.sql.graft.BloomCols
+        .bloomFilterAgg(col("id"), 250L, 4096L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val v2 = spark.range(1000000L, 1000500L)
+      .agg(org.apache.spark.sql.graft.BloomCols
+        .bloomFilterAgg(col("id"), 250L, 4096L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // one partition => one task => one expression cache instance; rows
+    // interleave versions so a stale hit is guaranteed to be observable
+    val rows = Seq(
+      (0, v1, 7L, true), (0, v2, 7L, false),
+      (0, v1, 1000007L, false), (0, v2, 1000007L, true),
+      (0, v1, 13L, true), (0, v2, 1000013L, true))
+    val df = spark.createDataFrame(rows).toDF("shard", "bf", "k", "want")
+      .coalesce(1)
+      .select(col("want"), org.apache.spark.sql.graft.BloomCols
+        .probeSharded(col("shard"), col("bf"), col("k")).as("got"))
+    val bad = df.where(col("want") =!= col("got")).count()
+    assert(bad === 0L,
+      "bloom_probe served a stale cached filter for a same-shard second version")
+  }
+
   test("int8_quant_stats stays inside whole-stage codegen over a real scan") {
     val df = spark.range(100)
       .selectExpr("int8_quant_stats(array(CAST(id AS DOUBLE), 1.0D)) AS st")

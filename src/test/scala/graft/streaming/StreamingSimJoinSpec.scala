@@ -140,4 +140,52 @@ class StreamingSimJoinSpec extends SparkSuite {
         s"doc 3 hit doc 1 $hits13 times > prefix $prefix1: a replayed doc re-enrolled")
     } finally q.stop()
   }
+
+  test("retention contract: expired enrollments stop matching; in-window pairs still emit") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    def doc(seed: Int): String = (0 until 30).map(i => s"r${seed}_${(i * 7) % 97}").mkString(" ")
+    val a = 10L -> doc(10)
+    val b = 11L -> doc(10).split(" ").drop(1).mkString(" ") // near-dup of a
+    val c = 20L -> doc(20)
+    val d = 21L -> doc(20).split(" ").drop(1).mkString(" ") // near-dup of c
+
+    val retentionMs = 2000L
+    val input = MemoryStream[(Long, String)]
+    val captured = new ConcurrentHashMap[Long, Array[StreamingSimJoin.SimPair]]()
+    val q = StreamingSimJoin(input.toDF().toDF("doc_id", "text"), retentionMs)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSimJoin.SimPair], id: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) captured.put(id, rows)
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("simjoin-ttl-ckpt").toString)
+      .start()
+    try {
+      def all() = captured.asScala.values.flatten.toSeq
+      input.addData(Seq(a))
+      // wait until a is actually PROCESSED (enrollment timestamped), then
+      // let the retention window lapse with margin before b arrives
+      await(() => Option(q.lastProgress).exists(_ => q.recentProgress.map(_.numInputRows).sum >= 1),
+        "doc a processed")
+      Thread.sleep(retentionMs + 4000L)
+      input.addData(Seq(b))
+      // control pair INSIDE the window: both docs in one micro-batch
+      input.addData(Seq(c, d))
+      await(() => all().exists(p => p.a_id == 20L && p.b_id == 21L),
+        "the in-window pair (20, 21)")
+      Thread.sleep(1500L) // allow any (wrong) late (10, 11) emission to surface
+
+      val got = all().map(p => (p.a_id, p.b_id)).toSet
+      assert(!got.contains((10L, 11L)),
+        "a pair straddling the retention window emitted — TTL'd enrollments must expire " +
+          "(that pair is the declared job of the batch h_simjoin_prefix repair)")
+      assert(got.contains((20L, 21L)), "the in-window pair must still emit under TTL")
+    } finally q.stop()
+  }
 }
