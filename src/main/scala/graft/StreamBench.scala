@@ -159,9 +159,18 @@ object StreamBench {
       }
       .start()
 
-    // warm-up epoch: state-store + codegen init outside the measurement
+    // warm-up epoch: state-store + codegen init outside the measurement.
+    // processAllAvailable never settles under TimeMode.ProcessingTime
+    // (the transformWithState trigger keeps the query "busy"), so poll
+    // the listener's input-row count with a deadline — the same
+    // discipline as the twin specs.
+    def awaitDocs(target: Long, timeoutMs: Long): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline && metrics.totalInputRows < target)
+        Thread.sleep(200L)
+    }
     input.addData((0L until 1000L).map(i => (i, text(i))))
-    query.processAllAvailable()
+    awaitDocs(1000L, 60000L)
 
     val rt = Runtime.getRuntime
     var gen = 1000L
@@ -195,7 +204,7 @@ object StreamBench {
       } else Thread.sleep(20L)
       if (System.nanoTime() >= nextSample) { sample(); nextSample += sampleSec * 1000000000L }
     }
-    query.processAllAvailable()
+    awaitDocs(gen, 120000L) // drain the bounded backlog (poll, see warm-up note)
     sample()
     val sec = (System.nanoTime() - t0) / 1e9
     query.stop()
