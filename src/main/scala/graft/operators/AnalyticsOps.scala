@@ -122,6 +122,142 @@ object AnalyticsOps {
       |FROM a GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ================================================= RFM segmentation
+
+  /** RFM customer segmentation — the classic warehouse marketing op this
+    * surface lacked: per customer, Recency (days from their last order to
+    * the corpus anchor = the newest order anywhere), Frequency (order
+    * count), Monetary (lifetime floor-cents spend), each EXACT-quintile
+    * bucketed 1–5 over the customer population, then the 3-D segment
+    * census (customers, total and integer-mean spend per segment — at
+    * most 125 rows). Bucket k is ascending in the METRIC value: `r_b = 1`
+    * is the most-recent quintile (small days-since), `f_b = 5`/`m_b = 5`
+    * the most-frequent/biggest-spend quintiles. Boundary k = the smallest
+    * value whose cumulative customer count reaches ⌈k·N/5⌉ — duplicate
+    * values keep their whole mass in one bucket (the honest exact
+    * semantics, deterministic and identical on both engines; no NTILE
+    * tie-coin-flips).
+    *
+    * Scale shape: ONE orders scan collapses to the per-customer base (the
+    * custkey exchange — customers are a DIMENSION, orders-per-customer
+    * grows, the dim doesn't). The base feeds five consumers (anchor, two
+    * histograms, the two-level m selection, bucketing); as a CTE Spark
+    * would re-inline it into five corpus scans — it is localCheckpointed
+    * once, dimension-sized. Quintile boundaries never sort the dimension
+    * globally: r and f ride value-histogram cumulatives whose size is the
+    * VALUE DOMAIN (days-since spans a few thousand values, orders-per-
+    * customer a few hundred — both independent of customer count); the
+    * value-continuous m rides the [[RelationalQueries.dHistogramEqdepth]]
+    * two-level selection (1000-currency classes, then a class-PARTITIONED
+    * — fully parallel — within-class cumulative). Bucketing is one pass
+    * over base × the 15-row boundary table (broadcast), map-side
+    * combinable. All arithmetic integer-exact: floor-cents BIGINT spend,
+    * day counts, DIV means. */
+  def gRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    // three checkpoints, all domain-or-smaller: the per-customer base is
+    // consumed by four chains and the 5-row quintile-target table by
+    // three — as CTEs Spark re-inlines each consumer into its own
+    // re-derivation (six extra dimension aggregates censused before this)
+    Checkpoints.track(s.sql(
+      """SELECT o_custkey AS ck,
+        |  max(CAST(o_orderdate AS DATE)) AS last_order,
+        |  CAST(count(*) AS BIGINT) AS f_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |FROM orders GROUP BY o_custkey""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("rfm_cust")
+    Checkpoints.track(s.sql(
+      """SELECT c.ck, CAST(datediff(a.ad, c.last_order) AS BIGINT) AS r_days,
+        |  c.f_orders, c.m_cents
+        |FROM rfm_cust c
+        |CROSS JOIN (SELECT max(last_order) AS ad FROM rfm_cust) a""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("rfm_base")
+    Checkpoints.track(s.sql(
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  CAST((CAST(k AS BIGINT) * n + 4) DIV 5 AS BIGINT) AS tgt
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm_base)
+        |LATERAL VIEW explode(sequence(1, 5)) t AS k""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("rfm_targets")
+    s.sql(rfmBody(spark = true))
+  }
+
+  private def rfmBody(spark: Boolean): String = {
+    val idiv = if (spark) "DIV" else "//"
+    val head =
+      if (spark)
+        """base AS (SELECT ck, r_days, f_orders, m_cents FROM rfm_base),
+          |targets AS (SELECT k, tgt FROM rfm_targets),""".stripMargin
+      else
+        // MATERIALIZED: base feeds four chains and targets three — DuckDB
+        // re-inlines multi-consumer CTEs otherwise (the recursive-CTE
+        // lesson), turning the oracle into 4x orders scans
+        """cust AS MATERIALIZED (
+          |  SELECT o_custkey AS ck, max(CAST(o_orderdate AS DATE)) AS last_order,
+          |    CAST(count(*) AS BIGINT) AS f_orders,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+          |  FROM orders GROUP BY o_custkey),
+          |anch AS (
+          |  SELECT max(last_order) AS ad, CAST(count(*) AS BIGINT) AS n FROM cust),
+          |base AS MATERIALIZED (
+          |  SELECT c.ck, CAST(date_diff('day', c.last_order, a.ad) AS BIGINT) AS r_days,
+          |    c.f_orders, c.m_cents
+          |  FROM cust c CROSS JOIN anch a),
+          |targets AS MATERIALIZED (
+          |  SELECT CAST(k AS BIGINT) AS k,
+          |    CAST((CAST(k AS BIGINT) * n + 4) // 5 AS BIGINT) AS tgt
+          |  FROM anch, generate_series(1, 5) t(k)),""".stripMargin
+    s"""WITH $head
+       |rcum AS (
+       |  SELECT v, sum(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT r_days AS v, count(*) AS c FROM base GROUP BY r_days)),
+       |rb AS (
+       |  SELECT t.k, CAST(min(h.v) AS BIGINT) AS ub
+       |  FROM targets t JOIN rcum h ON h.cum >= t.tgt GROUP BY t.k),
+       |fcum AS (
+       |  SELECT v, sum(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT f_orders AS v, count(*) AS c FROM base GROUP BY f_orders)),
+       |fb AS (
+       |  SELECT t.k, CAST(min(h.v) AS BIGINT) AS ub
+       |  FROM targets t JOIN fcum h ON h.cum >= t.tgt GROUP BY t.k),
+       |mcum AS (
+       |  SELECT cl, cc, sum(cc) OVER (ORDER BY cl) AS cum
+       |  FROM (SELECT m_cents $idiv 100000 AS cl, CAST(count(*) AS BIGINT) AS cc
+       |        FROM base GROUP BY m_cents $idiv 100000)),
+       |mcls AS (
+       |  SELECT t.k, t.tgt, c.cl, CAST(c.cum - c.cc AS BIGINT) AS prev_cum
+       |  FROM targets t JOIN mcum c ON c.cum >= t.tgt AND c.cum - c.cc < t.tgt),
+       |micc AS (
+       |  SELECT v, cl, sum(c) OVER (PARTITION BY cl ORDER BY v) AS cumv
+       |  FROM (SELECT m_cents AS v, m_cents $idiv 100000 AS cl, count(*) AS c
+       |        FROM base GROUP BY m_cents)),
+       |mb AS (
+       |  SELECT b.k, CAST(min(i.v) AS BIGINT) AS ub
+       |  FROM mcls b JOIN micc i
+       |    ON i.cl = b.cl AND i.cumv >= b.tgt - b.prev_cum
+       |  GROUP BY b.k),
+       |bnd AS (
+       |  SELECT 'r' AS metric, k, ub FROM rb
+       |  UNION ALL SELECT 'f' AS metric, k, ub FROM fb
+       |  UNION ALL SELECT 'm' AS metric, k, ub FROM mb),
+       |seg AS (
+       |  SELECT b.ck,
+       |    min(CASE WHEN d.metric = 'r' AND b.r_days <= d.ub THEN d.k END) AS r_b,
+       |    min(CASE WHEN d.metric = 'f' AND b.f_orders <= d.ub THEN d.k END) AS f_b,
+       |    min(CASE WHEN d.metric = 'm' AND b.m_cents <= d.ub THEN d.k END) AS m_b,
+       |    min(b.m_cents) AS m_cents
+       |  FROM base b CROSS JOIN bnd d
+       |  GROUP BY b.ck)
+       |SELECT CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b,
+       |  CAST(m_b AS BIGINT) AS m_b,
+       |  CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(m_cents) AS BIGINT) AS m_total_cents,
+       |  CAST(sum(m_cents) $idiv count(*) AS BIGINT) AS avg_m_cents
+       |FROM seg GROUP BY r_b, f_b, m_b
+       |ORDER BY r_b, f_b, m_b""".stripMargin
+  }
+
+  val gRfmSegmentsSql: String = rfmBody(spark = false)
+
   // ================================================= gap-filled resample
 
   /** Gap-filled hourly resample of a sparse event stream (high-value
@@ -1749,6 +1885,7 @@ object AnalyticsOps {
     "h_rank_convergence" -> (hRankConvergence _),
     "g_event_funnel" -> (gEventFunnel _),
     "g_cohort_retention" -> (gCohortRetention _),
+    "g_rfm_segments" -> (gRfmSegments _),
     "g_gap_fill" -> (gGapFill _),
     "g_day_similarity" -> (gDaySimilarity _),
     "h_trajectory_search" -> (hTrajectorySearch _),
@@ -1775,6 +1912,7 @@ object AnalyticsOps {
     "h_rank_convergence" -> hRankConvergenceSql,
     "g_event_funnel" -> gEventFunnelSql,
     "g_cohort_retention" -> gCohortRetentionSql,
+    "g_rfm_segments" -> gRfmSegmentsSql,
     "g_gap_fill" -> gGapFillSql,
     "g_day_similarity" -> gDaySimilaritySql,
     "h_trajectory_search" -> hTrajectorySearchSql,

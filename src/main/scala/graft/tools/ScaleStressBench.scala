@@ -81,7 +81,12 @@ object ScaleStressBench {
     // calendar-bounded claim's direct measurement — K× events, same 30
     // days, so the pair table must not grow; h_trajectory_search is
     // panel × (K× users), the linear-in-users claim.
-    "g_day_similarity", "h_trajectory_search")
+    "g_day_similarity", "h_trajectory_search",
+    // round 15: reads ONLY orders; the v3 held-custkey replication is
+    // exactly RFM's growth shape — customers fixed, orders-per-customer
+    // ×K, so the dimension-sized base and every boundary table must not
+    // grow, only the one custkey exchange's input does.
+    "g_rfm_segments")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication
