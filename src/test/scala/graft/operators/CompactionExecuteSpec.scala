@@ -58,4 +58,14 @@ class CompactionExecuteSpec extends SparkSuite {
       .where(expr(s"date_trunc('month', l_shipdate) = DATE'$month'")).count()
     assert(spark.read.parquet(out).count() === monthRows)
   }
+
+  test("an empty month fails loudly, not with an NPE from a null max(bin)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnalyticsOps.executeCompactionMonth(
+        spark, graft.SparkSpec.sf0001, "1899-01-01", out)
+    }
+    assert(e.getMessage.contains("no lineitem rows in month 1899-01-01"),
+      s"expected the explicit empty-month message, got: ${e.getMessage}")
+  }
 }
