@@ -1095,6 +1095,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"no window over the vectors:\n$plan")
   }
 
+  test("g_rfm_segments: final plan reads only the three checkpoints — no orders rescan, no cartesian") {
+    val plan = AnalyticsOps.gRfmSegments(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    try {
+      // the per-customer base, the derived recency base, and the 5-row
+      // quintile targets ran eagerly behind localCheckpoints; the
+      // returned plan must derive from those RDDs alone — a parquet scan
+      // means a boundary chain re-derived the corpus aggregate
+      assert(!plan.contains("Scan parquet"),
+        s"final plan must not rescan orders:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"expected the checkpointed RFM base:\n$plan")
+      // the 15-row boundary table and 5-row targets join as broadcast
+      // nested loops, never a CartesianProduct
+      assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"boundary tables must broadcast:\n$plan")
+    } finally Checkpoints.releaseAll()
+  }
+
   test("g_day_similarity: calendar-sized tail reads the one checkpointed rollup — no events rescan") {
     val plan = AnalyticsOps.gDaySimilarity(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
