@@ -1623,6 +1623,117 @@ object AnalyticsOps {
       |FROM dev WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ====================================================== seasonality
+
+  /** Day-of-week seasonality decomposition of the event stream — the
+    * PERIODIC-structure member of the volume-diagnostics family
+    * ([[gAnomaly]] = pointwise 3σ outliers, [[gChangepoint]] = sustained
+    * CUSUM level shifts, this = repeating weekly shape): per
+    * (event_type, dow) the exact milli traffic share and its deviation
+    * from the uniform 1/7 line, per type the total-variation distance to
+    * uniform (the [[GovernanceOps.hDistDrift]] TVD idiom — how seasonal
+    * is this type at all), and the peak hour-of-week cell. A pipeline
+    * reads this before alerting on volume: a Monday spike that repeats
+    * every Monday is seasonality, not an incident — and before capacity
+    * planning, where the peak cell, not the mean, sizes the fleet.
+    *
+    * Everything is exact integer arithmetic on the epoch-µs counter:
+    * dow = ((tus DIV 86400e6) + 4) % 7 (day 0 = Thursday ⇒ +4 anchors
+    * 0 = Sunday) and hour-of-week = (tus DIV 3600e6) % 168 — pure integer
+    * formulas both engines evaluate identically, never a locale/timezone
+    * calendar function (`dayofweek` is the classic cross-engine trap).
+    * Shares/deviations are cross-multiplied BIGINT millis:
+    * dev = 1000·|7·c − t| DIV (7·t), TVD = 1000·Σ|7·c − t| DIV (14·t).
+    * A dow absent from a type contributes no row (both engines agree);
+    * its 1/7 mass is likewise absent from the TVD sum — at any real
+    * volume every cell is populated.
+    *
+    * Scale shape: the corpus collapses map-side into TWO domain-bounded
+    * histograms — (type, dow) ≤ 7·|types| rows and (type, how) ≤
+    * 168·|types| rows; every window and join downstream runs on those
+    * control tables, so at 100 TB this is two map-reduces and change. */
+  def gSeasonality(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT event_type, ((tus DIV 86400000000L) + 4) % 7 AS dow,
+        |    (tus DIV 3600000000L) % 168 AS how
+        |  FROM events),
+        |dh AS (SELECT event_type, dow, count(*) AS cnt
+        |  FROM d GROUP BY event_type, dow),
+        |hh AS (SELECT event_type, how, count(*) AS hcnt
+        |  FROM d GROUP BY event_type, how),
+        |ph AS (
+        |  SELECT event_type, how AS peak_how, hcnt AS peak_cnt
+        |  FROM (SELECT event_type, how, hcnt,
+        |          row_number() OVER (PARTITION BY event_type
+        |            ORDER BY hcnt DESC, how) AS rn
+        |        FROM hh)
+        |  WHERE rn = 1),
+        |t AS (
+        |  SELECT event_type, dow, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM dh),
+        |tv AS (
+        |  SELECT event_type,
+        |    CAST(1000L * sum(abs(7 * cnt - tot)) DIV (14 * max(tot)) AS BIGINT)
+        |      AS tvd_milli
+        |  FROM t GROUP BY event_type)
+        |SELECT t.event_type, CAST(t.dow AS BIGINT) AS dow,
+        |  CAST(t.cnt AS BIGINT) AS cnt,
+        |  CAST(1000L * t.cnt DIV t.tot AS BIGINT) AS share_milli,
+        |  CAST(1000L * abs(7 * t.cnt - t.tot) DIV (7 * t.tot) AS BIGINT)
+        |    AS dev_milli,
+        |  tv.tvd_milli,
+        |  CAST(ph.peak_how AS BIGINT) AS peak_how,
+        |  CAST(ph.peak_cnt AS BIGINT) AS peak_cnt
+        |FROM t
+        |JOIN tv ON t.event_type = tv.event_type
+        |JOIN ph ON t.event_type = ph.event_type
+        |ORDER BY t.event_type, dow""".stripMargin)
+  }
+
+  /** DuckDB twin: identical integer formulas over epoch_us(ts); `//`
+    * floors where DIV truncates — every operand here is non-negative. */
+  val gSeasonalitySql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+      |d AS (
+      |  SELECT event_type, ((tus // 86400000000) + 4) % 7 AS dow,
+      |    (tus // 3600000000) % 168 AS how
+      |  FROM e),
+      |dh AS (SELECT event_type, dow, count(*) AS cnt
+      |  FROM d GROUP BY event_type, dow),
+      |hh AS (SELECT event_type, how, count(*) AS hcnt
+      |  FROM d GROUP BY event_type, how),
+      |ph AS (
+      |  SELECT event_type, how AS peak_how, hcnt AS peak_cnt
+      |  FROM (SELECT event_type, how, hcnt,
+      |          row_number() OVER (PARTITION BY event_type
+      |            ORDER BY hcnt DESC, how) AS rn
+      |        FROM hh)
+      |  WHERE rn = 1),
+      |t AS (
+      |  SELECT event_type, dow, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS tot
+      |  FROM dh),
+      |tv AS (
+      |  SELECT event_type,
+      |    CAST(1000 * sum(abs(7 * cnt - tot)) // (14 * max(tot)) AS BIGINT)
+      |      AS tvd_milli
+      |  FROM t GROUP BY event_type)
+      |SELECT t.event_type, CAST(t.dow AS BIGINT) AS dow,
+      |  CAST(t.cnt AS BIGINT) AS cnt,
+      |  CAST(1000 * t.cnt // t.tot AS BIGINT) AS share_milli,
+      |  CAST(1000 * abs(7 * t.cnt - t.tot) // (7 * t.tot) AS BIGINT)
+      |    AS dev_milli,
+      |  tv.tvd_milli,
+      |  CAST(ph.peak_how AS BIGINT) AS peak_how,
+      |  CAST(ph.peak_cnt AS BIGINT) AS peak_cnt
+      |FROM t
+      |JOIN tv ON t.event_type = tv.event_type
+      |JOIN ph ON t.event_type = ph.event_type
+      |ORDER BY t.event_type, dow""".stripMargin
+
   // ====================================================== funnel timing
 
   /** Stage-transition timing for the [[gEventFunnel]] funnel — the "how
@@ -1875,6 +1986,7 @@ object AnalyticsOps {
     "g_top_paths" -> (gTopPaths _),
     "g_funnel_timing" -> (gFunnelTiming _),
     "g_changepoint" -> (gChangepoint _),
+    "g_seasonality" -> (gSeasonality _),
     "g_active_users" -> (gActiveUsers _),
     "g_active_users_approx" -> (gActiveUsersApprox _),
     "g_bot_regularity" -> (gBotRegularity _),
@@ -1902,6 +2014,7 @@ object AnalyticsOps {
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,
     "g_changepoint" -> gChangepointSql,
+    "g_seasonality" -> gSeasonalitySql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

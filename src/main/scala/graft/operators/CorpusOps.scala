@@ -138,6 +138,177 @@ object CorpusOps {
       |WHERE rn <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  // ========================================== hybrid retrieval (RRF fusion)
+
+  /** Reciprocal-rank-fusion HYBRID retrieval — the op that completes the
+    * engine's retrieval family (tf-idf keywords → BM25 lexical ranking →
+    * inverted index → exact/ANN vector search): fuse a LEXICAL arm and a
+    * SEMANTIC arm per query with the standard RRF rule
+    * `score(d) = Σ_arms 1/(60 + rank_arm(d))` (Cormack et al. SIGIR'09 —
+    * rank-based, so the two arms' incomparable score scales never need
+    * calibration), which is exactly how production RAG stacks combine
+    * BM25 with embedding search. Fully integer here: each arm
+    * contributes `10⁶ DIV (60 + rank)` micros, absent docs contribute 0,
+    * so both engines land identical fused scores.
+    *
+    * Queries are the 10 lowest-id docs of the PAIRED corpus
+    * (documents ⋈ embeddings on doc_id = vec_id — the
+    * [[LlmOps.hModalityJoin]] pairing). Lexical arm: each query is
+    * represented by its 8 RAREST distinct tokens (df asc — the
+    * query-likelihood practice, and the term cut that keeps the posting
+    * join off the stopword mass); candidates score Σ integer-idf
+    * `length(bin(N DIV df))` over matched terms, top-20 kept. Semantic
+    * arm: exact cosine of the paired embeddings ranked desc on the
+    * engine's standard `(round(cos, 4) DESC, id)` deterministic order
+    * ([[LlmOps.hAnnBrute]]'s contract), top-20 kept. Fusion: full outer
+    * join of the two 20-deep lists per query, RRF micros summed, top-5
+    * reported with each arm's rank (−1 = not retrieved by that arm) —
+    * the overlap structure IS the diagnostic: a doc fused from both arms
+    * at middling ranks outranks either arm's solo #1 only when both
+    * agree, which is RRF's entire point.
+    *
+    * Scale shape: the query panel is FIXED (10 docs → ≤80 query terms,
+    * broadcast), so the lexical arm is a broadcast equi-join on the term
+    * key whose volume is the rare terms' posting mass (never the corpus'
+    * stopword mass), collapsing into a (q, d)-keyed aggregate; the
+    * semantic arm is the hAnnBrute shape — panel broadcast onto one
+    * corpus scan, scan-local cosine, per-query top-k as WindowGroupLimit
+    * (map-side top-20 before the exchange); the fusion join runs on two
+    * ≤200-row rank tables. At 100 TB the semantic arm swaps to the IVF
+    * path ([[LlmOps.hAnnIvf]]) — the fusion algebra is rank-only and
+    * does not change. */
+  def hRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH pc AS (
+        |  SELECT d.doc_id, split(d.text, ' ') AS t,
+        |    transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |n AS (SELECT count(*) AS n FROM pc),
+        |dt AS (SELECT DISTINCT doc_id, tk
+        |  FROM pc LATERAL VIEW explode(t) e AS tk),
+        |df AS (SELECT tk, count(*) AS df FROM dt GROUP BY tk),
+        |qt AS (
+        |  SELECT doc_id AS q_id, tk, df FROM (
+        |    SELECT d.doc_id, d.tk, f.df,
+        |      row_number() OVER (PARTITION BY d.doc_id
+        |        ORDER BY f.df ASC, d.tk) AS rn
+        |    FROM dt d JOIN df f ON d.tk = f.tk
+        |    WHERE d.doc_id < 10)
+        |  WHERE rn <= 8),
+        |lex AS (
+        |  SELECT q.q_id, d.doc_id AS d_id,
+        |    CAST(sum(length(bin(n.n DIV q.df))) AS BIGINT) AS lex_score
+        |  FROM qt q
+        |  JOIN dt d ON q.tk = d.tk AND d.doc_id <> q.q_id
+        |  CROSS JOIN n
+        |  GROUP BY q.q_id, d.doc_id),
+        |lr AS (
+        |  SELECT q_id, d_id, rn AS lex_rank FROM (
+        |    SELECT q_id, d_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY lex_score DESC, d_id) AS rn
+        |    FROM lex)
+        |  WHERE rn <= 20),
+        |nv AS (SELECT doc_id, v, sqrt(dot_product(v, v)) AS nrm FROM pc),
+        |sem AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS d_id,
+        |    round(dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+        |  FROM (SELECT * FROM nv WHERE doc_id < 10) q
+        |  JOIN nv c ON c.doc_id <> q.doc_id),
+        |sr AS (
+        |  SELECT q_id, d_id, rn AS sem_rank FROM (
+        |    SELECT q_id, d_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cosine DESC, d_id) AS rn
+        |    FROM sem)
+        |  WHERE rn <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+        |    coalesce(l.d_id, s.d_id) AS d_id,
+        |    coalesce(l.lex_rank, -1) AS lex_rank,
+        |    coalesce(s.sem_rank, -1) AS sem_rank,
+        |    coalesce(1000000L DIV (60 + l.lex_rank), 0L)
+        |      + coalesce(1000000L DIV (60 + s.sem_rank), 0L) AS rrf_micro
+        |  FROM lr l
+        |  FULL OUTER JOIN sr s ON l.q_id = s.q_id AND l.d_id = s.d_id)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(d_id AS BIGINT) AS d_id,
+        |  CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(sem_rank AS BIGINT) AS sem_rank,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY rrf_micro DESC, d_id) AS rnk
+        |      FROM fused)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** DuckDB twin: list_dot_product cosine (the proven hAnnBrute idiom),
+    * unnest explode, `//` floor on non-negative operands. */
+  val hRrfFusionSql: String =
+    """WITH pc AS (
+      |  SELECT d.doc_id, string_split(d.text, ' ') AS t,
+      |    CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |n AS (SELECT count(*) AS n FROM pc),
+      |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tk FROM pc),
+      |df AS (SELECT tk, count(*) AS df FROM dt GROUP BY tk),
+      |qt AS (
+      |  SELECT doc_id AS q_id, tk, df FROM (
+      |    SELECT d.doc_id, d.tk, f.df,
+      |      row_number() OVER (PARTITION BY d.doc_id
+      |        ORDER BY f.df ASC, d.tk) AS rn
+      |    FROM dt d JOIN df f ON d.tk = f.tk
+      |    WHERE d.doc_id < 10)
+      |  WHERE rn <= 8),
+      |lex AS (
+      |  SELECT q.q_id, d.doc_id AS d_id,
+      |    CAST(sum(length(bin(n.n // q.df))) AS BIGINT) AS lex_score
+      |  FROM qt q
+      |  JOIN dt d ON q.tk = d.tk AND d.doc_id <> q.q_id
+      |  CROSS JOIN n
+      |  GROUP BY q.q_id, d.doc_id),
+      |lr AS (
+      |  SELECT q_id, d_id, rn AS lex_rank FROM (
+      |    SELECT q_id, d_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY lex_score DESC, d_id) AS rn
+      |    FROM lex)
+      |  WHERE rn <= 20),
+      |nv AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pc),
+      |sem AS (
+      |  SELECT q.doc_id AS q_id, c.doc_id AS d_id,
+      |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      |  FROM (SELECT * FROM nv WHERE doc_id < 10) q
+      |  JOIN nv c ON c.doc_id <> q.doc_id),
+      |sr AS (
+      |  SELECT q_id, d_id, rn AS sem_rank FROM (
+      |    SELECT q_id, d_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cosine DESC, d_id) AS rn
+      |    FROM sem)
+      |  WHERE rn <= 20),
+      |fused AS (
+      |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+      |    coalesce(l.d_id, s.d_id) AS d_id,
+      |    coalesce(l.lex_rank, -1) AS lex_rank,
+      |    coalesce(s.sem_rank, -1) AS sem_rank,
+      |    coalesce(1000000 // (60 + l.lex_rank), 0)
+      |      + coalesce(1000000 // (60 + s.sem_rank), 0) AS rrf_micro
+      |  FROM lr l
+      |  FULL OUTER JOIN sr s ON l.q_id = s.q_id AND l.d_id = s.d_id)
+      |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(d_id AS BIGINT) AS d_id,
+      |  CAST(lex_rank AS BIGINT) AS lex_rank,
+      |  CAST(sem_rank AS BIGINT) AS sem_rank,
+      |  CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY rrf_micro DESC, d_id) AS rnk
+      |      FROM fused)
+      |WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   // ============================================== PMI collocation mining
 
   /** PMI collocation mining — the top-15 adjacent-word pairs per language
@@ -974,7 +1145,156 @@ object CorpusOps {
       |         unnest([146891, 21577, 3142, 458]) AS fpp_design_micro)
       |ORDER BY bits_per_key""".stripMargin
 
+  // ============================================ quality classifier (NB)
+
+  /** The CCNet/GPT-3-style QUALITY CLASSIFIER — the curation pass that
+    * made WebText-quality filtering famous (GPT-3 appendix A; CCNet §4;
+    * phi-1's "textbook quality" gate): train a linear model to separate
+    * curated reference text from raw crawl, score everything, keep what
+    * scores curated. This is the ENGINE's trainable-filter primitive, as
+    * distinct from its fixed-rule gates ([[hQualityEnsemble]]'s
+    * length/diversity/stopword waterfall) and from
+    * [[TrainingOps.hImportanceSample]]'s DSIR, which weights docs for
+    * RESAMPLING from full-corpus bigram stats with no held-out
+    * evaluation — this one is a train/score/EVALUATE classifier: a naive
+    * Bayes over 512 hashed unigram buckets, trained on the doc_id%3=0
+    * split (the [[LlmOps.hBigramLm]] convention), scored on held-out
+    * docs, and reported as the per-lang confusion matrix with exact
+    * milli precision/recall/accuracy — the table that decides whether
+    * the classifier is trustworthy enough to gate a 100 TB crawl.
+    *
+    * Exact-integer NB: with bucket counts p_b (curated) / q_b (raw) over
+    * TRAIN token occurrences, a doc's log-odds is
+    * `prior + Σ_tokens [bl(p_b+1) − bl(q_b+1)] − n_tok·K`, where
+    * bl(x) = length(bin(x)) is the bit-length log (⌊log₂x⌋+1 — the
+    * engine's standard no-libm log), K = bl(ΣP+512) − bl(ΣQ+512) is the
+    * per-token class-mass normalizer, and prior = bl(docs_pos+1) −
+    * bl(docs_neg+1); predict curated iff the score is > 0 (ties → raw,
+    * deterministic). Every term is BIGINT, so both engines agree
+    * bit-for-bit. "Curated" truth = source ∈ src1–src4, the corpus'
+    * DSIR target convention. On THIS synthetic corpus the langs share
+    * one vocabulary, so the honest measured verdict is near-chance —
+    * exactly the audit (like [[LlmOps.hLangidConfusion]]) that stops a
+    * pipeline from trusting a classifier it never evaluated.
+    *
+    * Scale shape: the train and test halves are each exploded ONCE into
+    * aggregation-keyed flows — train → the 512-row (bucket, p, q)
+    * weight table (map-side combined; vocabulary-sized shuffle), test →
+    * a doc-keyed score aggregate behind a BROADCAST left join to the
+    * weight table (a bucket unseen in training weighs 0); the
+    * normalizer K folds from the 512-row table, the prior from an
+    * explode-free documents scan, and the confusion matrix is a final
+    * lang-keyed aggregate over doc-count rows. Nothing is pairwise; no
+    * model state touches the driver. */
+  def hQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH b AS (
+        |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
+        |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
+        |    CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk),
+        |w AS (
+        |  SELECT bk,
+        |    coalesce(CAST(sum(CASE WHEN pos THEN 1 END) AS BIGINT), 0L) AS p,
+        |    coalesce(CAST(sum(CASE WHEN NOT pos THEN 1 END) AS BIGINT), 0L) AS q
+        |  FROM b WHERE is_train GROUP BY bk),
+        |k AS (
+        |  SELECT CAST(length(bin(sum(p) + 512)) - length(bin(sum(q) + 512)) AS BIGINT) AS k
+        |  FROM w),
+        |pr AS (
+        |  SELECT CAST(length(bin(count(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+        |           THEN 1 END) + 1))
+        |       - length(bin(count(CASE WHEN NOT source IN ('src1', 'src2', 'src3', 'src4')
+        |           THEN 1 END) + 1)) AS BIGINT) AS prior
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ds AS (
+        |  SELECT t.doc_id, t.lang, max(CASE WHEN t.pos THEN 1 ELSE 0 END) AS actual,
+        |    count(*) AS n_tok,
+        |    CAST(sum(coalesce(length(bin(w.p + 1)) - length(bin(w.q + 1)), 0))
+        |      AS BIGINT) AS swgt
+        |  FROM b t LEFT JOIN w ON t.bk = w.bk
+        |  WHERE NOT t.is_train
+        |  GROUP BY t.doc_id, t.lang),
+        |pred AS (
+        |  SELECT lang, actual,
+        |    CASE WHEN pr.prior + ds.swgt - ds.n_tok * k.k > 0 THEN 1 ELSE 0 END AS p
+        |  FROM ds CROSS JOIN k CROSS JOIN pr)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(actual) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN p = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN p = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN p = 0 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(CASE WHEN sum(p) > 0
+        |    THEN 1000L * sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) DIV sum(p)
+        |    ELSE -1L END AS BIGINT) AS precision_milli,
+        |  CAST(CASE WHEN sum(actual) > 0
+        |    THEN 1000L * sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) DIV sum(actual)
+        |    ELSE -1L END AS BIGINT) AS recall_milli,
+        |  CAST(1000L * sum(CASE WHEN p = actual THEN 1 ELSE 0 END) DIV count(*)
+        |    AS BIGINT) AS accuracy_milli
+        |FROM pred GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: unnest explode, concat-0x hex cast, `//` floor — the
+    * divisions run on non-negative counts, so floor ≡ truncation. */
+  val hQualityClassifierSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
+      |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
+      |    CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % 512 AS bk
+      |  FROM (SELECT doc_id, lang, source,
+      |          unnest(string_split(text, ' ')) AS tk
+      |        FROM documents)),
+      |w AS (
+      |  SELECT bk,
+      |    coalesce(CAST(sum(CASE WHEN pos THEN 1 END) AS BIGINT), 0) AS p,
+      |    coalesce(CAST(sum(CASE WHEN NOT pos THEN 1 END) AS BIGINT), 0) AS q
+      |  FROM b WHERE is_train GROUP BY bk),
+      |k AS (
+      |  SELECT CAST(length(bin(CAST(sum(p) AS BIGINT) + 512))
+      |       - length(bin(CAST(sum(q) AS BIGINT) + 512)) AS BIGINT) AS k
+      |  FROM w),
+      |pr AS (
+      |  SELECT CAST(length(bin(count(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+      |           THEN 1 END) + 1))
+      |       - length(bin(count(CASE WHEN NOT source IN ('src1', 'src2', 'src3', 'src4')
+      |           THEN 1 END) + 1)) AS BIGINT) AS prior
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ds AS (
+      |  SELECT t.doc_id, t.lang, max(CASE WHEN t.pos THEN 1 ELSE 0 END) AS actual,
+      |    count(*) AS n_tok,
+      |    CAST(sum(coalesce(length(bin(w.p + 1)) - length(bin(w.q + 1)), 0))
+      |      AS BIGINT) AS swgt
+      |  FROM b t LEFT JOIN w ON t.bk = w.bk
+      |  WHERE NOT t.is_train
+      |  GROUP BY t.doc_id, t.lang),
+      |pred AS (
+      |  SELECT lang, actual,
+      |    CASE WHEN pr.prior + ds.swgt - ds.n_tok * k.k > 0 THEN 1 ELSE 0 END AS p
+      |  FROM ds CROSS JOIN k CROSS JOIN pr)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(actual) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN p = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN p = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(sum(CASE WHEN p = 0 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |  CAST(CASE WHEN sum(p) > 0
+      |    THEN 1000 * sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) // sum(p)
+      |    ELSE -1 END AS BIGINT) AS precision_milli,
+      |  CAST(CASE WHEN sum(actual) > 0
+      |    THEN 1000 * sum(CASE WHEN p = 1 AND actual = 1 THEN 1 ELSE 0 END) // sum(actual)
+      |    ELSE -1 END AS BIGINT) AS recall_milli,
+      |  CAST(1000 * sum(CASE WHEN p = actual THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS accuracy_milli
+      |FROM pred GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_quality_classifier" -> (hQualityClassifier _),
+    "h_rrf_fusion" -> (hRrfFusion _),
     "h_bloom_calibration" -> (hBloomCalibration _),
     "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
@@ -988,6 +1308,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_quality_classifier" -> hQualityClassifierSql,
+    "h_rrf_fusion" -> hRrfFusionSql,
     "h_bloom_calibration" -> hBloomCalibrationSql,
     "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,

@@ -1765,6 +1765,132 @@ object TrainingOps {
       |FROM rk GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ================================================== span corruption (T5)
+
+  /** T5/UL2-style span-corruption data prep — the denoising-objective
+    * ACTION pass (Raffel et al. 2020 §3.1.4: mask ~15 % of tokens in
+    * contiguous mean-length-3 spans, replace each span with one sentinel
+    * in the input and emit `sentinel + original tokens` in the target):
+    * every masking decision here is a deterministic content hash, so the
+    * corruption is reproducible shard-by-shard with no RNG state, and
+    * both engines replay it bit-for-bit.
+    *
+    * Mechanics: token position i of doc d STARTS a 3-token span iff
+    * md5(d|i) % 20 = 0 (expected coverage 1 − (19/20)³ ≈ 14.3 %, the
+    * 15 %-rate discretized to the hash grid); overlapping spans merge.
+    * The merge needs NO window: covered(i) = start(i) ∨ start(i−1) ∨
+    * start(i−2) and a merged span BEGINS at i iff covered(i) ∧
+    * ¬covered(i−1) — four scan-local hash tests per token, so the whole
+    * decision runs inside whole-stage codegen with zero per-doc state.
+    *
+    * Report per lang: corpus/corrupted token volumes and the exact milli
+    * corruption rate, merged-span count and mean span length (milli),
+    * the T5 LENGTH ACCOUNTING — encoder input Σ(n − corr + spans) and
+    * decoder target Σ(corr + spans + 1), whose sum over both streams
+    * exceeds the raw corpus by exactly the sentinel overhead
+    * (2·spans + docs, reported in milli of corpus tokens — the number
+    * that sizes a denoising run's real token budget) — and an
+    * order-independent checksum over the MASKED tokens themselves
+    * (Σ hash60(token) % 10⁶), which pins the mask CONTENT, not just its
+    * volume, cross-engine.
+    *
+    * Scale shape: ONE documents scan → ONE position explode → ONE
+    * lang-keyed aggregate (map-side combined; the only distinct is the
+    * per-lang doc count). Everything is linear, nothing is pairwise, and
+    * the doc-level input/target sums distribute over the lang sums
+    * (Σ per-doc linear forms = linear form of Σ), so no per-doc
+    * aggregate exists at all — a pure map-reduce at 100 TB. */
+  def hSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, size(t) AS n, i, element_at(t, i) AS w,
+        |    (CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
+        |       CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s0,
+        |    (i >= 2 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
+        |       CAST(i - 1 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s1,
+        |    (i >= 3 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
+        |       CAST(i - 2 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s2,
+        |    (i >= 4 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
+        |       CAST(i - 3 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s3
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(t))) x AS i),
+        |m AS (
+        |  SELECT doc_id, lang, n, w,
+        |    (s0 OR s1 OR s2) AS covered,
+        |    ((s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3)) AS span_begin
+        |  FROM pos),
+        |agg AS (
+        |  SELECT lang,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    count(*) AS total_tokens,
+        |    coalesce(CAST(sum(CASE WHEN covered THEN 1 END) AS BIGINT), 0L) AS corrupted,
+        |    coalesce(CAST(sum(CASE WHEN span_begin THEN 1 END) AS BIGINT), 0L) AS n_spans,
+        |    coalesce(CAST(sum(CASE WHEN covered THEN
+        |      CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % 1000000
+        |      END) AS BIGINT), 0L) AS mask_checksum
+        |  FROM m GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  corrupted AS corrupted_tokens, n_spans,
+        |  CAST(1000L * corrupted DIV total_tokens AS BIGINT) AS corrupt_milli,
+        |  CAST(CASE WHEN n_spans > 0 THEN 1000L * corrupted DIV n_spans
+        |       ELSE 0L END AS BIGINT) AS span_len_milli,
+        |  CAST(total_tokens - corrupted + n_spans AS BIGINT) AS input_tokens,
+        |  CAST(corrupted + n_spans + n_docs AS BIGINT) AS target_tokens,
+        |  CAST(1000L * (2 * n_spans + n_docs) DIV total_tokens AS BIGINT)
+        |    AS overhead_milli,
+        |  mask_checksum
+        |FROM agg
+        |ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: t[i] list indexing, concat-0x hex cast, `//` floor —
+    * all operands non-negative so floor ≡ truncation. */
+  val hSpanCorruptionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, lang, len(t) AS n, i, t[i] AS w,
+      |    (CAST(concat('0x', substr(md5(concat(doc_id, '|', i)), 1, 15))
+      |       AS BIGINT) % 20 = 0) AS s0,
+      |    (i >= 2 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 1)), 1, 15))
+      |       AS BIGINT) % 20 = 0) AS s1,
+      |    (i >= 3 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 2)), 1, 15))
+      |       AS BIGINT) % 20 = 0) AS s2,
+      |    (i >= 4 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 3)), 1, 15))
+      |       AS BIGINT) % 20 = 0) AS s3
+      |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i FROM tok)),
+      |m AS (
+      |  SELECT doc_id, lang, n, w,
+      |    (s0 OR s1 OR s2) AS covered,
+      |    ((s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3)) AS span_begin
+      |  FROM pos),
+      |agg AS (
+      |  SELECT lang,
+      |    count(DISTINCT doc_id) AS n_docs,
+      |    count(*) AS total_tokens,
+      |    coalesce(CAST(sum(CASE WHEN covered THEN 1 END) AS BIGINT), 0) AS corrupted,
+      |    coalesce(CAST(sum(CASE WHEN span_begin THEN 1 END) AS BIGINT), 0) AS n_spans,
+      |    coalesce(CAST(sum(CASE WHEN covered THEN
+      |      CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1000000
+      |      END) AS BIGINT), 0) AS mask_checksum
+      |  FROM m GROUP BY lang)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  corrupted AS corrupted_tokens, n_spans,
+      |  CAST(1000 * corrupted // total_tokens AS BIGINT) AS corrupt_milli,
+      |  CAST(CASE WHEN n_spans > 0 THEN 1000 * corrupted // n_spans
+      |       ELSE 0 END AS BIGINT) AS span_len_milli,
+      |  CAST(total_tokens - corrupted + n_spans AS BIGINT) AS input_tokens,
+      |  CAST(corrupted + n_spans + n_docs AS BIGINT) AS target_tokens,
+      |  CAST(1000 * (2 * n_spans + n_docs) // total_tokens AS BIGINT)
+      |    AS overhead_milli,
+      |  mask_checksum
+      |FROM agg
+      |ORDER BY lang""".stripMargin
+
   // ============================================== MinHash calibration audit
 
   /** MinHash calibration audit — the empirical check that signature
@@ -2074,6 +2200,7 @@ object TrainingOps {
     "h_dup_ngrams" -> (hDupNgrams _),
     "h_doc_repetition" -> (hDocRepetition _),
     "h_importance_sample" -> (hImportanceSample _),
+    "h_span_corruption" -> (hSpanCorruption _),
     "h_dedup_spans" -> (hDedupSpans _),
     "h_embed_quantize" -> (hEmbedQuantize _)
   )
@@ -2103,6 +2230,7 @@ object TrainingOps {
     "h_dup_ngrams" -> hDupNgramsSql,
     "h_doc_repetition" -> hDocRepetitionSql,
     "h_importance_sample" -> hImportanceSampleSql,
+    "h_span_corruption" -> hSpanCorruptionSql,
     "h_dedup_spans" -> hDedupSpansSql,
     "h_embed_quantize" -> hEmbedQuantizeSql
   )
