@@ -1648,21 +1648,28 @@ object AnalyticsOps {
     * its 1/7 mass is likewise absent from the TVD sum — at any real
     * volume every cell is populated.
     *
-    * Scale shape: the corpus collapses map-side into TWO domain-bounded
-    * histograms — (type, dow) ≤ 7·|types| rows and (type, how) ≤
-    * 168·|types| rows; every window and join downstream runs on those
-    * control tables, so at 100 TB this is two map-reduces and change. */
+    * Scale shape: the corpus collapses map-side into ONE domain-bounded
+    * (type, how) histogram ≤ 168·|types| rows — the dow axis FOLDS from
+    * it (`dow = ((how DIV 24) + 4) % 7`: hour-of-week determines
+    * day-of-week, so a second corpus pass would be pure waste); every
+    * window and join downstream runs on those control tables, so at
+    * 100 TB this is one map-reduce and change. The histogram is
+    * localCheckpointed — its three consumers (dow fold, TVD, peak cell)
+    * would otherwise re-inline into three corpus scans (plan-pinned:
+    * exactly one events scan). */
   def gSeasonality(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT event_type, (tus DIV 3600000000L) % 168 AS how,
+        |  count(*) AS hcnt
+        |FROM events
+        |GROUP BY event_type, (tus DIV 3600000000L) % 168""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("season_hh")
     s.sql(
-      """WITH d AS (
-        |  SELECT event_type, ((tus DIV 86400000000L) + 4) % 7 AS dow,
-        |    (tus DIV 3600000000L) % 168 AS how
-        |  FROM events),
-        |dh AS (SELECT event_type, dow, count(*) AS cnt
-        |  FROM d GROUP BY event_type, dow),
-        |hh AS (SELECT event_type, how, count(*) AS hcnt
-        |  FROM d GROUP BY event_type, how),
+      """WITH hh AS (SELECT * FROM season_hh),
+        |dh AS (SELECT event_type, ((how DIV 24) + 4) % 7 AS dow,
+        |    sum(hcnt) AS cnt
+        |  FROM hh GROUP BY event_type, ((how DIV 24) + 4) % 7),
         |ph AS (
         |  SELECT event_type, how AS peak_how, hcnt AS peak_cnt
         |  FROM (SELECT event_type, how, hcnt,
@@ -1697,14 +1704,13 @@ object AnalyticsOps {
     * floors where DIV truncates — every operand here is non-negative. */
   val gSeasonalitySql: String =
     """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
-      |d AS (
-      |  SELECT event_type, ((tus // 86400000000) + 4) % 7 AS dow,
-      |    (tus // 3600000000) % 168 AS how
-      |  FROM e),
-      |dh AS (SELECT event_type, dow, count(*) AS cnt
-      |  FROM d GROUP BY event_type, dow),
-      |hh AS (SELECT event_type, how, count(*) AS hcnt
-      |  FROM d GROUP BY event_type, how),
+      |hh AS (
+      |  SELECT event_type, (tus // 3600000000) % 168 AS how,
+      |    count(*) AS hcnt
+      |  FROM e GROUP BY event_type, (tus // 3600000000) % 168),
+      |dh AS (SELECT event_type, ((how // 24) + 4) % 7 AS dow,
+      |    sum(hcnt) AS cnt
+      |  FROM hh GROUP BY event_type, ((how // 24) + 4) % 7),
       |ph AS (
       |  SELECT event_type, how AS peak_how, hcnt AS peak_cnt
       |  FROM (SELECT event_type, how, hcnt,

@@ -214,7 +214,7 @@ object CorpusOps {
         |  WHERE rn <= 20),
         |nv AS (SELECT doc_id, v, sqrt(dot_product(v, v)) AS nrm FROM pc),
         |sem AS (
-        |  SELECT q.doc_id AS q_id, c.doc_id AS d_id,
+        |  SELECT /*+ BROADCAST(q) */ q.doc_id AS q_id, c.doc_id AS d_id,
         |    round(dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
         |  FROM (SELECT * FROM nv WHERE doc_id < 10) q
         |  JOIN nv c ON c.doc_id <> q.doc_id),
@@ -1185,20 +1185,29 @@ object CorpusOps {
     * normalizer K folds from the 512-row table, the prior from an
     * explode-free documents scan, and the confusion matrix is a final
     * lang-keyed aggregate over doc-count rows. Nothing is pairwise; no
-    * model state touches the driver. */
+    * model state touches the driver. The trained MODEL — the 512-row
+    * bucket-count table — is localCheckpointed: its two consumers (the
+    * normalizer fold and the scoring join) would otherwise re-inline the
+    * training explode twice (plan-pinned: ≤ 2 corpus explodes). */
   def hQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk,
+        |  coalesce(CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+        |    THEN 1 END) AS BIGINT), 0L) AS p,
+        |  coalesce(CAST(sum(CASE WHEN NOT source IN ('src1', 'src2', 'src3', 'src4')
+        |    THEN 1 END) AS BIGINT), 0L) AS q
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk
+        |WHERE doc_id % 3 = 0
+        |GROUP BY CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("qc_weights")
     s.sql(
       """WITH b AS (
         |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
         |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
         |    CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk
         |  FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk),
-        |w AS (
-        |  SELECT bk,
-        |    coalesce(CAST(sum(CASE WHEN pos THEN 1 END) AS BIGINT), 0L) AS p,
-        |    coalesce(CAST(sum(CASE WHEN NOT pos THEN 1 END) AS BIGINT), 0L) AS q
-        |  FROM b WHERE is_train GROUP BY bk),
+        |w AS (SELECT * FROM qc_weights),
         |k AS (
         |  SELECT CAST(length(bin(sum(p) + 512)) - length(bin(sum(q) + 512)) AS BIGINT) AS k
         |  FROM w),

@@ -1163,4 +1163,63 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       s"the probe must not fall back to a UDF:\n$plan")
   }
+
+  test("g_seasonality: ONE events scan — the dow axis folds from the hour-of-week histogram") {
+    val plan = AnalyticsOps.gSeasonality(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // dow is a pure function of hour-of-week (dow = ((how DIV 24)+4)%7),
+    // so a second corpus scan for the dow histogram is pure waste; the
+    // ONE scan lives in the checkpointed histogram build — the returned
+    // plan must read only the checkpoint, never the parquet
+    assert(plan.split("events.parquet").length - 1 == 0,
+      s"final plan must read only the checkpointed histogram:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed histogram as the only source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode belongs in this plan:\n$plan")
+  }
+
+  test("h_span_corruption: one scan, one explode, no join and no window — a pure map-reduce") {
+    val plan = TrainingOps.hSpanCorruption(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the span merge is scan-local boolean algebra over four hash tests —
+    // a Window or Join here means the gaps-and-islands form crept back
+    assert(plan.split("documents.parquet").length - 1 == 1,
+      s"expected exactly one documents scan:\n$plan")
+    assert("Generate".r.findAllIn(plan).length == 1,
+      s"expected exactly one position explode:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in this plan:\n$plan")
+  }
+
+  test("h_quality_classifier: weight table broadcasts into the scoring join, no cartesian") {
+    val plan = CorpusOps.hQualityClassifier(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the 512-row bucket weight table must be the BROADCAST build side of
+    // the held-out scoring join — shuffling the exploded test tokens onto
+    // the bucket key would move the corpus for a dictionary lookup
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the weight table to broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row normalizer/prior sides must broadcast, never cartesian:\n$plan")
+    // train + test exploded once each (the b CTE re-inlines into its two
+    // aggregating consumers) — more Generates mean a third corpus explode
+    assert("Generate".r.findAllIn(plan).length <= 2,
+      s"expected at most two corpus explodes (train + test):\n$plan")
+  }
+
+  test("h_rrf_fusion: semantic arm broadcasts the panel, ranks cap as WindowGroupLimit") {
+    val plan = CorpusOps.hRrfFusion(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the cosine arm is the hAnnBrute shape: 10-row panel broadcast into
+    // a non-equi BNLJ over one corpus scan — a CartesianProduct means the
+    // broadcast was lost and both sides shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"panel must broadcast into the cosine join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // all three rn <= k windows (per-arm top-20, fused top-5) must cap
+    // map-side — without WindowGroupLimit the candidate tables sort whole
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank windows must plan as WindowGroupLimit:\n$plan")
+  }
 }
