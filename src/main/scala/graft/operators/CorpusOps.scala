@@ -309,6 +309,224 @@ object CorpusOps {
       |WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ============================================ MMR diversified retrieval
+
+  /** MMR DIVERSIFIED top-k (Carbonell & Goldstein, SIGIR 1998) — the
+    * result-diversification pass RAG stacks run after retrieval: a
+    * near-duplicate-heavy corpus fills a plain top-k with copies of one
+    * answer, so the context window buys k slots of one fact. MMR picks
+    * greedily by `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (λ = 0.7
+    * here), trading relevance against redundancy — the selection-side
+    * complement of the corpus-side dedup family ([[LlmOps.hSemdedup]]
+    * removes near-dups from the INDEX; this tolerates them and
+    * de-duplicates each QUERY's answer set).
+    *
+    * Exactly the engine's ANN conventions: queries are the 10 lowest
+    * vec_ids, candidates each query's top-20 by the standard
+    * `(round(cos, 4) DESC, id)` deterministic order, and every
+    * rel/sim the greedy reads is a `round(cos, 4)` double both engines
+    * land bit-identically (the proven hAnnBrute contract) — then
+    * IMMEDIATELY integerized to BIGINT ten-thousandths, because a linear
+    * combination of two 4-dp-quantized doubles (`0.7·rel − 0.3·ms`)
+    * lands ON the 1e-5 grid, i.e. exactly at round-4 midpoints where
+    * the engines' double-rounding rules disagree (observed: 0.20805 →
+    * 0.2081 vs 0.208). The greedy therefore runs in EXACT integers:
+    * score_e5 = 7·rel_t − 3·ms_t (units of 1e-5), argmax and d_id
+    * tie-break integer-exact. It is UNROLLED: five selection rounds,
+    * each one argmax per query over the ≤20-row remaining set with
+    * `max(sim_t)` against the ≤4 already-picked docs; round 1 is pure
+    * relevance (nothing selected yet — score = 7·rel_t).
+    *
+    * Scale shape: the ONLY corpus-sized work is the candidate build —
+    * one panel-broadcast scan ranked by WindowGroupLimit (the hAnnBrute
+    * shape; at 100 TB it swaps to the IVF path unchanged). Candidates
+    * (200 rows, vectors attached) and their pairwise sims (10·20·19
+    * rows) are localCheckpointed; all five greedy rounds run on those
+    * control tables — re-inlining would otherwise replay the corpus
+    * scan once per round (the h_bpe_train lesson). State never touches
+    * the driver. */
+  def hMmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    Checkpoints.track(s.sql(
+      """WITH normed AS (
+        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM (
+        |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM embeddings)),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(q) */ q.vec_id AS q_id, c.vec_id AS d_id,
+        |    round(dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS rel,
+        |    c.v, c.nrm
+        |  FROM (SELECT * FROM normed WHERE vec_id < 10) q
+        |  JOIN normed c ON c.vec_id <> q.vec_id)
+        |SELECT q_id, d_id,
+        |  CAST(round(rel * 10000e0, 0) AS BIGINT) AS rel_t, v, nrm
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rel DESC, d_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 20""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("mmr_cand")
+    Checkpoints.track(s.sql(
+      """SELECT a.q_id, a.d_id AS a_id, b.d_id AS b_id,
+        |  CAST(round(round(dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+        |    * 10000e0, 0) AS BIGINT) AS sim_t
+        |FROM mmr_cand a JOIN mmr_cand b
+        |  ON a.q_id = b.q_id AND a.d_id <> b.d_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("mmr_psim")
+    // round 1: pure relevance. Rounds 2..5 run as a Scala loop with the
+    // accumulated pick set checkpointed each round — the single-statement
+    // unrolled form re-inlines the pick chain EXPONENTIALLY (p4 = p3 ∪
+    // sel4 = ((p1 ∪ sel2) ∪ sel3) ∪ sel4 ...; measured 362 exchanges);
+    // this plans ~5 small dags over the two control tables (the
+    // h_bpe_train iterative-rounds pattern).
+    var sel = Checkpoints.track(s.sql(
+      """SELECT q_id, d_id, rel_t, CAST(NULL AS BIGINT) AS ms_t, 1 AS rnk
+        |FROM (
+        |  SELECT q_id, d_id, rel_t, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rel_t DESC, d_id) AS rn
+        |  FROM mmr_cand) x
+        |WHERE rn = 1""".stripMargin).localCheckpoint())
+    sel.createOrReplaceTempView("mmr_sel")
+    for (k <- 2 to 5) {
+      val nxt = s.sql(
+        s"""WITH r AS (
+           |  SELECT c.q_id, c.d_id, c.rel_t, max(ps.sim_t) AS ms_t
+           |  FROM mmr_cand c
+           |  JOIN mmr_psim ps ON ps.q_id = c.q_id AND ps.a_id = c.d_id
+           |  JOIN mmr_sel p ON p.q_id = ps.q_id AND p.d_id = ps.b_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM mmr_sel e
+           |                    WHERE e.q_id = c.q_id AND e.d_id = c.d_id)
+           |  GROUP BY c.q_id, c.d_id, c.rel_t)
+           |SELECT q_id, d_id, rel_t, ms_t, $k AS rnk FROM (
+           |  SELECT q_id, d_id, rel_t, ms_t, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
+           |  FROM r) x
+           |WHERE rn = 1""".stripMargin)
+      sel = Checkpoints.track(sel.unionAll(nxt).localCheckpoint())
+      sel.createOrReplaceTempView("mmr_sel")
+    }
+    s.sql(
+      """SELECT CAST(q_id AS BIGINT) AS q_id, CAST(d_id AS BIGINT) AS d_id,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(rel_t AS BIGINT) AS rel_tenk,
+        |  CAST(coalesce(7 * rel_t - 3 * ms_t, 7 * rel_t) AS BIGINT) AS mmr_score_e5
+        |FROM mmr_sel
+        |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** The unrolled 5-round greedy as ONE statement — the DuckDB oracle's
+    * form (DuckDB evaluates the pick-set CTE chain fine; Spark re-inlines
+    * it exponentially, so the engine side runs the same algebra as an
+    * iterative checkpointed loop instead — see [[hMmrDiversify]]).
+    * `candSql`/`psimSql` plug in the candidate derivation. */
+  private def selectionSql(candSql: String, psimSql: String): String =
+    s"""WITH c AS ($candSql),
+       |ps AS ($psimSql),
+       |sel1 AS (
+       |  SELECT q_id, d_id, rel_t, CAST(NULL AS BIGINT) AS ms_t, 1 AS rnk FROM (
+       |    SELECT q_id, d_id, rel_t,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY rel_t DESC, d_id) AS rn
+       |    FROM c) x WHERE rn = 1),
+       |p1 AS (SELECT q_id, d_id FROM sel1),
+       |r2 AS (
+       |  SELECT c.q_id, c.d_id, c.rel_t, max(ps.sim_t) AS ms_t
+       |  FROM c
+       |  JOIN ps ON ps.q_id = c.q_id AND ps.a_id = c.d_id
+       |  JOIN p1 ON p1.q_id = ps.q_id AND p1.d_id = ps.b_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p1 e
+       |                    WHERE e.q_id = c.q_id AND e.d_id = c.d_id)
+       |  GROUP BY c.q_id, c.d_id, c.rel_t),
+       |sel2 AS (
+       |  SELECT q_id, d_id, rel_t, ms_t, 2 AS rnk FROM (
+       |    SELECT q_id, d_id, rel_t, ms_t, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
+       |    FROM r2) x WHERE rn = 1),
+       |p2 AS (SELECT q_id, d_id FROM p1 UNION ALL SELECT q_id, d_id FROM sel2),
+       |r3 AS (
+       |  SELECT c.q_id, c.d_id, c.rel_t, max(ps.sim_t) AS ms_t
+       |  FROM c
+       |  JOIN ps ON ps.q_id = c.q_id AND ps.a_id = c.d_id
+       |  JOIN p2 ON p2.q_id = ps.q_id AND p2.d_id = ps.b_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p2 e
+       |                    WHERE e.q_id = c.q_id AND e.d_id = c.d_id)
+       |  GROUP BY c.q_id, c.d_id, c.rel_t),
+       |sel3 AS (
+       |  SELECT q_id, d_id, rel_t, ms_t, 3 AS rnk FROM (
+       |    SELECT q_id, d_id, rel_t, ms_t, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
+       |    FROM r3) x WHERE rn = 1),
+       |p3 AS (SELECT q_id, d_id FROM p2 UNION ALL SELECT q_id, d_id FROM sel3),
+       |r4 AS (
+       |  SELECT c.q_id, c.d_id, c.rel_t, max(ps.sim_t) AS ms_t
+       |  FROM c
+       |  JOIN ps ON ps.q_id = c.q_id AND ps.a_id = c.d_id
+       |  JOIN p3 ON p3.q_id = ps.q_id AND p3.d_id = ps.b_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p3 e
+       |                    WHERE e.q_id = c.q_id AND e.d_id = c.d_id)
+       |  GROUP BY c.q_id, c.d_id, c.rel_t),
+       |sel4 AS (
+       |  SELECT q_id, d_id, rel_t, ms_t, 4 AS rnk FROM (
+       |    SELECT q_id, d_id, rel_t, ms_t, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
+       |    FROM r4) x WHERE rn = 1),
+       |p4 AS (SELECT q_id, d_id FROM p3 UNION ALL SELECT q_id, d_id FROM sel4),
+       |r5 AS (
+       |  SELECT c.q_id, c.d_id, c.rel_t, max(ps.sim_t) AS ms_t
+       |  FROM c
+       |  JOIN ps ON ps.q_id = c.q_id AND ps.a_id = c.d_id
+       |  JOIN p4 ON p4.q_id = ps.q_id AND p4.d_id = ps.b_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p4 e
+       |                    WHERE e.q_id = c.q_id AND e.d_id = c.d_id)
+       |  GROUP BY c.q_id, c.d_id, c.rel_t),
+       |sel5 AS (
+       |  SELECT q_id, d_id, rel_t, ms_t, 5 AS rnk FROM (
+       |    SELECT q_id, d_id, rel_t, ms_t, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
+       |    FROM r5) x WHERE rn = 1),
+       |allsel AS (
+       |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+       |  UNION ALL SELECT * FROM sel5)
+       |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(d_id AS BIGINT) AS d_id,
+       |  CAST(rnk AS BIGINT) AS rnk, CAST(rel_t AS BIGINT) AS rel_tenk,
+       |  CAST(coalesce(7 * rel_t - 3 * ms_t, 7 * rel_t) AS BIGINT) AS mmr_score_e5
+       |FROM allsel
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** DuckDB twin: candidates + pairwise sims derived inline (list ops),
+    * then the IDENTICAL unrolled greedy text. */
+  val hMmrDiversifySql: String = {
+    val cand =
+      """SELECT q_id, d_id, rel_t FROM mmr_cand_d"""
+    val psim =
+      """SELECT a.q_id, a.d_id AS a_id, b.d_id AS b_id,
+        |  CAST(round(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+        |    * 10000, 0) AS BIGINT) AS sim_t
+        |FROM mmr_cand_d a JOIN mmr_cand_d b
+        |  ON a.q_id = b.q_id AND a.d_id <> b.d_id""".stripMargin
+    val inner = selectionSql(cand, psim)
+    s"""WITH normed AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, cc.vec_id AS d_id,
+       |    round(list_dot_product(q.v, cc.v) / (q.nrm * cc.nrm), 4) AS rel,
+       |    cc.v, cc.nrm
+       |  FROM (SELECT * FROM normed WHERE vec_id < 10) q
+       |  JOIN normed cc ON cc.vec_id <> q.vec_id),
+       |mmr_cand_d AS (
+       |  SELECT q_id, d_id,
+       |    CAST(round(rel * 10000, 0) AS BIGINT) AS rel_t, v, nrm
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, d_id) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 20),
+       |${inner.stripPrefix("WITH ")}""".stripMargin
+  }
+
   // ============================================== PMI collocation mining
 
   /** PMI collocation mining — the top-15 adjacent-word pairs per language
@@ -1304,6 +1522,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_quality_classifier" -> (hQualityClassifier _),
     "h_rrf_fusion" -> (hRrfFusion _),
+    "h_mmr_diversify" -> (hMmrDiversify _),
     "h_bloom_calibration" -> (hBloomCalibration _),
     "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
@@ -1319,6 +1538,7 @@ object CorpusOps {
   def oracle: Map[String, String] = Map(
     "h_quality_classifier" -> hQualityClassifierSql,
     "h_rrf_fusion" -> hRrfFusionSql,
+    "h_mmr_diversify" -> hMmrDiversifySql,
     "h_bloom_calibration" -> hBloomCalibrationSql,
     "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,

@@ -1780,8 +1780,11 @@ object TrainingOps {
     * 15 %-rate discretized to the hash grid); overlapping spans merge.
     * The merge needs NO window: covered(i) = start(i) ∨ start(i−1) ∨
     * start(i−2) and a merged span BEGINS at i iff covered(i) ∧
-    * ¬covered(i−1) — four scan-local hash tests per token, so the whole
-    * decision runs inside whole-stage codegen with zero per-doc state.
+    * ¬covered(i−1) — scan-local boolean algebra with zero per-doc
+    * state. Each position is hashed ONCE into a per-doc start-flag
+    * array and the neighbor tests are array lookups (the naive form
+    * re-hashed every position four times — measured 19.1 s → the array
+    * form's rung at K=40 on the stress replication).
     *
     * Report per lang: corpus/corrupted token volumes and the exact milli
     * corruption rate, merged-span count and mean span length (milli),
@@ -1805,22 +1808,24 @@ object TrainingOps {
     s.sql(
       """WITH tok AS (
         |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents),
-        |pos AS (
-        |  SELECT doc_id, lang, size(t) AS n, i, element_at(t, i) AS w,
-        |    (CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
-        |       CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s0,
-        |    (i >= 2 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
-        |       CAST(i - 1 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s1,
-        |    (i >= 3 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
-        |       CAST(i - 2 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s2,
-        |    (i >= 4 AND CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
-        |       CAST(i - 3 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s3
-        |  FROM tok LATERAL VIEW explode(sequence(1, size(t))) x AS i),
+        |st AS (
+        |  SELECT doc_id, lang, t,
+        |    transform(sequence(1, size(t)), i ->
+        |      CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|',
+        |        CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 = 0) AS s
+        |  FROM tok),
         |m AS (
-        |  SELECT doc_id, lang, n, w,
-        |    (s0 OR s1 OR s2) AS covered,
-        |    ((s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3)) AS span_begin
-        |  FROM pos),
+        |  SELECT doc_id, lang, element_at(t, i) AS w,
+        |    (element_at(s, i)
+        |      OR (CASE WHEN i >= 2 THEN element_at(s, i - 1) ELSE false END)
+        |      OR (CASE WHEN i >= 3 THEN element_at(s, i - 2) ELSE false END)) AS covered,
+        |    ((element_at(s, i)
+        |      OR (CASE WHEN i >= 2 THEN element_at(s, i - 1) ELSE false END)
+        |      OR (CASE WHEN i >= 3 THEN element_at(s, i - 2) ELSE false END))
+        |     AND NOT ((CASE WHEN i >= 2 THEN element_at(s, i - 1) ELSE false END)
+        |      OR (CASE WHEN i >= 3 THEN element_at(s, i - 2) ELSE false END)
+        |      OR (CASE WHEN i >= 4 THEN element_at(s, i - 3) ELSE false END))) AS span_begin
+        |  FROM st LATERAL VIEW explode(sequence(1, size(t))) x AS i),
         |agg AS (
         |  SELECT lang,
         |    count(DISTINCT doc_id) AS n_docs,
@@ -1851,22 +1856,24 @@ object TrainingOps {
   val hSpanCorruptionSql: String =
     """WITH tok AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-      |pos AS (
-      |  SELECT doc_id, lang, len(t) AS n, i, t[i] AS w,
-      |    (CAST(concat('0x', substr(md5(concat(doc_id, '|', i)), 1, 15))
-      |       AS BIGINT) % 20 = 0) AS s0,
-      |    (i >= 2 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 1)), 1, 15))
-      |       AS BIGINT) % 20 = 0) AS s1,
-      |    (i >= 3 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 2)), 1, 15))
-      |       AS BIGINT) % 20 = 0) AS s2,
-      |    (i >= 4 AND CAST(concat('0x', substr(md5(concat(doc_id, '|', i - 3)), 1, 15))
-      |       AS BIGINT) % 20 = 0) AS s3
-      |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i FROM tok)),
+      |st AS (
+      |  SELECT doc_id, lang, t,
+      |    list_transform(range(1, len(t) + 1), i ->
+      |      CAST(concat('0x', substr(md5(concat(doc_id, '|', i)), 1, 15))
+      |        AS BIGINT) % 20 = 0) AS s
+      |  FROM tok),
       |m AS (
-      |  SELECT doc_id, lang, n, w,
-      |    (s0 OR s1 OR s2) AS covered,
-      |    ((s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3)) AS span_begin
-      |  FROM pos),
+      |  SELECT doc_id, lang, t[i] AS w,
+      |    (s[i]
+      |      OR (i >= 2 AND s[i - 1])
+      |      OR (i >= 3 AND s[i - 2])) AS covered,
+      |    ((s[i]
+      |      OR (i >= 2 AND s[i - 1])
+      |      OR (i >= 3 AND s[i - 2]))
+      |     AND NOT ((i >= 2 AND s[i - 1])
+      |      OR (i >= 3 AND s[i - 2])
+      |      OR (i >= 4 AND s[i - 3]))) AS span_begin
+      |  FROM (SELECT doc_id, lang, t, s, unnest(range(1, len(t) + 1)) AS i FROM st)),
       |agg AS (
       |  SELECT lang,
       |    count(DISTINCT doc_id) AS n_docs,

@@ -51,7 +51,15 @@ object ScaleStressBench {
     "h_langid_confusion", "h_padding_waste", "h_bloom_calibration",
     "h_pq_recall", "h_ivf_staleness", "h_ivf_retrain", "h_dedup_bloom_sharded",
     "h_pmi_collocations", "h_simjoin_prefix", "h_doc_repetition",
-    "h_importance_sample")
+    "h_importance_sample",
+    // round 16: span corruption + quality classifier are documents-only
+    // (expected linear — scan-local explodes into bounded aggregates);
+    // RRF fusion's panel is fixed replica-0 ids, so the lexical arm's
+    // rare-term postings stay bounded (replica tokens are suffixed) and
+    // growth should track the semantic arm's linear panel-broadcast scan.
+    "h_span_corruption", "h_quality_classifier", "h_rrf_fusion",
+    // MMR's corpus-sized work is only the candidate build (fixed panel).
+    "h_mmr_diversify")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -86,7 +94,11 @@ object ScaleStressBench {
     // exactly RFM's growth shape — customers fixed, orders-per-customer
     // ×K, so the dimension-sized base and every boundary table must not
     // grow, only the one custkey exchange's input does.
-    "g_rfm_segments")
+    "g_rfm_segments",
+    // round 16: reads ONLY events; the checkpointed (type, how) histogram
+    // is ≤ 168·|types| rows at ANY K — the domain-bounded claim's direct
+    // measurement (only the one map-side collapse should grow).
+    "g_seasonality")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

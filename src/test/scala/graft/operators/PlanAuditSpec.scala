@@ -1208,6 +1208,19 @@ class PlanAuditSpec extends SparkSuite {
       s"expected at most two corpus explodes (train + test):\n$plan")
   }
 
+  test("h_mmr_diversify: five greedy rounds read only the checkpointed control tables") {
+    val plan = CorpusOps.hMmrDiversify(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the ONLY corpus-sized work is the checkpointed candidate build; a
+    // parquet scan in the returned plan means a greedy round re-inlined
+    // the corpus chain (the h_bpe_train lesson: 5 rounds -> 5 scans)
+    assert(plan.split("embeddings.parquet").length - 1 == 0,
+      s"greedy rounds must read only the checkpoints:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed candidate/sim tables as sources:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("h_rrf_fusion: semantic arm broadcasts the panel, ranks cap as WindowGroupLimit") {
     val plan = CorpusOps.hRrfFusion(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
