@@ -1623,6 +1623,99 @@ object AnalyticsOps {
       |FROM dev WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ====================================================== sessionization
+
+  /** Batch SESSIONIZATION — the explicit gaps-and-islands session build
+    * (30-minute inactivity rule) that complements [[PipelineQueries]]'
+    * `g_session_window` aggregate: that one asks Spark's session_window
+    * for windowed sums; this one ASSIGNS session identity (the
+    * `sum(is_new) OVER` island id every warehouse sessionizes with) and
+    * reports the session-shape profile product analytics reads first —
+    * per ENTRY event type: session count, bounce rate (single-event
+    * sessions), mean events per session, and mean duration, all exact
+    * integer millis.
+    *
+    * The entry type needs no min_by/argmax: exactly ONE row per session
+    * carries `is_new = 1`, so `max(CASE WHEN is_new THEN type END)` IS
+    * the entry event — deterministic on both engines with no tie rule
+    * at all.
+    *
+    * Scale shape: both windows (the lag gap test and the running-sum
+    * island id) AND the (user_id, session) aggregate share ONE user_id
+    * hash exchange — subset clustering satisfies the group-by, the
+    * g_scd2_state trick (plan-pinned: exactly 2 shuffle exchanges
+    * total); user_id is the natural skew-free key. Everything after the
+    * per-session aggregate is a ≤|event_types|-row census. */
+  def gSessionize(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(
+      """WITH seq AS (
+        |  SELECT user_id, event_id, tus, event_type,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id
+        |                ORDER BY tus, event_id) > 1800000000L
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |ids AS (
+        |  SELECT user_id, tus, event_type, is_new,
+        |    sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS sid
+        |  FROM seq),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    count(*) AS n_events,
+        |    max(tus) - min(tus) AS dur_us,
+        |    max(CASE WHEN is_new = 1 THEN event_type END) AS entry_type
+        |  FROM ids GROUP BY user_id, sid)
+        |SELECT entry_type,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(1000L * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    DIV count(*) AS BIGINT) AS bounce_milli,
+        |  CAST(1000L * sum(n_events) DIV count(*) AS BIGINT)
+        |    AS events_per_session_milli,
+        |  CAST(sum(dur_us DIV 1000000L) DIV count(*) AS BIGINT)
+        |    AS mean_duration_s
+        |FROM sess GROUP BY entry_type
+        |ORDER BY entry_type""".stripMargin)
+  }
+
+  /** DuckDB twin: identical window/island algebra over epoch_us(ts). */
+  val gSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |seq AS (
+      |  SELECT user_id, event_id, tus, event_type,
+      |    CASE WHEN lag(tus) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id) IS NULL
+      |           OR tus - lag(tus) OVER (PARTITION BY user_id
+      |                ORDER BY tus, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |ids AS (
+      |  SELECT user_id, tus, event_type, is_new,
+      |    sum(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS sid
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, sid,
+      |    count(*) AS n_events,
+      |    max(tus) - min(tus) AS dur_us,
+      |    max(CASE WHEN is_new = 1 THEN event_type END) AS entry_type
+      |  FROM ids GROUP BY user_id, sid)
+      |SELECT entry_type,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS bounce_milli,
+      |  CAST(1000 * sum(n_events) // count(*) AS BIGINT)
+      |    AS events_per_session_milli,
+      |  CAST(sum(dur_us // 1000000) // count(*) AS BIGINT)
+      |    AS mean_duration_s
+      |FROM sess GROUP BY entry_type
+      |ORDER BY entry_type""".stripMargin
+
   // ====================================================== seasonality
 
   /** Day-of-week seasonality decomposition of the event stream — the
@@ -1993,6 +2086,7 @@ object AnalyticsOps {
     "g_funnel_timing" -> (gFunnelTiming _),
     "g_changepoint" -> (gChangepoint _),
     "g_seasonality" -> (gSeasonality _),
+    "g_sessionize" -> (gSessionize _),
     "g_active_users" -> (gActiveUsers _),
     "g_active_users_approx" -> (gActiveUsersApprox _),
     "g_bot_regularity" -> (gBotRegularity _),
@@ -2021,6 +2115,7 @@ object AnalyticsOps {
     "g_funnel_timing" -> gFunnelTimingSql,
     "g_changepoint" -> gChangepointSql,
     "g_seasonality" -> gSeasonalitySql,
+    "g_sessionize" -> gSessionizeSql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

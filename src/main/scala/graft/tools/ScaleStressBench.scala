@@ -98,7 +98,10 @@ object ScaleStressBench {
     // round 16: reads ONLY events; the checkpointed (type, how) histogram
     // is ≤ 168·|types| rows at ANY K — the domain-bounded claim's direct
     // measurement (only the one map-side collapse should grow).
-    "g_seasonality")
+    "g_seasonality",
+    // round 16: reads ONLY events; one user_id exchange carries both
+    // windows and the session aggregate — expected linear in events.
+    "g_sessionize")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -1208,6 +1208,23 @@ class PlanAuditSpec extends SparkSuite {
       s"expected at most two corpus explodes (train + test):\n$plan")
   }
 
+  test("g_sessionize: both windows and the session aggregate share one user_id exchange") {
+    val df = AnalyticsOps.gSessionize(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // lag window, island-sum window, and the (user_id, sid) aggregate all
+    // ride ONE HashPartitioning(user_id) by subset clustering (the
+    // g_scd2_state trick) — a second user exchange means the aggregate
+    // stopped reusing the window partitioning; the only other shuffles
+    // are the ≤|types|-row census and the final sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"expected exactly one user_id exchange:\n$plan")
+    val shuffles = plan.linesIterator.count { l =>
+      val t = l.dropWhile(c => !c.isLetter); t.startsWith("Exchange ")
+    }
+    assert(shuffles <= 3, s"expected <= 3 shuffle exchanges, got $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+  }
+
   test("h_mmr_diversify: five greedy rounds read only the checkpointed control tables") {
     val plan = CorpusOps.hMmrDiversify(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
