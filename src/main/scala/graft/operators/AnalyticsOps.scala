@@ -1623,6 +1623,120 @@ object AnalyticsOps {
       |FROM dev WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ====================================================== A/B funnel
+
+  /** A/B EXPERIMENT funnel comparison — the experimentation primitive
+    * product analytics runs daily: users deterministically hash-split
+    * into two arms (first md5 hex nibble < '8' → A, else B — the same
+    * content-hash assignment discipline as [[TrainingOps.hSampleSplit]],
+    * so arm membership is reproducible anywhere with no assignment
+    * table), each arm's strict-order view→click→purchase funnel counted
+    * with [[gEventFunnel]]'s min-timestamp entry semantics, and the
+    * arm gap reported as exact cross-multiplied BIGINT millis:
+    * `gap = 1000·|cA·nB − cB·nA| DIV (nA·nB)` — the difference of the
+    * two conversion rates with NO float division, so both engines agree
+    * bit-for-bit. (On this null split — nothing differs between arms —
+    * the honest expected read is a small sampling gap; the op is the
+    * MACHINERY: assignment, per-arm funnel, exact-integer lift.)
+    *
+    * Scale shape: the three funnel stages build SEQUENTIALLY into
+    * localCheckpointed user-dimension-sized tables (view entries, later
+    * clicks, later purchases) — each stage scans events exactly ONCE
+    * against the previous checkpoint, where the naive CTE chain
+    * re-inlined v into c into p into the twice-consumed arms table
+    * (measured: 14 events scans; this form: 3, all in checkpoint
+    * builds, the returned plan reading zero parquet — plan-pinned).
+    * The per-arm report is a 2-row aggregate; the gap join 2×2. */
+  def gFunnelAb(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT user_id,
+        |  CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 1) < '8'
+        |       THEN 'A' ELSE 'B' END AS arm,
+        |  min(tus) AS t0
+        |FROM events WHERE event_type = 'view' GROUP BY user_id, 2""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("ab_v")
+    Checkpoints.track(s.sql(
+      """SELECT e.user_id, min(e.tus) AS t1
+        |FROM events e JOIN ab_v v ON e.user_id = v.user_id AND e.tus > v.t0
+        |WHERE e.event_type = 'click' GROUP BY e.user_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("ab_c")
+    Checkpoints.track(s.sql(
+      """SELECT e.user_id, min(e.tus) AS t2
+        |FROM events e JOIN ab_c c ON e.user_id = c.user_id AND e.tus > c.t1
+        |WHERE e.event_type = 'purchase' GROUP BY e.user_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("ab_p")
+    s.sql(
+      """WITH v AS (SELECT * FROM ab_v),
+        |c AS (SELECT * FROM ab_c),
+        |p AS (SELECT * FROM ab_p),
+        |arms AS (
+        |  SELECT v.arm,
+        |    count(*) AS n_view,
+        |    count(c.user_id) AS n_click,
+        |    count(p.user_id) AS n_purchase
+        |  FROM v
+        |  LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id
+        |  GROUP BY v.arm),
+        |gap AS (
+        |  SELECT /*+ BROADCAST(b) */
+        |    CAST(1000L * abs(a.n_purchase * b.n_view
+        |                     - b.n_purchase * a.n_view)
+        |    DIV (a.n_view * b.n_view) AS BIGINT) AS arm_gap_milli
+        |  FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B')
+        |SELECT /*+ BROADCAST(gap) */
+        |  arm, CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  CAST(1000L * n_click DIV n_view AS BIGINT) AS click_milli,
+        |  CAST(1000L * n_purchase DIV n_view AS BIGINT) AS purchase_milli,
+        |  gap.arm_gap_milli
+        |FROM arms CROSS JOIN gap
+        |ORDER BY arm""".stripMargin)
+  }
+
+  /** DuckDB twin: identical funnel joins and integer arithmetic. */
+  val gFunnelAbSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+      |v AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |         THEN 'A' ELSE 'B' END AS arm,
+      |    min(tus) AS t0
+      |  FROM e WHERE event_type = 'view' GROUP BY user_id, 2),
+      |c AS (
+      |  SELECT e.user_id, min(e.tus) AS t1
+      |  FROM e JOIN v ON e.user_id = v.user_id AND e.tus > v.t0
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.tus) AS t2
+      |  FROM e JOIN c ON e.user_id = c.user_id AND e.tus > c.t1
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |arms AS (
+      |  SELECT v.arm,
+      |    count(*) AS n_view,
+      |    count(c.user_id) AS n_click,
+      |    count(p.user_id) AS n_purchase
+      |  FROM v
+      |  LEFT JOIN c ON v.user_id = c.user_id
+      |  LEFT JOIN p ON v.user_id = p.user_id
+      |  GROUP BY v.arm),
+      |gap AS (
+      |  SELECT CAST(1000 * abs(a.n_purchase * b.n_view
+      |                         - b.n_purchase * a.n_view)
+      |    // (a.n_view * b.n_view) AS BIGINT) AS arm_gap_milli
+      |  FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B')
+      |SELECT arm, CAST(n_view AS BIGINT) AS n_view,
+      |  CAST(n_click AS BIGINT) AS n_click,
+      |  CAST(n_purchase AS BIGINT) AS n_purchase,
+      |  CAST(1000 * n_click // n_view AS BIGINT) AS click_milli,
+      |  CAST(1000 * n_purchase // n_view AS BIGINT) AS purchase_milli,
+      |  gap.arm_gap_milli
+      |FROM arms CROSS JOIN gap
+      |ORDER BY arm""".stripMargin
+
   // ====================================================== sessionization
 
   /** Batch SESSIONIZATION — the explicit gaps-and-islands session build
@@ -2087,6 +2201,7 @@ object AnalyticsOps {
     "g_changepoint" -> (gChangepoint _),
     "g_seasonality" -> (gSeasonality _),
     "g_sessionize" -> (gSessionize _),
+    "g_funnel_ab" -> (gFunnelAb _),
     "g_active_users" -> (gActiveUsers _),
     "g_active_users_approx" -> (gActiveUsersApprox _),
     "g_bot_regularity" -> (gBotRegularity _),
@@ -2116,6 +2231,7 @@ object AnalyticsOps {
     "g_changepoint" -> gChangepointSql,
     "g_seasonality" -> gSeasonalitySql,
     "g_sessionize" -> gSessionizeSql,
+    "g_funnel_ab" -> gFunnelAbSql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

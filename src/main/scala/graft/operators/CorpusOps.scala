@@ -527,6 +527,113 @@ object CorpusOps {
        |${inner.stripPrefix("WITH ")}""".stripMargin
   }
 
+  // ============================================ RAG context packing
+
+  /** RAG CONTEXT-WINDOW packing — the step after retrieval: assemble
+    * each query's retrieved documents, in rank order, into a fixed
+    * 512-token context budget, and report what actually fits. This is
+    * the consumer-side complement of [[TrainingOps.hSeqPacking]] (which
+    * packs the TRAINING corpus): a RAG stack retrieves top-k but serves
+    * only what the prompt window holds, and this table — per query: docs
+    * packed, tokens used, exact milli fill, the first rank cut — is the
+    * budget/recall trade the k and the window size are tuned against.
+    *
+    * Semantics: the engine's standard top-20-by-`(round(cos,4), id)`
+    * candidates, packed GREEDILY IN RANK ORDER with the prefix-cut rule
+    * ([[TrainingOps.hTokenBudgetMix]]'s convention): a document is
+    * packed iff its running token total fits, and the first overflow
+    * ends the context — no skip-and-refill, so the packed set is a rank
+    * prefix and the decision is one cumulative window, deterministic on
+    * both engines. `packed_checksum = Σ d_id·rank` pins the packed
+    * ORDER, not just its size, cross-engine.
+    *
+    * Scale shape: one panel-broadcast corpus scan (the hAnnBrute shape)
+    * ranked by WindowGroupLimit; the packing window and the per-query
+    * report run on ≤20 rows per query. Token counts fold scan-locally
+    * into the candidate row (`size(split(text))` before the rank cut). */
+  def hRagContextPack(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+    Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH pc AS (
+        |  SELECT d.doc_id, size(split(d.text, ' ')) AS ntok,
+        |    transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |nv AS (SELECT doc_id, ntok, v, sqrt(dot_product(v, v)) AS nrm FROM pc),
+        |cand AS (
+        |  SELECT q_id, d_id, ntok, rn FROM (
+        |    SELECT /*+ BROADCAST(q) */ q.doc_id AS q_id, c.doc_id AS d_id,
+        |      c.ntok,
+        |      row_number() OVER (PARTITION BY q.doc_id
+        |        ORDER BY round(dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC,
+        |                 c.doc_id) AS rn
+        |    FROM (SELECT * FROM nv WHERE doc_id < 10) q
+        |    JOIN nv c ON c.doc_id <> q.doc_id)
+        |  WHERE rn <= 20),
+        |packed AS (
+        |  SELECT q_id, d_id, ntok, rn,
+        |    sum(ntok) OVER (PARTITION BY q_id ORDER BY rn) AS cum
+        |  FROM cand),
+        |cut AS (
+        |  SELECT q_id,
+        |    coalesce(CAST(min(CASE WHEN cum > 512 THEN rn END) AS BIGINT), 21L)
+        |      AS first_cut_rank
+        |  FROM packed GROUP BY q_id)
+        |SELECT CAST(p.q_id AS BIGINT) AS q_id,
+        |  CAST(count(CASE WHEN p.rn < c.first_cut_rank THEN 1 END) AS BIGINT)
+        |    AS n_packed,
+        |  CAST(coalesce(sum(CASE WHEN p.rn < c.first_cut_rank THEN p.ntok END), 0L)
+        |    AS BIGINT) AS tokens_packed,
+        |  CAST(1000L * coalesce(sum(CASE WHEN p.rn < c.first_cut_rank
+        |    THEN p.ntok END), 0L) DIV 512 AS BIGINT) AS fill_milli,
+        |  c.first_cut_rank,
+        |  CAST(coalesce(sum(CASE WHEN p.rn < c.first_cut_rank
+        |    THEN p.d_id * p.rn END), 0L) AS BIGINT) AS packed_checksum
+        |FROM packed p JOIN cut c ON p.q_id = c.q_id
+        |GROUP BY p.q_id, c.first_cut_rank
+        |ORDER BY q_id""".stripMargin)
+  }
+
+  /** DuckDB twin: list_dot_product cosine, identical prefix-cut window. */
+  val hRagContextPackSql: String =
+    """WITH pc AS (
+      |  SELECT d.doc_id, len(string_split(d.text, ' ')) AS ntok,
+      |    CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |nv AS (SELECT doc_id, ntok, v, sqrt(list_dot_product(v, v)) AS nrm FROM pc),
+      |cand AS (
+      |  SELECT q_id, d_id, ntok, rn FROM (
+      |    SELECT q.doc_id AS q_id, c.doc_id AS d_id, c.ntok,
+      |      row_number() OVER (PARTITION BY q.doc_id
+      |        ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) DESC,
+      |                 c.doc_id) AS rn
+      |    FROM (SELECT * FROM nv WHERE doc_id < 10) q
+      |    JOIN nv c ON c.doc_id <> q.doc_id)
+      |  WHERE rn <= 20),
+      |packed AS (
+      |  SELECT q_id, d_id, ntok, rn,
+      |    sum(ntok) OVER (PARTITION BY q_id ORDER BY rn) AS cum
+      |  FROM cand),
+      |cut AS (
+      |  SELECT q_id,
+      |    coalesce(CAST(min(CASE WHEN cum > 512 THEN rn END) AS BIGINT), 21)
+      |      AS first_cut_rank
+      |  FROM packed GROUP BY q_id)
+      |SELECT CAST(p.q_id AS BIGINT) AS q_id,
+      |  CAST(count(CASE WHEN p.rn < c.first_cut_rank THEN 1 END) AS BIGINT)
+      |    AS n_packed,
+      |  CAST(coalesce(sum(CASE WHEN p.rn < c.first_cut_rank THEN p.ntok END), 0)
+      |    AS BIGINT) AS tokens_packed,
+      |  CAST(1000 * coalesce(sum(CASE WHEN p.rn < c.first_cut_rank
+      |    THEN p.ntok END), 0) // 512 AS BIGINT) AS fill_milli,
+      |  c.first_cut_rank,
+      |  CAST(coalesce(sum(CASE WHEN p.rn < c.first_cut_rank
+      |    THEN p.d_id * p.rn END), 0) AS BIGINT) AS packed_checksum
+      |FROM packed p JOIN cut c ON p.q_id = c.q_id
+      |GROUP BY p.q_id, c.first_cut_rank
+      |ORDER BY q_id""".stripMargin
+
   // ============================================== PMI collocation mining
 
   /** PMI collocation mining — the top-15 adjacent-word pairs per language
@@ -1523,6 +1630,7 @@ object CorpusOps {
     "h_quality_classifier" -> (hQualityClassifier _),
     "h_rrf_fusion" -> (hRrfFusion _),
     "h_mmr_diversify" -> (hMmrDiversify _),
+    "h_rag_context_pack" -> (hRagContextPack _),
     "h_bloom_calibration" -> (hBloomCalibration _),
     "h_source_overlap" -> (hSourceOverlap _),
     "h_bm25" -> (hBm25 _),
@@ -1539,6 +1647,7 @@ object CorpusOps {
     "h_quality_classifier" -> hQualityClassifierSql,
     "h_rrf_fusion" -> hRrfFusionSql,
     "h_mmr_diversify" -> hMmrDiversifySql,
+    "h_rag_context_pack" -> hRagContextPackSql,
     "h_bloom_calibration" -> hBloomCalibrationSql,
     "h_source_overlap" -> hSourceOverlapSql,
     "h_bm25" -> hBm25Sql,

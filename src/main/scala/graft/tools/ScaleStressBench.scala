@@ -58,8 +58,8 @@ object ScaleStressBench {
     // rare-term postings stay bounded (replica tokens are suffixed) and
     // growth should track the semantic arm's linear panel-broadcast scan.
     "h_span_corruption", "h_quality_classifier", "h_rrf_fusion",
-    // MMR's corpus-sized work is only the candidate build (fixed panel).
-    "h_mmr_diversify")
+    // MMR/context-pack: corpus-sized work is only the candidate build.
+    "h_mmr_diversify", "h_rag_context_pack")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -101,7 +101,9 @@ object ScaleStressBench {
     "g_seasonality",
     // round 16: reads ONLY events; one user_id exchange carries both
     // windows and the session aggregate — expected linear in events.
-    "g_sessionize")
+    "g_sessionize",
+    // round 16: three sequential checkpointed stage scans — linear.
+    "g_funnel_ab")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -1208,6 +1208,31 @@ class PlanAuditSpec extends SparkSuite {
       s"expected at most two corpus explodes (train + test):\n$plan")
   }
 
+  test("h_rag_context_pack: panel broadcasts, rank cut caps as WindowGroupLimit") {
+    val plan = CorpusOps.hRagContextPack(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"panel must broadcast into the cosine join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 20 must push into WindowGroupLimit:\n$plan")
+  }
+
+  test("g_funnel_ab: the report reads only the checkpointed stage tables") {
+    val plan = AnalyticsOps.gFunnelAb(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the three stage scans live in the sequential checkpoint builds
+    // (one events scan each); the returned report must read only the
+    // checkpoints — a parquet scan here means the naive CTE chain
+    // (measured 14 events scans) crept back
+    assert(plan.split("events.parquet").length - 1 == 0,
+      s"report must read only the checkpointed stage tables:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed stage tables as sources:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 2-row gap join must broadcast, never cartesian:\n$plan")
+  }
+
   test("g_sessionize: both windows and the session aggregate share one user_id exchange") {
     val df = AnalyticsOps.gSessionize(spark, SparkSpec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
