@@ -313,4 +313,59 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(rows.last._2 < 1000000L,
       s"round-8 L1 ${rows.last._2} says the iteration is far from fixed point")
   }
+
+  test("g_seasonality: shares sum to ~1000 per type, TVD and peak cell well-formed") {
+    val rows = AnalyticsOps.gSeasonality(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.length <= 7, s"$t: more than 7 weekdays")
+      val shareSum = rs.map(_._4).sum
+      // each of the <=7 rows floors away <1 milli
+      assert(shareSum > 1000 - 7 && shareSum <= 1000, s"$t share sum $shareSum")
+      val tvd = rs.head._6
+      assert(rs.forall(_._6 == tvd), s"$t: TVD must repeat per type")
+      assert(tvd >= 0 && tvd <= 1000)
+      val (peakHow, peakCnt) = (rs.head._7, rs.head._8)
+      assert(peakHow >= 0 && peakHow < 168)
+      // the peak hour-of-week cell can't exceed its weekday's total
+      val dowOfPeak = ((peakHow / 24) + 4) % 7
+      rs.find(_._2 == dowOfPeak).foreach { r =>
+        assert(peakCnt <= r._3, s"$t: peak cell $peakCnt exceeds its dow total ${r._3}")
+      }
+    }
+  }
+
+  test("g_sessionize: sessions partition the event log; rates well-formed") {
+    val rows = AnalyticsOps.gSessionize(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totalEvents = graft.Tables.eventsCanonical(spark, SparkSpec.sf0001).count()
+    assert(rows.map(_._3).sum == totalEvents,
+      "every event belongs to exactly one session")
+    rows.foreach { case (entry, nSess, nEv, bounce, eps) =>
+      assert(nSess >= 1 && nEv >= nSess)
+      assert(bounce >= 0 && bounce <= 1000, s"$entry bounce $bounce")
+      assert(eps >= 1000, s"$entry events/session below 1: $eps")
+    }
+  }
+
+  test("g_funnel_ab: arms partition the viewers; funnel stages monotone; gap consistent") {
+    val rows = AnalyticsOps.gFunnelAb(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("A", "B"), "exactly two arms")
+    val viewers = graft.Tables.eventsCanonical(spark, SparkSpec.sf0001)
+      .filter("event_type = 'view'").select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == viewers, "arms partition the view users")
+    rows.foreach { case (arm, v, c, p, cm, pm, _) =>
+      assert(v >= c && c >= p, s"$arm funnel not monotone: $v/$c/$p")
+      assert(cm == 1000L * c / v && pm == 1000L * p / v, s"$arm rate mismatch")
+    }
+    val Seq(a, b) = rows.sortBy(_._1).toSeq
+    val expectGap = 1000L * math.abs(a._4 * b._2 - b._4 * a._2) / (a._2 * b._2)
+    assert(a._7 == expectGap && b._7 == expectGap,
+      s"gap ${a._7} vs recomputed $expectGap")
+  }
 }

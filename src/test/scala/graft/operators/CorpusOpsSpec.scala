@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkSuite}
+
+/** Invariant specs for the round-16 retrieval-family operators — the
+  * algebraic facts the DuckDB hash-compare can't state (it proves both
+  * engines agree, not that the agreed answer obeys the op's contract). */
+class CorpusOpsSpec extends SparkSuite {
+
+  test("h_rrf_fusion: 5 fused picks per query, scores bounded and rank-monotone") {
+    val rows = CorpusOps.hRrfFusion(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 50, s"10 queries x top-5, got ${rows.length}")
+    val maxArm = 1000000L / 61L // rank 1 in one arm
+    rows.foreach { case (q, d, lex, sem, rrf, rnk) =>
+      assert(rnk >= 1 && rnk <= 5)
+      assert(lex == -1 || (lex >= 1 && lex <= 20), s"q$q d$d lex=$lex")
+      assert(sem == -1 || (sem >= 1 && sem <= 20), s"q$q d$d sem=$sem")
+      // at least one arm retrieved the doc, and the score is exactly the
+      // sum of its per-arm reciprocal contributions
+      assert(lex != -1 || sem != -1)
+      val expect = (if (lex == -1) 0L else 1000000L / (60 + lex)) +
+        (if (sem == -1) 0L else 1000000L / (60 + sem))
+      assert(rrf == expect, s"q$q d$d rrf=$rrf expected $expect")
+      assert(rrf > 0 && rrf <= 2 * maxArm)
+    }
+    // fused score is non-increasing down each query's ranks
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._6).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"q$q fused scores not monotone: ${byRank.toSeq}")
+      assert(rs.map(_._2).distinct.length == 5, s"q$q picked a doc twice")
+    }
+  }
+
+  test("h_mmr_diversify: pick 1 is the relevance top-1; later scores never beat pure relevance") {
+    val mmr = CorpusOps.hMmrDiversify(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(mmr.length == 50)
+    // rank 1 is pure relevance — it must equal h_ann_brute's top-1 for
+    // the same panel (same corpus, same deterministic cosine order)
+    val bruteTop = LlmOps.hAnnBrute(spark, SparkSpec.sf0001).filter("rnk = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    mmr.filter(_._3 == 1L).foreach { case (q, d, _, relT, score) =>
+      assert(bruteTop(q) == d, s"q$q MMR pick 1 $d != brute top-1 ${bruteTop(q)}")
+      assert(score == 7 * relT, s"q$q pick-1 score must be pure relevance")
+    }
+    mmr.foreach { case (q, d, rnk, relT, score) =>
+      // 0.7·rel − 0.3·maxsim ≤ 0.7·rel always (sim ≥ 0 fails for negative
+      // cosines, but the BOUND 7·relT − 3·(−10000) caps everything)
+      assert(score <= 7 * relT + 30000, s"q$q d$d score $score vs rel $relT")
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    mmr.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).distinct.length == 5, s"q$q selected a doc twice")
+    }
+  }
+
+  test("h_rag_context_pack: prefix-cut semantics — packed set is exactly the rank prefix") {
+    val rows = CorpusOps.hRagContextPack(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, nPacked, tokens, fill, cut, checksum) =>
+      assert(nPacked == cut - 1, s"q$q packed $nPacked but first cut at $cut")
+      assert(tokens <= 512, s"q$q packed $tokens tokens over the 512 budget")
+      assert(fill == 1000L * tokens / 512, s"q$q fill $fill vs tokens $tokens")
+      assert(nPacked == 0 || checksum > 0)
+      assert(cut >= 1 && cut <= 21)
+    }
+  }
+
+  test("h_quality_classifier: confusion matrix is internally consistent") {
+    val rows = CorpusOps.hQualityClassifier(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nTest, nPos) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (tp, fp, fn, tn) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val (prec, rec, acc) = (r.getLong(7), r.getLong(8), r.getLong(9))
+      assert(tp + fp + fn + tn == nTest, s"$lang: cells must sum to the test set")
+      assert(tp + fn == nPos, s"$lang: positives must split into tp + fn")
+      assert(acc == 1000L * (tp + tn) / nTest, s"$lang: accuracy mismatch")
+      if (tp + fp > 0) assert(prec == 1000L * tp / (tp + fp)) else assert(prec == -1L)
+      if (nPos > 0) assert(rec == 1000L * tp / nPos) else assert(rec == -1L)
+    }
+    // the held-out set is exactly the non-train docs
+    val total = rows.map(_.getLong(1)).sum
+    val expected = graft.Tables.load(spark, SparkSpec.sf0001, "documents")
+      .filter("doc_id % 3 != 0").count()
+    assert(total == expected, s"test rows $total vs expected $expected")
+  }
+}

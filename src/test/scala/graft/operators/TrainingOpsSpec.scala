@@ -195,4 +195,30 @@ class TrainingOpsSpec extends SparkSuite {
       assert(toks == n + 32 * (chunks - 1), s"n=$n: token conservation broke")
     }
   }
+
+  test("h_span_corruption: length accounting exact; coverage near the hash-grid rate") {
+    val rows = TrainingOps.hSpanCorruption(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nDocs, total) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (corr, spans) = (r.getLong(3), r.getLong(4))
+      val (corrM, spanLenM) = (r.getLong(5), r.getLong(6))
+      val (in, tgt, ovh, chk) = (r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))
+      // every merged span covers at least one token
+      assert(spans <= corr, s"$lang: $spans spans but only $corr covered tokens")
+      // T5 length accounting: encoder keeps the uncovered tokens plus one
+      // sentinel per span; decoder emits covered + sentinels + EOS per doc
+      assert(in == total - corr + spans, s"$lang input accounting")
+      assert(tgt == corr + spans + nDocs, s"$lang target accounting")
+      assert(ovh == 1000L * (2 * spans + nDocs) / total, s"$lang overhead")
+      assert(corrM == 1000L * corr / total && corrM > 60 && corrM < 260,
+        s"$lang coverage $corrM out of band for the 1/20-start 3-token grid")
+      // a merged span is >= 1 token (end truncation) and averages a bit
+      // over 3 — overlapping starts CHAIN, so islands can run past one
+      // span's width; the 1/20 start rate keeps the expected chain short
+      assert(spanLenM >= 1000 && spanLenM <= 4500,
+        s"$lang mean merged-span length $spanLenM outside the [1, 4.5] band")
+      assert(chk > 0, s"$lang mask checksum must pin real content")
+    }
+  }
 }
