@@ -1623,6 +1623,99 @@ object AnalyticsOps {
       |FROM dev WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ====================================================== market basket
+
+  /** MARKET-BASKET affinity — the Apriori first pass / co-purchase
+    * lift table every retail warehouse runs: parts bought together
+    * within an order, ranked by exact integer LIFT
+    * `(10⁶·c_ab·N) DIV (c_a·c_b)` (the [[CorpusOps.hPmiCollocations]]
+    * micro-lift idiom in DECIMAL(38,0)/HUGEINT products — log is
+    * monotone, so ranking by lift ≡ ranking by PMI with no libm), with
+    * exact support micros and confidence millis alongside. Min-support
+    * is `c_ab ≥ 2` — a FIXED higher count goes vacuous as the part
+    * domain grows (2 pairs left at c_ab ≥ 3 on sf0.1 — the q11
+    * fixed-threshold lesson), while "co-occurred more than once" stays
+    * populated at every scale.
+    *
+    * Scale shape: ONE orderkey aggregate collapses each basket to its
+    * sorted distinct-part array (≤ ~7 parts at any corpus size), and
+    * pairs explode SCAN-LOCALLY from the array (i < j index pairs) —
+    * never a corpus self-join: the equi-join form re-inlined the
+    * distinct (order, part) CTE into four corpus scans and measured
+    * 25.2 s at K=40 where this form reads 9.0 s (3.96× for 40× data).
+    * Pair volume is per-order lines², ~3× lineitem rows; item supports
+    * fold from the same basket arrays; the top-20 plans as
+    * TakeOrderedAndProject (per-partition heap, driver merge — a global
+    * rank window would sort the whole pair table on one task). Skew-free: orderkey is the natural high-cardinality
+    * key. */
+  def gMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH grp AS (
+        |  SELECT l_orderkey AS ok, array_sort(collect_set(l_partkey)) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |n AS (SELECT count(*) AS n FROM grp),
+        |pc AS (
+        |  SELECT pk, count(*) AS c
+        |  FROM grp LATERAL VIEW explode(ps) e AS pk GROUP BY pk),
+        |pairs AS (
+        |  SELECT element_at(ps, i) AS pa, element_at(ps, j) AS pb,
+        |    count(*) AS cab
+        |  FROM grp
+        |  LATERAL VIEW explode(sequence(1, size(ps) - 1)) x AS i
+        |  LATERAL VIEW explode(sequence(2, size(ps))) y AS j
+        |  WHERE i < j AND size(ps) >= 2
+        |  GROUP BY element_at(ps, i), element_at(ps, j)
+        |  HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT p.pa, p.pb, p.cab, ca.c AS ca, cb.c AS cb, n.n,
+        |    CAST(CAST(1000000L AS DECIMAL(38, 0)) * p.cab * n.n
+        |      DIV (CAST(ca.c AS DECIMAL(38, 0)) * cb.c) AS BIGINT) AS lift_micro,
+        |    CAST(1000000L * p.cab DIV n.n AS BIGINT) AS support_micro,
+        |    CAST(1000L * p.cab DIV ca.c AS BIGINT) AS conf_milli
+        |  FROM pairs p
+        |  JOIN pc ca ON p.pa = ca.pk
+        |  JOIN pc cb ON p.pb = cb.pk
+        |  CROSS JOIN n)
+        |SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+        |  CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+        |  CAST(cb AS BIGINT) AS cb, CAST(n AS BIGINT) AS n_orders,
+        |  lift_micro, support_micro, conf_milli
+        |FROM scored
+        |ORDER BY lift_micro DESC, pa, pb
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** DuckDB twin: HUGEINT products carry the lift exactly; `//` floors
+    * on non-negative operands. */
+  val gMarketBasketSql: String =
+    """WITH ol AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n FROM ol),
+      |pc AS (SELECT pk, count(*) AS c FROM ol GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+      |  FROM ol a JOIN ol b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |  HAVING count(*) >= 2),
+      |scored AS (
+      |  SELECT p.pa, p.pb, p.cab, ca.c AS ca, cb.c AS cb, n.n,
+      |    CAST(CAST(1000000 AS HUGEINT) * p.cab * n.n
+      |      // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_micro,
+      |    CAST(1000000 * p.cab // n.n AS BIGINT) AS support_micro,
+      |    CAST(1000 * p.cab // ca.c AS BIGINT) AS conf_milli
+      |  FROM pairs p
+      |  JOIN pc ca ON p.pa = ca.pk
+      |  JOIN pc cb ON p.pb = cb.pk
+      |  CROSS JOIN n)
+      |SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+      |  CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+      |  CAST(cb AS BIGINT) AS cb, CAST(n AS BIGINT) AS n_orders,
+      |  lift_micro, support_micro, conf_milli
+      |FROM scored
+      |ORDER BY lift_micro DESC, pa, pb
+      |LIMIT 20""".stripMargin
+
   // ====================================================== A/B funnel
 
   /** A/B EXPERIMENT funnel comparison — the experimentation primitive
@@ -2202,6 +2295,7 @@ object AnalyticsOps {
     "g_seasonality" -> (gSeasonality _),
     "g_sessionize" -> (gSessionize _),
     "g_funnel_ab" -> (gFunnelAb _),
+    "g_market_basket" -> (gMarketBasket _),
     "g_active_users" -> (gActiveUsers _),
     "g_active_users_approx" -> (gActiveUsersApprox _),
     "g_bot_regularity" -> (gBotRegularity _),
@@ -2232,6 +2326,7 @@ object AnalyticsOps {
     "g_seasonality" -> gSeasonalitySql,
     "g_sessionize" -> gSessionizeSql,
     "g_funnel_ab" -> gFunnelAbSql,
+    "g_market_basket" -> gMarketBasketSql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

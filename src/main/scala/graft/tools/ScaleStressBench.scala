@@ -103,7 +103,10 @@ object ScaleStressBench {
     // windows and the session aggregate — expected linear in events.
     "g_sessionize",
     // round 16: three sequential checkpointed stage scans — linear.
-    "g_funnel_ab")
+    "g_funnel_ab",
+    // round 16: reads ONLY lineitem (v3-scaled); pair volume is
+    // sum-of-lines² per order — ~3× lineitem at any K, never parts².
+    "g_market_basket")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

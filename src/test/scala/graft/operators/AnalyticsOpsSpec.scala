@@ -368,4 +368,21 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(a._7 == expectGap && b._7 == expectGap,
       s"gap ${a._7} vs recomputed $expectGap")
   }
+
+  test("g_market_basket: lift/support/confidence recompute exactly; ordering monotone") {
+    val rows = AnalyticsOps.gMarketBasket(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(rows.length == 20)
+    rows.foreach { case (pa, pb, cab, ca, cb, n, lift, sup, conf) =>
+      assert(pa < pb, "pairs are canonically ordered")
+      assert(cab >= 2 && cab <= math.min(ca, cb), s"($pa,$pb) counts inconsistent")
+      assert(ca <= n && cb <= n)
+      assert(lift == (BigInt(1000000) * cab * n / (BigInt(ca) * cb)).toLong)
+      assert(sup == 1000000L * cab / n && conf == 1000L * cab / ca)
+    }
+    val lifts = rows.map(_._7)
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+      "top-20 must be lift-ordered")
+  }
 }

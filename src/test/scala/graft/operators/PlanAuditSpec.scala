@@ -1233,6 +1233,17 @@ class PlanAuditSpec extends SparkSuite {
       s"the 2-row gap join must broadcast, never cartesian:\n$plan")
   }
 
+  test("g_market_basket: pair generation is an orderkey equi-join, never all-pairs") {
+    val plan = AnalyticsOps.gMarketBasket(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the basket self-join must key on l_orderkey (per-order fan-out is
+    // lines^2, bounded by the order profile) — a CartesianProduct means
+    // the equi-key was lost and the join went parts x parts
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global top-20 must plan as TakeOrderedAndProject:\n$plan")
+  }
+
   test("g_sessionize: both windows and the session aggregate share one user_id exchange") {
     val df = AnalyticsOps.gSessionize(spark, SparkSpec.sf0001)
     val plan = df.queryExecution.executedPlan.toString
