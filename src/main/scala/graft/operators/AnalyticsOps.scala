@@ -1638,33 +1638,43 @@ object AnalyticsOps {
     * populated at every scale.
     *
     * Scale shape: ONE orderkey aggregate collapses each basket to its
-    * sorted distinct-part array (≤ ~7 parts at any corpus size), and
-    * pairs explode SCAN-LOCALLY from the array (i < j index pairs) —
+    * sorted distinct-part array (≤ ~7 parts at any corpus size) and that
+    * basket table — one 2-column row per order — is localCheckpointed,
+    * so its three consumers (pair explode, item supports, order count)
+    * all read the checkpoint instead of re-inlining the aggregate into
+    * three corpus scans plus a fourth for the count (the shipped
+    * round-16 plan; this form's returned plan reads ZERO lineitem
+    * parquet — the single fact scan lives in the checkpoint build,
+    * plan-pinned). Pairs explode SCAN-LOCALLY from the array as the
+    * upper triangle only (`i ∈ [1, size), j ∈ (i, size]` — never the
+    * full i×j square filtered down, and never an index-0 row that ANSI
+    * `element_at` would throw on for single-part baskets, which the
+    * `size(ps) >= 2` pre-filter removes before any sequence is built) —
     * never a corpus self-join: the equi-join form re-inlined the
     * distinct (order, part) CTE into four corpus scans and measured
-    * 25.2 s at K=40 where this form reads 9.0 s (3.96× for 40× data).
-    * Pair volume is per-order lines², ~3× lineitem rows; item supports
-    * fold from the same basket arrays; the top-20 plans as
+    * 25.2 s at K=40 where the round-16 array form read 9.0 s.
+    * Pair volume is per-order lines²/2, ~1.5× lineitem rows; item
+    * supports fold from the same basket arrays; the top-20 plans as
     * TakeOrderedAndProject (per-partition heap, driver merge — a global
-    * rank window would sort the whole pair table on one task). Skew-free: orderkey is the natural high-cardinality
-    * key. */
+    * rank window would sort the whole pair table on one task).
+    * Skew-free: orderkey is the natural high-cardinality key. */
   def gMarketBasket(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Checkpoints.track(s.sql(
+      """SELECT l_orderkey AS ok, array_sort(collect_set(l_partkey)) AS ps
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("basket_grp")
     s.sql(
-      """WITH grp AS (
-        |  SELECT l_orderkey AS ok, array_sort(collect_set(l_partkey)) AS ps
-        |  FROM lineitem GROUP BY l_orderkey),
-        |n AS (SELECT count(*) AS n FROM grp),
+      """WITH n AS (SELECT count(*) AS n FROM basket_grp),
         |pc AS (
         |  SELECT pk, count(*) AS c
-        |  FROM grp LATERAL VIEW explode(ps) e AS pk GROUP BY pk),
+        |  FROM basket_grp LATERAL VIEW explode(ps) e AS pk GROUP BY pk),
         |pairs AS (
         |  SELECT element_at(ps, i) AS pa, element_at(ps, j) AS pb,
         |    count(*) AS cab
-        |  FROM grp
+        |  FROM (SELECT ps FROM basket_grp WHERE size(ps) >= 2)
         |  LATERAL VIEW explode(sequence(1, size(ps) - 1)) x AS i
-        |  LATERAL VIEW explode(sequence(2, size(ps))) y AS j
-        |  WHERE i < j AND size(ps) >= 2
+        |  LATERAL VIEW explode(sequence(i + 1, size(ps))) y AS j
         |  GROUP BY element_at(ps, i), element_at(ps, j)
         |  HAVING count(*) >= 2),
         |scored AS (
@@ -1730,7 +1740,12 @@ object AnalyticsOps {
     * two conversion rates with NO float division, so both engines agree
     * bit-for-bit. (On this null split — nothing differs between arms —
     * the honest expected read is a small sampling gap; the op is the
-    * MACHINERY: assignment, per-arm funnel, exact-integer lift.)
+    * MACHINERY: assignment, per-arm funnel, exact-integer lift.) The
+    * gap is an UNGROUPED single-row conditional aggregate over the arm
+    * table, never an A×B self-join: on a degenerate split where every
+    * viewer hashes to one arm, the self-join form returned zero rows
+    * (gap empty ⇒ the CROSS JOIN dropped the surviving arm's funnel),
+    * while this form reports the one-arm funnel with gap −1.
     *
     * Scale shape: the three funnel stages build SEQUENTIALLY into
     * localCheckpointed user-dimension-sized tables (view entries, later
@@ -1773,11 +1788,15 @@ object AnalyticsOps {
         |  LEFT JOIN p ON v.user_id = p.user_id
         |  GROUP BY v.arm),
         |gap AS (
-        |  SELECT /*+ BROADCAST(b) */
-        |    CAST(1000L * abs(a.n_purchase * b.n_view
-        |                     - b.n_purchase * a.n_view)
-        |    DIV (a.n_view * b.n_view) AS BIGINT) AS arm_gap_milli
-        |  FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B')
+        |  SELECT CAST(CASE WHEN count(*) = 2 THEN
+        |      1000L * abs(max(CASE WHEN arm = 'A' THEN n_purchase END)
+        |                    * max(CASE WHEN arm = 'B' THEN n_view END)
+        |                  - max(CASE WHEN arm = 'B' THEN n_purchase END)
+        |                    * max(CASE WHEN arm = 'A' THEN n_view END))
+        |      DIV (max(CASE WHEN arm = 'A' THEN n_view END)
+        |           * max(CASE WHEN arm = 'B' THEN n_view END))
+        |    ELSE -1 END AS BIGINT) AS arm_gap_milli
+        |  FROM arms)
         |SELECT /*+ BROADCAST(gap) */
         |  arm, CAST(n_view AS BIGINT) AS n_view,
         |  CAST(n_click AS BIGINT) AS n_click,
@@ -1817,10 +1836,15 @@ object AnalyticsOps {
       |  LEFT JOIN p ON v.user_id = p.user_id
       |  GROUP BY v.arm),
       |gap AS (
-      |  SELECT CAST(1000 * abs(a.n_purchase * b.n_view
-      |                         - b.n_purchase * a.n_view)
-      |    // (a.n_view * b.n_view) AS BIGINT) AS arm_gap_milli
-      |  FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B')
+      |  SELECT CAST(CASE WHEN count(*) = 2 THEN
+      |      1000 * abs(max(CASE WHEN arm = 'A' THEN n_purchase END)
+      |                   * max(CASE WHEN arm = 'B' THEN n_view END)
+      |                 - max(CASE WHEN arm = 'B' THEN n_purchase END)
+      |                   * max(CASE WHEN arm = 'A' THEN n_view END))
+      |      // (max(CASE WHEN arm = 'A' THEN n_view END)
+      |          * max(CASE WHEN arm = 'B' THEN n_view END))
+      |    ELSE -1 END AS BIGINT) AS arm_gap_milli
+      |  FROM arms)
       |SELECT arm, CAST(n_view AS BIGINT) AS n_view,
       |  CAST(n_click AS BIGINT) AS n_click,
       |  CAST(n_purchase AS BIGINT) AS n_purchase,
@@ -1840,7 +1864,9 @@ object AnalyticsOps {
     * reports the session-shape profile product analytics reads first —
     * per ENTRY event type: session count, bounce rate (single-event
     * sessions), mean events per session, and mean duration, all exact
-    * integer millis.
+    * integer millis — each a SINGLE floored division
+    * (`sum(dur_us) DIV (1000·count)`), never a per-session floor
+    * averaged again, which double-truncates and biases the mean down.
     *
     * The entry type needs no min_by/argmax: exactly ONE row per session
     * carries `is_new = 1`, so `max(CASE WHEN is_new THEN type END)` IS
@@ -1882,8 +1908,8 @@ object AnalyticsOps {
         |    DIV count(*) AS BIGINT) AS bounce_milli,
         |  CAST(1000L * sum(n_events) DIV count(*) AS BIGINT)
         |    AS events_per_session_milli,
-        |  CAST(sum(dur_us DIV 1000000L) DIV count(*) AS BIGINT)
-        |    AS mean_duration_s
+        |  CAST(sum(dur_us) DIV (1000L * count(*)) AS BIGINT)
+        |    AS mean_duration_milli
         |FROM sess GROUP BY entry_type
         |ORDER BY entry_type""".stripMargin)
   }
@@ -1918,8 +1944,8 @@ object AnalyticsOps {
       |    // count(*) AS BIGINT) AS bounce_milli,
       |  CAST(1000 * sum(n_events) // count(*) AS BIGINT)
       |    AS events_per_session_milli,
-      |  CAST(sum(dur_us // 1000000) // count(*) AS BIGINT)
-      |    AS mean_duration_s
+      |  CAST(sum(dur_us) // (1000 * count(*)) AS BIGINT)
+      |    AS mean_duration_milli
       |FROM sess GROUP BY entry_type
       |ORDER BY entry_type""".stripMargin
 

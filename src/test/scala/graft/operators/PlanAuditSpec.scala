@@ -1233,12 +1233,18 @@ class PlanAuditSpec extends SparkSuite {
       s"the 2-row gap join must broadcast, never cartesian:\n$plan")
   }
 
-  test("g_market_basket: pair generation is an orderkey equi-join, never all-pairs") {
+  test("g_market_basket: all three consumers read the checkpointed basket table") {
     val plan = AnalyticsOps.gMarketBasket(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
-    // the basket self-join must key on l_orderkey (per-order fan-out is
-    // lines^2, bounded by the order profile) — a CartesianProduct means
-    // the equi-key was lost and the join went parts x parts
+    // the basket CTE (orderkey -> sorted distinct parts) has three
+    // consumers (pairs, supports, order count); un-checkpointed, Spark
+    // re-inlined it into FOUR lineitem scans (the round-16 shipped
+    // plan). The single fact scan lives in the checkpoint build; the
+    // returned plan must read only the checkpoint
+    assert(plan.split("lineitem.parquet").length - 1 == 0,
+      s"report must read only the checkpointed basket table:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed basket table as source:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"the global top-20 must plan as TakeOrderedAndProject:\n$plan")
