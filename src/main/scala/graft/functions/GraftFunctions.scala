@@ -60,9 +60,8 @@ object GraftFunctions {
       udf((data: Array[Byte]) => KplFunctions.deaggregate(data)))
     spark.udf.register("kpl_is_aggregated",
       udf((data: Array[Byte]) => data != null && graft.kernel.KplProtobuf.isAggregated(data)))
-    spark.udf.register("simhash64",
-      udf((tokens: Seq[String]) => graft.kernel.SimHash.simhash64(tokens)))
-    spark.udf.register("hamming64",
-      udf((a: Long, b: Long) => graft.kernel.SimHash.hamming(a, b)))
+    // simhash64 / hamming64 were Scala UDFs through round 16; they are
+    // native codegen expressions now (SimHashExprs.scala) and register
+    // through GraftBuilders.all above like every other expression
   }
 }

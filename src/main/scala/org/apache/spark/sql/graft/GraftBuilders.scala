@@ -59,6 +59,15 @@ object GraftBuilders {
         ZOrder2Expr(exprs(0), exprs(1))
       },
       "zorder2(x, y) - Morton interleave of two 16-bit cell coordinates."),
+    ("simhash64",
+      exprs => { val Seq(v) = exprs; SimHash64Expr(v) },
+      "simhash64(tokens) - 64-bit Charikar SimHash fingerprint of a token array."),
+    ("hamming64",
+      exprs => {
+        require(exprs.length == 2, s"hamming64 expects 2 arguments, got ${exprs.length}")
+        Hamming64Expr(exprs(0), exprs(1))
+      },
+      "hamming64(a, b) - Hamming distance between two 64-bit fingerprints."),
     ("int8_quant_stats",
       exprs => {
         // destructure so a wrong-arity call fails at analysis time instead
