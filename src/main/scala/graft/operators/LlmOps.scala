@@ -1301,7 +1301,9 @@ object LlmOps {
     * Plan shape: the corpus pass (coarse-assign → residual → per-subspace
     * code argmin) is scan-local against two broadcast one-row collects
     * (16 centroids, 8×16 codebook — both derived from checkpointed
-    * sample-sized tables, O(1) storage at any corpus size). The 20
+    * sample-sized tables, O(1) storage at any corpus size) and since
+    * round 17 materializes ONCE as the checkpointed code table
+    * [[registerIvfPqDb]] — the FAISS index-build/query split. The 20
     * (query × probe) LUT rows broadcast to the candidate join on the
     * coarse list id, so the only corpus exchange is the final per-query
     * top-k window — the same shape [[hAnnIvf]] pins.
@@ -1354,16 +1356,67 @@ object LlmOps {
         |FROM rsub GROUP BY j""".stripMargin).localCheckpoint())
       .createOrReplaceTempView("ivfpq_cb")
 
+  /** Registers the checkpointed compressed CODE TABLE `ivfpq_db` — one
+    * row per corpus vector: coarse list id, the 8 per-subspace codes, and
+    * the unit-space vector `vn`. This is the heavy corpus pass (coarse
+    * assign → residual → per-subspace argmin over the broadcast codebook,
+    * all scan-local) run exactly ONCE: through round 16 the `db` CTE had
+    * two consumers in [[hPqRecall]] (the ADC arm and the exact-truth arm)
+    * and Spark re-inlined it into two full code-build passes — 6
+    * embeddings scans, the suite's heaviest repeated floor. `vn` rides
+    * along so the recall audit's exact arm can compute its unit-space
+    * distance inside the SAME broadcast candidate join instead of its own
+    * corpus join (the index-build posture at cluster scale: write the
+    * code table once, query it many times). Thin rows — 8 codes + one
+    * 64-dim vector. Requires `ivfpq_centn` + `ivfpq_cb` registered. */
+  private def registerIvfPqDb(s: SparkSession): Unit =
+    Checkpoints.track(s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, transform(v, x -> x / nrm) AS vn
+        |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)),
+        |cents AS (
+        |  SELECT collect_list(named_struct(
+        |    'c_id', c_id, 'cn', transform(cv, x -> x / cnrm))) AS cs
+        |  FROM ivfpq_centn),
+        |cba AS (
+        |  SELECT array_sort(collect_list(named_struct('j', j, 'cs', cs))) AS cb
+        |  FROM ivfpq_cb),
+        |ranked AS (
+        |  SELECT vec_id, vn,
+        |    array_sort(transform(cs, c -> named_struct(
+        |      'neg', -dot_product(vn, c.cn), 'c_id', c.c_id, 'cn', c.cn))) AS rc
+        |  FROM normed CROSS JOIN cents),
+        |resid AS (
+        |  SELECT vec_id, vn, rc[0].c_id AS c_id,
+        |    zip_with(vn, rc[0].cn, (x, y) -> x - y) AS r
+        |  FROM ranked)
+        |SELECT vec_id, c_id, vn,
+        |  transform(
+        |    transform(sequence(0, 7), j -> named_struct('j', j, 'sv', slice(r, j * 8 + 1, 8))),
+        |    p -> array_sort(transform(element_at(cb, p.j + 1).cs, e -> named_struct(
+        |      'd', dot_product(p.sv, p.sv) - 2 * dot_product(p.sv, e.cv) + dot_product(e.cv, e.cv),
+        |      'code', e.code)))[0].code) AS codes
+        |FROM resid CROSS JOIN cba""".stripMargin).localCheckpoint())
+      .createOrReplaceTempView("ivfpq_db")
+
   /** The shared compressed-domain query chain, WITH-prefix form ending at
-    * `scored` (every probed candidate with its integer ADC sum):
-    * [[hIvfPqSearch]] appends the top-k select, [[hPqRecall]] appends the
-    * exact-arm comparison. Requires `ivfpq_centn` + `ivfpq_cb` registered. */
+    * `scored` (every probed candidate with its integer ADC sum AND the
+    * exact unit-space distance `l2`, both computed inside the one
+    * broadcast candidate join — consumers that don't read `l2` get it
+    * column-pruned away): [[hIvfPqSearch]] appends the top-k select,
+    * [[hPqRecall]] appends the two-arm comparison. The panel side
+    * (10 query vectors) re-derives its coarse ranking from a
+    * vec_id-pruned scan — parquet reads 10 rows, not the corpus.
+    * Requires `ivfpq_centn` + `ivfpq_cb` + `ivfpq_db` registered. */
   private val ivfPqScoredCtes: String =
-      s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |normed AS (
+      s"""WITH qbase AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id < 10),
+         |qnormed AS (
          |  SELECT vec_id, transform(v, x -> x / nrm) AS vn
-         |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)),
+         |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM qbase)),
          |cents AS (
          |  SELECT collect_list(named_struct(
          |    'c_id', c_id, 'cn', transform(cv, x -> x / cnrm))) AS cs
@@ -1371,28 +1424,17 @@ object LlmOps {
          |cba AS (
          |  SELECT array_sort(collect_list(named_struct('j', j, 'cs', cs))) AS cb
          |  FROM ivfpq_cb),
-         |ranked AS (
+         |qranked AS (
          |  SELECT vec_id, vn,
          |    array_sort(transform(cs, c -> named_struct(
          |      'neg', -dot_product(vn, c.cn), 'c_id', c.c_id, 'cn', c.cn))) AS rc
-         |  FROM normed CROSS JOIN cents),
-         |resid AS (
-         |  SELECT vec_id, rc[0].c_id AS c_id, zip_with(vn, rc[0].cn, (x, y) -> x - y) AS r
-         |  FROM ranked),
-         |db AS (
-         |  SELECT vec_id, c_id,
-         |    transform(
-         |      transform(sequence(0, 7), j -> named_struct('j', j, 'sv', slice(r, j * 8 + 1, 8))),
-         |      p -> array_sort(transform(element_at(cb, p.j + 1).cs, e -> named_struct(
-         |        'd', dot_product(p.sv, p.sv) - 2 * dot_product(p.sv, e.cv) + dot_product(e.cv, e.cv),
-         |        'code', e.code)))[0].code) AS codes
-         |  FROM resid CROSS JOIN cba),
+         |  FROM qnormed CROSS JOIN cents),
          |qres AS (
-         |  SELECT vec_id AS q_id, p.c_id, zip_with(vn, p.cn, (x, y) -> x - y) AS qr
-         |  FROM ranked LATERAL VIEW explode(slice(rc, 1, 2)) t AS p
-         |  WHERE vec_id < 10),
+         |  SELECT vec_id AS q_id, vn AS qvn, p.c_id,
+         |    zip_with(vn, p.cn, (x, y) -> x - y) AS qr
+         |  FROM qranked LATERAL VIEW explode(slice(rc, 1, 2)) t AS p),
          |luts AS (
-         |  SELECT q_id, c_id,
+         |  SELECT q_id, qvn, c_id,
          |    transform(
          |      transform(sequence(0, 7), j -> named_struct('j', j, 'sv', slice(qr, j * 8 + 1, 8))),
          |      p -> transform(element_at(cb, p.j + 1).cs, e ->
@@ -1403,14 +1445,16 @@ object LlmOps {
          |  SELECT /*+ BROADCAST(l) */ l.q_id, d.vec_id AS n_id,
          |    aggregate(sequence(0, 7), 0L, (acc, j) ->
          |      acc + element_at(element_at(l.lut, j + 1),
-         |                       CAST(element_at(d.codes, j + 1) AS INT) + 1)) AS adc_x1e6
-         |  FROM luts l JOIN db d ON d.c_id = l.c_id
+         |                       CAST(element_at(d.codes, j + 1) AS INT) + 1)) AS adc_x1e6,
+         |    round(2 - 2 * dot_product(l.qvn, d.vn), 4) AS l2
+         |  FROM luts l JOIN ivfpq_db d ON d.c_id = l.c_id
          |  WHERE d.vec_id <> l.q_id)""".stripMargin
 
   def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     registerIvfPqCentroids(s, dir)
     registerIvfPqCodebook(s)
+    registerIvfPqDb(s)
     s.sql(ivfPqScoredCtes +
       """
         |SELECT q_id, n_id, adc_x1e6, CAST(rnk AS BIGINT) AS rnk FROM (
@@ -1436,15 +1480,21 @@ object LlmOps {
     * every-scale contract (the round-13 theme: documented audits become
     * declared queries).
     *
-    * Scale shape: [[ivfPqScoredCtes]]'s plan (panel-broadcast LUT join
-    * against the coarse-pruned code table), plus one exact-arm join of the
-    * SAME candidate rows against the broadcast 10-query panel vectors —
-    * candidate-set-sized, never corpus². Both rankings are
-    * WindowGroupLimit top-3. */
+    * Scale shape: [[ivfPqScoredCtes]]'s plan — ONE checkpointed
+    * code-table build ([[registerIvfPqDb]]) plus the panel-broadcast
+    * candidate join, which computes BOTH arms' distances in the same
+    * codegen span (the exact arm reads the `vn` the code table carries —
+    * through round 16 it joined the candidates back to a second full
+    * corpus pass, and the two-consumer `scored` CTE re-inlined the whole
+    * code build: 6 embeddings scans and a 3 s floor; this form's returned
+    * plan reads embeddings ONLY for the 10-row query panel). Both
+    * rankings are WindowGroupLimit top-3 over the same scored rows —
+    * candidate-set-sized, never corpus². */
   def hPqRecall(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     registerIvfPqCentroids(s, dir)
     registerIvfPqCodebook(s)
+    registerIvfPqDb(s)
     s.sql(ivfPqScoredCtes +
       """,
         |adc3 AS (
@@ -1453,17 +1503,11 @@ object LlmOps {
         |      row_number() OVER (PARTITION BY q_id ORDER BY adc_x1e6, n_id) AS rnk
         |    FROM scored)
         |  WHERE rnk <= 3),
-        |exact AS (
-        |  SELECT /*+ BROADCAST(qn) */ s.q_id, s.n_id,
-        |    round(2 - 2 * dot_product(qn.vn, nn.vn), 4) AS l2
-        |  FROM scored s
-        |  JOIN normed qn ON qn.vec_id = s.q_id
-        |  JOIN normed nn ON nn.vec_id = s.n_id),
         |truth3 AS (
         |  SELECT q_id, n_id, rnk FROM (
         |    SELECT q_id, n_id,
         |      row_number() OVER (PARTITION BY q_id ORDER BY l2, n_id) AS rnk
-        |    FROM exact)
+        |    FROM scored)
         |  WHERE rnk <= 3),
         |rec AS (
         |  SELECT t.q_id, count(*) AS n_true,

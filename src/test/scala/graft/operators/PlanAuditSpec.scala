@@ -136,6 +136,11 @@ class PlanAuditSpec extends SparkSuite {
       s"IVF-PQ search must broadcast LUTs/codebooks, not cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the LUT-side broadcast candidate join:\n$plan")
+    // round 17: the code build is the checkpointed ivfpq_db; the returned
+    // plan reads embeddings only for the 10-row query panel
+    val scans = plan.split("embeddings.parquet").length - 1
+    assert(scans <= 1,
+      s"expected only the vec_id<10 panel scan, got $scans corpus reads:\n$plan")
   }
 
   test("g_session_window: exactly one hash Exchange (user_id), reused downstream") {
@@ -726,6 +731,16 @@ class PlanAuditSpec extends SparkSuite {
         s"the top-3 ranks must push partial group limits below their exchanges:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"candidate scoring joins on c_id / vec_id, never all-pairs:\n$plan")
+      // the corpus code build lives in the checkpointed ivfpq_db (one
+      // pass); the returned plan may read embeddings only for the 10-row
+      // query panel — a corpus-wide scan here means the round-16 shape
+      // (two re-inlined code builds + an exact-arm corpus join, 6 scans,
+      // the suite's heaviest repeated floor) crept back
+      val scans = plan.split("embeddings.parquet").length - 1
+      assert(scans <= 2,
+        s"expected only the vec_id<10 panel scans, got $scans corpus reads:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"expected the checkpointed code table as the candidate source:\n$plan")
     } finally Checkpoints.releaseAll()
   }
 
