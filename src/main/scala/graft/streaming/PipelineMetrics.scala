@@ -22,8 +22,17 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * would render — from the listener bus alone, zero code in the hot path,
   * exactly the posture a 1000-executor deployment needs (the driver
   * already has these numbers; nothing new is measured or shipped).
+  *
+  * Round 17 closes the reference's remaining metrics item (TODO.md:8
+  * "Metrics (statsd or cloudwatch?)"): every batch's stats additionally
+  * fan out to pluggable [[MetricsReporter]]s — [[LogReporter]] /
+  * [[StatsdReporter]] ship in-repo; a CloudWatch/OTel sink is the same
+  * trait. Reporter failures are swallowed (a metrics outage must never
+  * wedge the listener bus, the reference's own fire-and-forget stats
+  * posture).
   */
-final class PipelineMetrics extends StreamingQueryListener {
+final class PipelineMetrics(reporters: Seq[MetricsReporter] = Nil)
+    extends StreamingQueryListener {
 
   final case class BatchStats(
       queryName: String, batchId: Long, numInputRows: Long,
@@ -50,9 +59,25 @@ final class PipelineMetrics extends StreamingQueryListener {
         "stateRemove" -> ops.map(_.allRemovalsTimeMs).sum,
         "stateCommit" -> ops.map(_.commitTimeMs).sum)
     }.getOrElse(Map.empty)
-    batches.add(BatchStats(
+    val stats = BatchStats(
       Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
-      p.inputRowsPerSecond, p.processedRowsPerSecond, stateRows, segs, stateSegs))
+      p.inputRowsPerSecond, p.processedRowsPerSecond, stateRows, segs, stateSegs)
+    batches.add(stats)
+    if (reporters.nonEmpty) {
+      // counters for work, timers for segments, gauges for levels — the
+      // statsd typing every aggregation backend understands
+      val lines: Seq[(String, Long, String)] =
+        Seq(
+          ("input_rows", stats.numInputRows, "c"),
+          ("processed_rows_per_sec", stats.processedRowsPerSecond.toLong, "g"),
+          ("state_rows", stats.stateRows, "g")) ++
+        stats.segments.toSeq.sortBy(_._1).map { case (k, ms) => (s"segment.$k", ms, "ms") } ++
+        stats.stateSegments.toSeq.sortBy(_._1).map { case (k, ms) => (s"state.$k", ms, "ms") }
+      reporters.foreach { r =>
+        try r.report(stats.queryName, stats.batchId, lines)
+        catch { case scala.util.control.NonFatal(_) => () } // never wedge the bus
+      }
+    }
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -92,9 +117,10 @@ final class PipelineMetrics extends StreamingQueryListener {
 }
 
 object PipelineMetrics {
-  /** Attach a fresh metrics listener to the session. */
-  def attach(spark: SparkSession): PipelineMetrics = {
-    val m = new PipelineMetrics
+  /** Attach a fresh metrics listener to the session, fanning each
+    * batch's stats out to the given reporters (none = collect-only). */
+  def attach(spark: SparkSession, reporters: MetricsReporter*): PipelineMetrics = {
+    val m = new PipelineMetrics(reporters.toSeq)
     spark.streams.addListener(m)
     m
   }

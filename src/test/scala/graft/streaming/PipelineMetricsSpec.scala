@@ -51,4 +51,62 @@ class PipelineMetricsSpec extends SparkSuite {
     }
     assert(metrics.traceLine.startsWith("trigger="), metrics.traceLine)
   }
+
+  test("reporters export per-batch metric lines: log sink and statsd wire (round 17)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    InMemoryTransport.clear()
+
+    // a real UDP listener on an ephemeral port stands in for statsd
+    val server = new java.net.DatagramSocket(0)
+    server.setSoTimeout(10000)
+    val logged = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val statsd = new StatsdReporter("127.0.0.1", server.getLocalPort, prefix = "graft")
+    val metrics = PipelineMetrics.attach(
+      spark, new LogReporter(sink = logged.add(_)), statsd)
+
+    val input = MemoryStream[Msg]
+    input.addData((0 until 25).map(i =>
+      Msg(f"$i%016d", new Timestamp(1000000000L + i), 1, s"r-$i".getBytes)))
+    val q = StreamPipeline.build(input.toDF(), new InMemoryTransport,
+      StreamPipeline.Options(streamName = "reported",
+        checkpoint = java.nio.file.Files.createTempDirectory("rep-ckpt").toString))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.streams.removeListener(metrics)
+
+    // drain the wire until the data-carrying batch's packet arrives
+    val received = new scala.collection.mutable.ArrayBuffer[String]()
+    val deadline = System.currentTimeMillis() + 10000
+    while (!received.exists(_.contains("input_rows:25|c")) &&
+        System.currentTimeMillis() < deadline) {
+      val buf = new Array[Byte](65536)
+      val pkt = new java.net.DatagramPacket(buf, buf.length)
+      try {
+        server.receive(pkt)
+        received ++= new String(pkt.getData, 0, pkt.getLength, "UTF-8").linesIterator
+      } catch { case _: java.net.SocketTimeoutException => }
+    }
+    statsd.close(); server.close()
+
+    // statsd lines: <prefix>.<query>.<name>:<value>|<type>, one batch
+    // carrying the 25 input rows as a counter and addBatch as a timer
+    val wire = received.toSeq
+    assert(wire.exists(_.matches("""graft\.[A-Za-z0-9_.-]+\.input_rows:25\|c""")),
+      s"expected the 25-row counter on the wire, got:\n${wire.mkString("\n")}")
+    assert(wire.exists(_.matches("""graft\.[A-Za-z0-9_.-]+\.segment\.addBatch:\d+\|ms""")),
+      s"expected the addBatch timer on the wire, got:\n${wire.mkString("\n")}")
+    assert(wire.exists(_.matches("""graft\.[A-Za-z0-9_.-]+\.state_rows:\d+\|g""")),
+      s"expected the state-rows gauge on the wire, got:\n${wire.mkString("\n")}")
+    wire.foreach { l =>
+      assert(l.matches("""[A-Za-z0-9_.-]+:-?\d+\|(c|ms|g)"""), s"malformed statsd line: $l")
+    }
+
+    // the log sink carries the same metrics in its own line format
+    val logLines = logged.toArray(Array.empty[String]).toSeq
+    assert(logLines.exists(l => l.startsWith("metric graft.") && l.contains(".input_rows=25|c")),
+      s"expected the log-sink counter, got:\n${logLines.mkString("\n")}")
+    assert(logLines.forall(_.matches("""metric [A-Za-z0-9_.-]+=-?\d+\|(c|ms|g) batch=\d+""")),
+      s"malformed log line among:\n${logLines.mkString("\n")}")
+  }
 }
