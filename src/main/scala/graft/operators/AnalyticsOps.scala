@@ -2313,7 +2313,81 @@ object AnalyticsOps {
       |FROM iv
       |ORDER BY user_id, version""".stripMargin
 
+  // ==================================================== audience overlap
+
+  /** AUDIENCE-OVERLAP matrix — per event-type pair, how much the user
+    * bases intersect: the exact |A∩B| / Jaccard / containment table a
+    * product team reads before treating two behaviors as one segment
+    * (and the planning table for every "target users who viewed but
+    * never purchased" campaign). Exact distinct-user arithmetic —
+    * cross-multiplied integer millis, never sketch estimates (the HLL
+    * twin family covers the approximate regime;
+    * `jac = 1000·both DIV (nA + nB − both)`, containment
+    * `1000·both DIV least(nA, nB)`).
+    *
+    * Scale shape: ONE user_id aggregate collapses each user to their
+    * sorted distinct-type array (≤|types| = 5 elements at ANY volume)
+    * and that table — one 2-column row per user — is localCheckpointed
+    * (the [[gMarketBasket]] basket convention, same reason: pairs and
+    * singles both consume it, and un-checkpointed Spark would re-inline
+    * the aggregate into two corpus scans). Pairs explode SCAN-LOCALLY as
+    * the upper triangle (≤ C(5,2) = 10 rows per user); singles fold from
+    * the same arrays; everything downstream is a ≤|types|²-row census.
+    * user_id is the natural skew-free key. */
+  def gAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT user_id, array_sort(collect_set(event_type)) AS ts
+        |FROM events GROUP BY user_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("aud_sets")
+    s.sql(
+      """WITH singles AS (
+        |  SELECT t AS et, count(*) AS n
+        |  FROM aud_sets LATERAL VIEW explode(ts) x AS t GROUP BY t),
+        |pairs AS (
+        |  SELECT element_at(ts, i) AS ta, element_at(ts, j) AS tb,
+        |    count(*) AS n_both
+        |  FROM (SELECT ts FROM aud_sets WHERE size(ts) >= 2)
+        |  LATERAL VIEW explode(sequence(1, size(ts) - 1)) x AS i
+        |  LATERAL VIEW explode(sequence(i + 1, size(ts))) y AS j
+        |  GROUP BY element_at(ts, i), element_at(ts, j))
+        |SELECT p.ta AS type_a, p.tb AS type_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(p.n_both AS BIGINT) AS n_both,
+        |  CAST(1000L * p.n_both DIV (a.n + b.n - p.n_both) AS BIGINT)
+        |    AS jaccard_milli,
+        |  CAST(1000L * p.n_both DIV least(a.n, b.n) AS BIGINT)
+        |    AS containment_milli
+        |FROM pairs p
+        |JOIN singles a ON p.ta = a.et
+        |JOIN singles b ON p.tb = b.et
+        |ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  /** DuckDB twin replays the set algebra relationally over the distinct
+    * (user, type) table. */
+  val gAudienceOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type AS et FROM events),
+      |singles AS (SELECT et, count(*) AS n FROM ut GROUP BY et),
+      |pairs AS (
+      |  SELECT a.et AS ta, b.et AS tb, count(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.et < b.et
+      |  GROUP BY a.et, b.et)
+      |SELECT p.ta AS type_a, p.tb AS type_b,
+      |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |  CAST(p.n_both AS BIGINT) AS n_both,
+      |  CAST(1000 * p.n_both // (a.n + b.n - p.n_both) AS BIGINT)
+      |    AS jaccard_milli,
+      |  CAST(1000 * p.n_both // least(a.n, b.n) AS BIGINT)
+      |    AS containment_milli
+      |FROM pairs p
+      |JOIN singles a ON p.ta = a.et
+      |JOIN singles b ON p.tb = b.et
+      |ORDER BY type_a, type_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_audience_overlap" -> (gAudienceOverlap _),
     "g_scd2_state" -> (gScd2State _),
     "g_top_paths" -> (gTopPaths _),
     "g_funnel_timing" -> (gFunnelTiming _),
@@ -2353,6 +2427,7 @@ object AnalyticsOps {
     "g_sessionize" -> gSessionizeSql,
     "g_funnel_ab" -> gFunnelAbSql,
     "g_market_basket" -> gMarketBasketSql,
+    "g_audience_overlap" -> gAudienceOverlapSql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

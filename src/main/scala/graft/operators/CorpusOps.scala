@@ -1626,7 +1626,99 @@ object CorpusOps {
       |FROM pred GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ================================================ percentile normalize
+
+  /** Per-language PERCENTILE normalization of a quality score — the
+    * cross-lingual thresholding fix every multilingual curation pipeline
+    * ships: a raw score cut (here: token count, the simplest quality
+    * proxy) removes wildly different fractions per language because
+    * score DISTRIBUTIONS differ by language, while a within-language
+    * percentile cut removes the same fraction everywhere by
+    * construction. The report puts both cuts side by side per language —
+    * n_docs, survivors and milli pass-rate under the GLOBAL raw-score
+    * p80 cut, survivors and milli pass-rate under the within-lang
+    * percentile ≥ 800‰ cut — so the skew the raw cut would have caused
+    * is visible next to the uniform rate the normalized cut delivers.
+    *
+    * Exactness: the percentile is the exact integer percent_rank
+    * `1000·(rank−1) DIV (n−1)` (rank() so equal scores share a
+    * percentile; n=1 languages degrade to percentile 0 and never pass).
+    * The global p80 threshold is the smallest score with cumulative
+    * count ≥ 0.8·N, computed by value-histogram selection
+    * (`10·cum ≥ 8·tot` — the [[ProfileOps.hEmbedOutliers]] distributed
+    * selection idiom): token counts are a bounded value domain, so the
+    * quantile costs one domain-sized census, never a global sort.
+    *
+    * Scale shape: one corpus scan → per-lang rank window (one lang
+    * exchange; lang is the partition key a mixture pipeline shards by
+    * anyway) + the score histogram census; the 1-row threshold
+    * broadcasts back. Everything else is ≤|langs| rows. */
+  def hPercentileNorm(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH scored AS (
+        |  SELECT lang, CAST(size(split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |hist AS (SELECT toks AS sc, count(*) AS c FROM scored GROUP BY toks),
+        |cum AS (
+        |  SELECT sc, sum(c) OVER (ORDER BY sc) AS cum, sum(c) OVER () AS tot
+        |  FROM hist),
+        |cut AS (SELECT min(sc) AS raw_cut FROM cum WHERE 10 * cum >= 8 * tot),
+        |pr AS (
+        |  SELECT lang, toks,
+        |    CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+        |         THEN 1000L * (rank() OVER (PARTITION BY lang ORDER BY toks) - 1)
+        |              DIV (count(*) OVER (PARTITION BY lang) - 1)
+        |         ELSE 0L END AS pr_milli
+        |  FROM scored)
+        |SELECT /*+ BROADCAST(cut) */ lang,
+        |  count(*) AS n_docs,
+        |  CAST(min(raw_cut) AS BIGINT) AS raw_cut,
+        |  CAST(sum(CASE WHEN toks >= raw_cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_raw_pass,
+        |  CAST(1000L * sum(CASE WHEN toks >= raw_cut THEN 1 ELSE 0 END)
+        |    DIV count(*) AS BIGINT) AS raw_pass_milli,
+        |  CAST(sum(CASE WHEN pr_milli >= 800 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_norm_pass,
+        |  CAST(1000L * sum(CASE WHEN pr_milli >= 800 THEN 1 ELSE 0 END)
+        |    DIV count(*) AS BIGINT) AS norm_pass_milli
+        |FROM pr CROSS JOIN cut
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical rank/histogram algebra; `//` floors. */
+  val hPercentileNormSql: String =
+    """WITH scored AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |hist AS (SELECT toks AS sc, count(*) AS c FROM scored GROUP BY toks),
+      |cum AS (
+      |  SELECT sc, sum(c) OVER (ORDER BY sc) AS cum, sum(c) OVER () AS tot
+      |  FROM hist),
+      |cut AS (SELECT min(sc) AS raw_cut FROM cum WHERE 10 * cum >= 8 * tot),
+      |pr AS (
+      |  SELECT lang, toks,
+      |    CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+      |         THEN 1000 * (rank() OVER (PARTITION BY lang ORDER BY toks) - 1)
+      |              // (count(*) OVER (PARTITION BY lang) - 1)
+      |         ELSE 0 END AS pr_milli
+      |  FROM scored)
+      |SELECT lang,
+      |  count(*) AS n_docs,
+      |  CAST(min(raw_cut) AS BIGINT) AS raw_cut,
+      |  CAST(sum(CASE WHEN toks >= raw_cut THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_raw_pass,
+      |  CAST(1000 * sum(CASE WHEN toks >= raw_cut THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS raw_pass_milli,
+      |  CAST(sum(CASE WHEN pr_milli >= 800 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_norm_pass,
+      |  CAST(1000 * sum(CASE WHEN pr_milli >= 800 THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS norm_pass_milli
+      |FROM pr CROSS JOIN cut
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_percentile_norm" -> (hPercentileNorm _),
     "h_quality_classifier" -> (hQualityClassifier _),
     "h_rrf_fusion" -> (hRrfFusion _),
     "h_mmr_diversify" -> (hMmrDiversify _),
@@ -1644,6 +1736,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_percentile_norm" -> hPercentileNormSql,
     "h_quality_classifier" -> hQualityClassifierSql,
     "h_rrf_fusion" -> hRrfFusionSql,
     "h_mmr_diversify" -> hMmrDiversifySql,

@@ -686,8 +686,89 @@ object ProfileOps {
       |FROM intra i JOIN inter e ON i.label = e.label AND e.rn = 1
       |ORDER BY i.label""".stripMargin
 
+  // ======================================================= kNN classify
+
+  /** Seed-labeled k-NN classification — the semi-supervised labeling
+    * pass a curation pipeline runs when a small hand-labeled seed set
+    * must label the whole corpus (label-by-retrieval, the workhorse
+    * behind quality/domain/topic tagging at scale): every non-seed
+    * vector takes the majority label of its 5 nearest seeds by exact
+    * cosine (ties broken toward the smaller label — deterministic on
+    * both engines), and the report is the (true label, predicted label)
+    * confusion census — the audit that says whether retrieval labeling
+    * can be TRUSTED before anyone filters on its output (the
+    * [[hClassMargin]] separability screen's action-level complement).
+    *
+    * Scale shape: the seed set is BOUNDED by definition (a hand-labeled
+    * panel — here the 256 vec_id<256 rows, the IVF-training convention),
+    * so it collects into one broadcast row and every eval vector scores
+    * all seeds SCAN-LOCALLY (array_sort over 256 structs), takes its
+    * top-5, and computes the majority vote inside the same codegen span
+    * (count-per-distinct-label over a 5-element array — no explode, no
+    * per-vector exchange). The only corpus exchange is the ≤|labels|²
+    * confusion aggregate. Ranking ties ride the pinned ANN idiom:
+    * `round(cos, 4) DESC, seed id ASC` ([[LlmOps.hAnnBrute]]). */
+  def hKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+        |seeds AS (
+        |  SELECT collect_list(named_struct(
+        |    'sid', vec_id, 'slabel', label, 'sv', v, 'snrm', nrm)) AS ss
+        |  FROM normed WHERE vec_id < 256),
+        |top5 AS (
+        |  SELECT vec_id, label,
+        |    transform(slice(array_sort(transform(ss, e -> named_struct(
+        |      'negcos', -round(dot_product(v, e.sv) / (nrm * e.snrm), 4),
+        |      'sid', e.sid, 'slabel', e.slabel))), 1, 5), p -> p.slabel) AS t5
+        |  FROM normed CROSS JOIN seeds
+        |  WHERE vec_id >= 256),
+        |pred AS (
+        |  SELECT label AS true_label,
+        |    array_sort(transform(array_distinct(t5), l -> named_struct(
+        |      'negc', -size(filter(t5, x -> x = l)), 'l', l)))[0].l AS pred_label
+        |  FROM top5)
+        |SELECT true_label, pred_label, count(*) AS n_vecs
+        |FROM pred GROUP BY true_label, pred_label
+        |ORDER BY true_label, pred_label""".stripMargin)
+  }
+
+  /** DuckDB replays the vote relationally: ranked cross join → top-5
+    * rows → per-(vector, label) counts → argmax by (count DESC, label). */
+  val hKnnClassifySql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |scored AS (
+      |  SELECT e.vec_id, e.label AS true_label, s.label AS slabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(e.v, s.v) / (e.nrm * s.nrm), 4) DESC,
+      |        s.vec_id) AS rnk
+      |  FROM (SELECT * FROM normed WHERE vec_id >= 256) e,
+      |       (SELECT * FROM normed WHERE vec_id < 256) s),
+      |votes AS (
+      |  SELECT vec_id, true_label, slabel, count(*) AS c
+      |  FROM scored WHERE rnk <= 5 GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT true_label, slabel AS pred_label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, slabel) AS vr
+      |  FROM votes)
+      |SELECT true_label, pred_label, count(*) AS n_vecs
+      |FROM pred WHERE vr = 1
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_sampling_bias" -> (hSamplingBias _),
+    "h_knn_classify" -> (hKnnClassify _),
     "h_class_margin" -> (hClassMargin _),
     "h_dim_variance" -> (hDimVariance _),
     "h_dataset_card" -> (hDatasetCard _),
@@ -698,6 +779,7 @@ object ProfileOps {
 
   def oracle: Map[String, String] = Map(
     "h_sampling_bias" -> hSamplingBiasSql,
+    "h_knn_classify" -> hKnnClassifySql,
     "h_class_margin" -> hClassMarginSql,
     "h_dim_variance" -> hDimVarianceSql,
     "h_dataset_card" -> hDatasetCardSql,

@@ -59,7 +59,11 @@ object ScaleStressBench {
     // growth should track the semantic arm's linear panel-broadcast scan.
     "h_span_corruption", "h_quality_classifier", "h_rrf_fusion",
     // MMR/context-pack: corpus-sized work is only the candidate build.
-    "h_mmr_diversify", "h_rag_context_pack")
+    "h_mmr_diversify", "h_rag_context_pack",
+    // round 17: knn classify is a broadcast-panel scan (linear, like
+    // h_rrf_fusion's semantic arm); percentile-norm is one lang window +
+    // a bounded-domain histogram census (linear in the one exchange).
+    "h_knn_classify", "h_percentile_norm")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -106,7 +110,10 @@ object ScaleStressBench {
     "g_funnel_ab",
     // round 16: reads ONLY lineitem (v3-scaled); pair volume is
     // sum-of-lines² per order — ~3× lineitem at any K, never parts².
-    "g_market_basket")
+    "g_market_basket",
+    // round 17: reads ONLY events; one user_id aggregate to a <=|types|
+    // array per user, upper-triangle pairs <= C(5,2) per user — linear.
+    "g_audience_overlap")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

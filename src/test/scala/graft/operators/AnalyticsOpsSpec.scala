@@ -385,4 +385,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
       "top-20 must be lift-ordered")
   }
+
+  test("g_audience_overlap: every cell recomputes exactly from the user-type sets") {
+    val rows = AnalyticsOps.gAudienceOverlap(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val sets = graft.Tables.eventsCanonical(spark, SparkSpec.sf0001)
+      .selectExpr("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val expected = sets.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val both = (sets(a) & sets(b)).size.toLong
+      if (both >= 1)
+        Some((a, b, sets(a).size.toLong, sets(b).size.toLong, both,
+          1000L * both / (sets(a).size + sets(b).size - both),
+          1000L * both / math.min(sets(a).size, sets(b).size)))
+      else None
+    }.toSeq
+    assert(rows.toSeq == expected, "overlap matrix diverged from the set referee")
+    rows.foreach { case (a, b, na, nb, both, jac, cont) =>
+      assert(a < b, "pairs are canonically ordered")
+      assert(both <= math.min(na, nb) && jac <= cont && cont <= 1000L)
+    }
+  }
 }

@@ -90,4 +90,44 @@ class CorpusOpsSpec extends SparkSuite {
       .filter("doc_id % 3 != 0").count()
     assert(total == expected, s"test rows $total vs expected $expected")
   }
+
+  test("h_percentile_norm: threshold and both cuts recompute exactly; norm cut is lang-uniform") {
+    val rows = CorpusOps.hPercentileNorm(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS LONG) AS toks").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // global p80 by the histogram rule: smallest score with 10*cum >= 8*tot
+    val sorted = docs.map(_._2).sorted
+    val tot = sorted.length
+    val rawCut = sorted.zipWithIndex.collectFirst {
+      case (v, i) if 10L * (i + 1) >= 8L * tot && (i + 1 == tot || sorted(i + 1) != v || true) => v
+    }.get
+    // (cum at the LAST occurrence of each value decides; recompute precisely)
+    val cutExact = sorted.distinct.find { v =>
+      10L * sorted.count(_ <= v) >= 8L * tot
+    }.get
+    rows.foreach { case (lang, n, cut, nRaw, rawMilli, nNorm, normMilli) =>
+      assert(cut == cutExact, s"$lang: raw_cut $cut != referee $cutExact (first guess $rawCut)")
+      val ts = docs.filter(_._1 == lang).map(_._2)
+      assert(n == ts.length.toLong)
+      assert(nRaw == ts.count(_ >= cutExact).toLong, s"$lang raw survivors")
+      assert(rawMilli == 1000L * nRaw / n)
+      // exact integer percent_rank with rank() tie semantics
+      val srt = ts.sorted
+      val expNorm =
+        if (ts.length == 1) 0L
+        else ts.count { t =>
+          val rank = srt.indexWhere(_ == t) + 1 // rank() = 1 + count(strictly smaller)
+          1000L * (rank - 1) / (ts.length - 1) >= 800L
+        }.toLong
+      assert(nNorm == expNorm, s"$lang norm survivors $nNorm != referee $expNorm")
+      assert(normMilli == 1000L * nNorm / n)
+      // the normalized cut is ~uniform per lang (ties can only SHRINK the
+      // pass set below the nominal 200 per mille, never inflate it)
+      assert(normMilli <= 210L, s"$lang: norm cut passes ${normMilli} per mille > nominal")
+    }
+  }
 }

@@ -1265,6 +1265,48 @@ class PlanAuditSpec extends SparkSuite {
       s"the global top-20 must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("h_knn_classify: seed panel broadcasts; vote is scan-local (no corpus window/exchange)") {
+    val plan = graft.operators.ProfileOps.hKnnClassify(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the 256-seed panel collects to ONE row and broadcasts; scoring,
+    // top-5, and the majority vote all run inside the scan — the only
+    // exchange is the <=|labels|^2 confusion census
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row seed panel must broadcast into the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"the vote must be scan-local, never a per-vector exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window belongs in this plan (array-sort top-5, array vote):\n$plan")
+  }
+
+  test("h_percentile_norm: one lang exchange shared by rank window and report aggregate") {
+    val plan = graft.operators.CorpusOps.hPercentileNorm(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the per-lang rank window and the per-lang report ride ONE lang
+    // hash exchange (subset clustering); the global p80 threshold is a
+    // histogram census + 1-row broadcast, never a global corpus sort
+    assert("hashpartitioning\\(lang".r.findAllIn(plan).length == 1,
+      s"expected exactly one lang exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row threshold must broadcast:\n$plan")
+    assert(plan.split("documents.parquet").length - 1 <= 2,
+      s"corpus reads: one for the histogram, one for the rank window:\n$plan")
+  }
+
+  test("g_audience_overlap: both censuses read the checkpointed user-type sets") {
+    val plan = AnalyticsOps.gAudienceOverlap(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // singles and pairs both consume the per-user type-set table; the
+    // checkpoint keeps the events aggregate to ONE pass (the
+    // g_market_basket convention) — a parquet scan here means re-inline
+    assert(plan.split("events.parquet").length - 1 == 0,
+      s"report must read only the checkpointed set table:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed set table as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("g_sessionize: both windows and the session aggregate share one user_id exchange") {
     val df = AnalyticsOps.gSessionize(spark, SparkSpec.sf0001)
     val plan = df.queryExecution.executedPlan.toString

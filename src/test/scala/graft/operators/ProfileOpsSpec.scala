@@ -119,4 +119,32 @@ class ProfileOpsSpec extends SparkSuite {
       assert(r.getLong(5) == -1L, "empty half's mean norm2 must be the sentinel")
     }
   }
+
+  test("h_knn_classify: confusion census equals a full Scala referee over the same vote rule") {
+    val rows = ProfileOps.hKnnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // referee: exact cosine, round-4dp HALF_UP (Spark's round), top-5 by
+    // (cos DESC, seed id ASC), majority by (count DESC, label ASC)
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos4(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val seeds = vecs.filter(_._1 < 256)
+    val expect = vecs.filter(_._1 >= 256).map { case (_, label, v) =>
+      val t5 = seeds.map { case (sid, sl, sv) => (cos4(v, sv), sid, sl) }
+        .sortBy { case (c, sid, _) => (-c, sid) }.take(5).map(_._3)
+      val pred = t5.groupBy(identity).toSeq
+        .map { case (l, g) => (-g.length, l) }.min._2
+      (label, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows == expect, s"confusion census diverged from the referee")
+    // every eval vector is classified exactly once
+    assert(rows.values.sum == vecs.count(_._1 >= 256).toLong)
+  }
 }
