@@ -2386,7 +2386,98 @@ object AnalyticsOps {
       |JOIN singles b ON p.tb = b.et
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ==================================================== forecast baseline
+
+  /** Seasonal-naive FORECAST BACKTEST — the capacity-planning baseline
+    * every volume forecast must beat before it ships: per event type,
+    * predict each day's count with (a) the same weekday last week
+    * (seasonal-naive, lag 7) and (b) yesterday (persistence, lag 1), and
+    * score both by exact integer WAPE `1000·Σ|err| DIV Σactual` over the
+    * backtest days. The side-by-side table IS the seasonality decision:
+    * where [[gSeasonality]] says the weekly shape exists, this says how
+    * many error millis the shape is worth — and a learned model earns its
+    * complexity only below these two numbers.
+    *
+    * Lags join on the DAY VALUE (`day − 7`), never positionally: a
+    * zero-volume day is absent from the histogram, and a positional
+    * lag(7) would silently reach 7 ROWS back; days without a lag
+    * partner are excluded from that arm's score, and an arm with zero
+    * scorable mass reports the −1 sentinel instead of dividing by zero
+    * (both engines agree).
+    *
+    * Scale shape: the corpus collapses map-side into the (type, day)
+    * histogram — ≤ |types|·days rows at ANY volume — which is
+    * localCheckpointed because it has THREE consumers (the actuals and
+    * both lag sides; un-checkpointed, Spark re-inlines the aggregate
+    * into three corpus scans — the [[gSeasonality]] lesson). Both lag
+    * self-joins + the census run on that control table; the returned
+    * plan reads zero parquet (plan-pinned) — one map-reduce and change
+    * at 100 TB. */
+  def gForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT event_type, tus DIV 86400000000L AS day, count(*) AS cnt
+        |FROM events GROUP BY event_type, tus DIV 86400000000L""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("forecast_hist")
+    s.sql(
+      """WITH hist AS (SELECT * FROM forecast_hist),
+        |scored AS (
+        |  SELECT h.event_type, h.day, h.cnt,
+        |    l7.cnt AS pred7, l1.cnt AS pred1
+        |  FROM hist h
+        |  LEFT JOIN hist l7 ON l7.event_type = h.event_type AND l7.day = h.day - 7
+        |  LEFT JOIN hist l1 ON l1.event_type = h.event_type AND l1.day = h.day - 1)
+        |SELECT event_type,
+        |  CAST(count(pred7) AS BIGINT) AS n_days7,
+        |  CAST(count(pred1) AS BIGINT) AS n_days1,
+        |  CAST(sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS actual7,
+        |  CAST(sum(CASE WHEN pred7 IS NOT NULL THEN abs(cnt - pred7) ELSE 0 END)
+        |    AS BIGINT) AS sae7,
+        |  CAST(CASE WHEN sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END) > 0
+        |    THEN 1000L * sum(CASE WHEN pred7 IS NOT NULL THEN abs(cnt - pred7) ELSE 0 END)
+        |      DIV sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END)
+        |    ELSE -1 END AS BIGINT) AS wape7_milli,
+        |  CAST(CASE WHEN sum(CASE WHEN pred1 IS NOT NULL THEN cnt ELSE 0 END) > 0
+        |    THEN 1000L * sum(CASE WHEN pred1 IS NOT NULL THEN abs(cnt - pred1) ELSE 0 END)
+        |      DIV sum(CASE WHEN pred1 IS NOT NULL THEN cnt ELSE 0 END)
+        |    ELSE -1 END AS BIGINT) AS wape1_milli
+        |FROM scored GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** DuckDB twin: identical histogram self-joins; `//` floors. */
+  val gForecastBaselineSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+      |hist AS (
+      |  SELECT event_type, tus // 86400000000 AS day, count(*) AS cnt
+      |  FROM e GROUP BY event_type, tus // 86400000000),
+      |scored AS (
+      |  SELECT h.event_type, h.day, h.cnt,
+      |    l7.cnt AS pred7, l1.cnt AS pred1
+      |  FROM hist h
+      |  LEFT JOIN hist l7 ON l7.event_type = h.event_type AND l7.day = h.day - 7
+      |  LEFT JOIN hist l1 ON l1.event_type = h.event_type AND l1.day = h.day - 1)
+      |SELECT event_type,
+      |  CAST(count(pred7) AS BIGINT) AS n_days7,
+      |  CAST(count(pred1) AS BIGINT) AS n_days1,
+      |  CAST(sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS actual7,
+      |  CAST(sum(CASE WHEN pred7 IS NOT NULL THEN abs(cnt - pred7) ELSE 0 END)
+      |    AS BIGINT) AS sae7,
+      |  CAST(CASE WHEN sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END) > 0
+      |    THEN 1000 * sum(CASE WHEN pred7 IS NOT NULL THEN abs(cnt - pred7) ELSE 0 END)
+      |      // sum(CASE WHEN pred7 IS NOT NULL THEN cnt ELSE 0 END)
+      |    ELSE -1 END AS BIGINT) AS wape7_milli,
+      |  CAST(CASE WHEN sum(CASE WHEN pred1 IS NOT NULL THEN cnt ELSE 0 END) > 0
+      |    THEN 1000 * sum(CASE WHEN pred1 IS NOT NULL THEN abs(cnt - pred1) ELSE 0 END)
+      |      // sum(CASE WHEN pred1 IS NOT NULL THEN cnt ELSE 0 END)
+      |    ELSE -1 END AS BIGINT) AS wape1_milli
+      |FROM scored GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_forecast_baseline" -> (gForecastBaseline _),
     "g_audience_overlap" -> (gAudienceOverlap _),
     "g_scd2_state" -> (gScd2State _),
     "g_top_paths" -> (gTopPaths _),
@@ -2428,6 +2519,7 @@ object AnalyticsOps {
     "g_funnel_ab" -> gFunnelAbSql,
     "g_market_basket" -> gMarketBasketSql,
     "g_audience_overlap" -> gAudienceOverlapSql,
+    "g_forecast_baseline" -> gForecastBaselineSql,
     "g_active_users" -> gActiveUsersSql,
     "g_active_users_approx" -> gActiveUsersApproxSql,
     "g_bot_regularity" -> gBotRegularitySql,

@@ -1717,7 +1717,101 @@ object CorpusOps {
       |FROM pr CROSS JOIN cut
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ======================================================== Zipf audit
+
+  /** ZIPF-LAW fit audit — the corpus-health screen that catches synthetic,
+    * templated, or spam-heavy text before any frequency-based pipeline
+    * trusts it: natural language's rank-frequency curve is a power law
+    * with slope ≈ −1 on log-log axes, and machine-generated or boilerplate
+    * corpora bend it (flat head = template spam, cliff tail = tiny
+    * effective vocabulary). Per language: OLS of log₂-frequency on
+    * log₂-rank over the top-64 terms — both logs as the exact bit-length
+    * integer `length(bin(n)) − 1` (the [[hBm25]] idf idiom: no libm, so
+    * the six OLS moments are bit-identical BIGINTs cross-engine and the
+    * slope/r² finish is the [[AnalyticsOps.dRegression]] fixed IEEE dag
+    * on exactly-agreed integers) — plus the head-mass share
+    * `1000·c₁ DIV Σcnt` (a second template-spam tell: one token owning
+    * the corpus).
+    *
+    * Scale shape: one corpus explode collapses map-side into the
+    * vocabulary-sized (lang, term) count table; the rank and total
+    * windows share ONE lang exchange over that table (subset
+    * clustering); the moment aggregate is ≤64 rows per lang. At 100 TB:
+    * one map-reduce over tokens, everything after vocabulary-sized. */
+  def hZipfAudit(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH tf AS (
+        |  SELECT lang, t AS term, count(*) AS cnt
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t
+        |  GROUP BY lang, t),
+        |ranked AS (
+        |  SELECT lang, term, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk,
+        |    sum(cnt) OVER (PARTITION BY lang) AS tot
+        |  FROM tf),
+        |pts AS (
+        |  SELECT lang, tot, cnt, rnk,
+        |    CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+        |  FROM ranked WHERE rnk <= 64),
+        |m AS (
+        |  SELECT lang, count(*) AS n, max(tot) AS tot,
+        |    max(CASE WHEN rnk = 1 THEN cnt END) AS c1,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pts GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n_terms,
+        |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+        |    AS slope,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
+        |    AS r2,
+        |  CAST(1000L * c1 DIV tot AS BIGINT) AS head_share_milli
+        |FROM m ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical bit-length points and moment finish. */
+  val hZipfAuditSql: String =
+    """WITH tf AS (
+      |  SELECT lang, t.term, count(*) AS cnt
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  GROUP BY lang, t.term),
+      |ranked AS (
+      |  SELECT lang, term, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk,
+      |    sum(cnt) OVER (PARTITION BY lang) AS tot
+      |  FROM tf),
+      |pts AS (
+      |  SELECT lang, tot, cnt, rnk,
+      |    CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+      |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+      |  FROM ranked WHERE rnk <= 64),
+      |m AS (
+      |  SELECT lang, count(*) AS n, CAST(max(tot) AS BIGINT) AS tot,
+      |    CAST(max(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT) AS c1,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pts GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n_terms, sx, sy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+      |    AS slope,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
+      |    AS r2,
+      |  CAST(1000 * c1 // tot AS BIGINT) AS head_share_milli
+      |FROM m ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_zipf_audit" -> (hZipfAudit _),
     "h_percentile_norm" -> (hPercentileNorm _),
     "h_quality_classifier" -> (hQualityClassifier _),
     "h_rrf_fusion" -> (hRrfFusion _),
@@ -1736,6 +1830,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_zipf_audit" -> hZipfAuditSql,
     "h_percentile_norm" -> hPercentileNormSql,
     "h_quality_classifier" -> hQualityClassifierSql,
     "h_rrf_fusion" -> hRrfFusionSql,

@@ -934,6 +934,118 @@ object LlmOps {
       |WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
+  /** FILTERED vector search — the predicate-constrained ANN variant every
+    * production vector store now ships (Qdrant/Vespa/Milvus "filtered
+    * search"; FAISS IDSelector): top-k restricted to candidates
+    * satisfying a metadata predicate — here `label = query's label`, the
+    * label-conditioned retrieval [[hClusterPurity]] audits the index
+    * for. Post-filtering the probed lists (filter INSIDE the candidate
+    * join, before ranking) keeps the IVF plan intact; the per-query
+    * `n_cand` column reports the effective candidate pool after the
+    * filter — the selectivity number that decides when a filtered query
+    * must fall back to more probes or a flat scan (the documented
+    * failure mode of post-filtered ANN at high selectivity).
+    *
+    * Scale shape: exactly [[hAnnIvf]]'s plan — scan-local coarse
+    * assignment against the broadcast 16-centroid array, the 20
+    * (query × probe) rows broadcast into the candidate join with the
+    * label equality folded into the join condition, one q_id window for
+    * the top-3 (the n_cand count rides the same exchange). The filter
+    * prunes candidates BEFORE the cosine, so higher selectivity makes
+    * the query cheaper, never broader. */
+  def hAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |normed AS (
+         |  SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM base),
+         |${ivfCentSql(refined = true)},
+         |cents AS (
+         |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
+         |  FROM centn),
+         |ranked_cent AS (
+         |  SELECT vec_id, label, v, nrm,
+         |    slice(array_sort(transform(cs, c -> named_struct(
+         |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id))), 1, 2) AS topn
+         |  FROM normed CROSS JOIN cents),
+         |assigned AS (
+         |  SELECT vec_id, label, v, nrm, topn[0].c_id AS c_id FROM ranked_cent),
+         |probes AS (
+         |  SELECT vec_id AS q_id, label AS qlabel, v AS qv, nrm AS qnrm, p.c_id
+         |  FROM ranked_cent LATERAL VIEW explode(topn) t AS p
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(p) */ p.q_id, p.qlabel, a.vec_id AS n_id,
+         |    round(dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
+         |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.label = p.qlabel
+         |  WHERE a.vec_id <> p.q_id)
+         |SELECT q_id, qlabel AS label, n_id, cosine,
+         |  CAST(rnk AS BIGINT) AS rnk, CAST(nc AS BIGINT) AS n_cand
+         |FROM (
+         |  SELECT q_id, qlabel, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk,
+         |    count(*) OVER (PARTITION BY q_id) AS nc
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin)
+  }
+
+  /** DuckDB replays the whole seeded-Lloyd chain ([[hAnnIvfSql]]) with
+    * the label equality folded into the candidate join. */
+  val hAnnFilteredSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
+      |tassign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT t.vec_id, t.v, s.c_id,
+      |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+      |        list_dot_product(t.v, s.cv) /
+      |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+      |        s.c_id) AS rn
+      |    FROM (SELECT vec_id, v FROM base WHERE vec_id < 256) t CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |dimmean AS (
+      |  SELECT c_id, pos, avg(val) AS m FROM (
+      |    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM tassign)
+      |  GROUP BY c_id, pos),
+      |newcent AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM dimmean GROUP BY c_id),
+      |centfin AS (
+      |  SELECT s.c_id, coalesce(n.cv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN newcent n ON s.c_id = n.c_id),
+      |cent AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM centfin),
+      |assigned AS (
+      |  SELECT vec_id, label, v, nrm, c_id FROM (
+      |    SELECT n.vec_id, n.label, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, label AS qlabel, v AS qv, nrm AS qnrm, c_id FROM (
+      |    SELECT n.vec_id, n.label, n.v, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
+      |    FROM normed n CROSS JOIN cent c WHERE n.vec_id < 10)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, p.qlabel, a.vec_id AS n_id,
+      |    round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 4) AS cosine
+      |  FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.label = p.qlabel
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, qlabel AS label, n_id, cosine,
+      |  CAST(rnk AS BIGINT) AS rnk, CAST(nc AS BIGINT) AS n_cand
+      |FROM (
+      |  SELECT q_id, qlabel, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk,
+      |    count(*) OVER (PARTITION BY q_id) AS nc
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
   /** ANN recall@10 audit — the trust measurement every approximate index
     * ships with (the FAISS-bench / ann-benchmarks contract): for a fixed
     * 20-query panel, compare the [[hAnnIvf]] nprobe=2 retrieval against
@@ -3001,6 +3113,7 @@ object LlmOps {
     "h_jaccard_sim" -> (hJaccardSim _),
     "h_neardup_embedding" -> (hNeardupEmbedding _),
     "h_ann_brute" -> (hAnnBrute _),
+    "h_ann_filtered" -> (hAnnFiltered _),
     "h_ann_lsh" -> (hAnnLsh _),
     "h_ann_ivf" -> (hAnnIvf _),
     "h_ann_recall" -> (hAnnRecall _),
@@ -3047,6 +3160,7 @@ object LlmOps {
     "h_jaccard_sim" -> hJaccardSimSql,
     "h_neardup_embedding" -> hNeardupEmbeddingSql,
     "h_ann_brute" -> hAnnBruteSql,
+    "h_ann_filtered" -> hAnnFilteredSql,
     "h_text_stats" -> hTextStatsSql,
     "h_lang_heuristic" -> hLangHeuristicSql,
     "h_langid_confusion" -> hLangidConfusionSql,

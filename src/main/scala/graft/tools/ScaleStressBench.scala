@@ -63,7 +63,11 @@ object ScaleStressBench {
     // round 17: knn classify is a broadcast-panel scan (linear, like
     // h_rrf_fusion's semantic arm); percentile-norm is one lang window +
     // a bounded-domain histogram census (linear in the one exchange).
-    "h_knn_classify", "h_percentile_norm")
+    "h_knn_classify", "h_percentile_norm",
+    // round 17 second wave: zipf is one token explode into a
+    // vocabulary-sized aggregate; filtered ANN is the hAnnIvf plan with
+    // the label equality folded into the broadcast candidate join.
+    "h_zipf_audit", "h_ann_filtered")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -113,7 +117,10 @@ object ScaleStressBench {
     "g_market_basket",
     // round 17: reads ONLY events; one user_id aggregate to a <=|types|
     // array per user, upper-triangle pairs <= C(5,2) per user — linear.
-    "g_audience_overlap")
+    "g_audience_overlap",
+    // round 17 second wave: reads ONLY events; the checkpointed
+    // (type, day) histogram is <= |types|*days rows at any K.
+    "g_forecast_baseline")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -409,4 +409,32 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(both <= math.min(na, nb) && jac <= cont && cont <= 1000L)
     }
   }
+
+  test("g_forecast_baseline: both WAPE arms recompute exactly from the daily histogram") {
+    val rows = AnalyticsOps.gForecastBaseline(spark, SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val hist = graft.Tables.eventsCanonical(spark, SparkSpec.sf0001)
+      .selectExpr("event_type", "tus DIV 86400000000L AS day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view.mapValues(_.map { case ((_, d), c) => d -> c }.toMap).toMap
+    hist.foreach { case (t, days) =>
+      def arm(lag: Long): (Long, Long, Long) = {
+        val scored = days.toSeq.flatMap { case (d, c) =>
+          days.get(d - lag).map(p => (c, math.abs(c - p)))
+        }
+        (scored.length.toLong, scored.map(_._1).sum, scored.map(_._2).sum)
+      }
+      val (n7, a7, s7) = arm(7)
+      val (n1, _, s1e) = arm(1)
+      val (gn7, gn1, ga7, gs7, gw7, gw1) = rows(t)
+      assert(gn7 == n7 && gn1 == n1 && ga7 == a7 && gs7 == s7,
+        s"$t: lag-join counts diverged from the referee")
+      assert(gw7 == (if (a7 > 0) 1000L * s7 / a7 else -1L), s"$t wape7")
+      val a1 = days.toSeq.flatMap { case (d, c) => days.get(d - 1).map(_ => c) }.sum
+      assert(gw1 == (if (a1 > 0) 1000L * s1e / a1 else -1L), s"$t wape1")
+    }
+  }
 }

@@ -130,4 +130,33 @@ class CorpusOpsSpec extends SparkSuite {
       assert(normMilli <= 210L, s"$lang: norm cut passes ${normMilli} per mille > nominal")
     }
   }
+
+  test("h_zipf_audit: moments recompute exactly; slope is negative (frequency falls with rank)") {
+    val rows = CorpusOps.hZipfAudit(spark, graft.SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    val tf = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("lang", "explode(split(text, ' ')) AS term").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view.mapValues(_.map { case ((_, t), c) => t -> c }).toMap
+    def bl(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val counts = tf(lang)
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(64)
+      val pts = top.zipWithIndex.map { case ((_, c), i) => (bl(i + 1L), bl(c)) }
+      val (n, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+      assert(r.getLong(1) == n && r.getLong(2) == sx && r.getLong(3) == sy,
+        s"$lang: OLS moments diverged from the referee")
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val expSlope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      assert(math.abs(r.getDouble(4) - expSlope) < 1e-12, s"$lang slope")
+      assert(r.getDouble(4) < 0, s"$lang: Zipf slope must be negative")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1 + 1e-12, s"$lang r2 in [0,1]")
+      val tot = counts.values.sum
+      assert(r.getLong(6) == 1000L * top.head._2 / tot, s"$lang head share")
+    }
+  }
 }

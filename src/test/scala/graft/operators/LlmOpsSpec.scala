@@ -156,4 +156,31 @@ class LlmOpsSpec extends SparkSuite {
       s"round-1 merge ${rows(0)} is not the corpus argmax $top")
     assert(rows(0).getLong(3) == top.getLong(2), "round-1 count mismatch")
   }
+
+  test("h_ann_filtered: every neighbor matches the query label; ranks are cosine-ordered; n_cand consistent") {
+    val rows = LlmOps.hAnnFiltered(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.load(spark, graft.SparkSpec.sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS LONG)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (q, ql, n, _, rnk, nc) =>
+      assert(labels(q) == ql, s"query $q: reported label differs from the table")
+      assert(labels(n) == ql, s"query $q: neighbor $n violates the label filter")
+      assert(n != q && rnk >= 1 && rnk <= 3 && nc >= rnk,
+        s"query $q: rank/candidate accounting inconsistent")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to byRank.length).toSeq, s"query $q ranks gapless")
+      // descending cosine with the (cosine DESC, n_id) tie rule
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"query $q rank order broken")
+        case _ => ()
+      }
+      assert(rs.map(_._6).distinct.length == 1, s"query $q: n_cand must be constant per query")
+    }
+  }
 }

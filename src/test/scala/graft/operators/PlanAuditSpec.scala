@@ -1265,6 +1265,47 @@ class PlanAuditSpec extends SparkSuite {
       s"the global top-20 must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("h_ann_filtered: the label filter folds into the broadcast candidate join") {
+    val plan = LlmOps.hAnnFiltered(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // exactly the hAnnIvf contract: scan-local coarse assignment against
+    // broadcast centroid collects, probes broadcast to the candidate
+    // join with the label equality as a join key — never a post-rank
+    // filter, never a corpus-keyed shuffle for the filter
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"filtered search regressed to a vec_id-keyed shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the probe-side broadcast candidate join:\n$plan")
+    assert(plan.contains("qlabel") && plan.contains("label"),
+      s"the label predicate must appear in the candidate join:\n$plan")
+  }
+
+  test("h_zipf_audit: rank and total windows share one lang exchange") {
+    val plan = graft.operators.CorpusOps.hZipfAudit(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // both windows and the per-lang moment aggregate ride ONE single-key
+    // lang hash exchange over the vocabulary-sized count table (subset
+    // clustering); the only other hash exchange is the (lang, term)
+    // count aggregate's own key
+    assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findAllIn(plan).length == 1,
+      s"expected exactly one single-key lang exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("g_forecast_baseline: lag joins read only the checkpointed histogram") {
+    val plan = AnalyticsOps.gForecastBaseline(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the (type, day) histogram has three consumers (actuals + both lag
+    // sides); the checkpoint keeps the corpus collapse to ONE pass — a
+    // parquet scan here means the re-inline crept back
+    assert(plan.split("events.parquet").length - 1 == 0,
+      s"lag joins must read only the checkpointed histogram:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed histogram as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("h_knn_classify: seed panel broadcasts; vote is scan-local (no corpus window/exchange)") {
     val plan = graft.operators.ProfileOps.hKnnClassify(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
