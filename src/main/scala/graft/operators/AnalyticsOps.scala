@@ -2476,7 +2476,72 @@ object AnalyticsOps {
       |FROM scored GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // =============================================== revenue concentration
+
+  /** Revenue CONCENTRATION audit — the "how dependent are we on a few
+    * whales" question every revenue review asks, answered per market
+    * segment with the two canonical inequality stats: the exact GINI
+    * coefficient of per-customer lifetime spend (0 = every customer
+    * equal, →1000 = one customer is the whole segment) and the
+    * top-decile share (what fraction of segment revenue the richest 10 %
+    * of customers carry). Gini uses the exact rank form over the
+    * ascending-sorted spend vector, `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`,
+    * reported in integer millis — floor-cents spend ([[gRfmSegments]]'s
+    * `round(price·100)` idiom), BIGINT moments, one final DIV — so both
+    * engines agree bit-for-bit. Ties are totally ordered by (cents,
+    * custkey), which leaves Σi·xᵢ invariant within a tie group.
+    *
+    * Scale shape: the fact table collapses to the per-(segment,
+    * customer) rollup in ONE custkey-co-partitioned join+aggregate (the
+    * key the lake buckets both tables on); the rank window and the final
+    * moment aggregate both ride a single segment exchange over that
+    * |customers|-sized rollup — the [[CorpusOps.hPercentileNorm]]
+    * subset-clustering shape. Segment cardinality is small, so at
+    * extreme scale the window input is the one skew watch-item: the
+    * rollup is already thousands of times smaller than the fact table,
+    * and the moments (not the rows) are what the final aggregate emits.
+    * Moment magnitude: Σi·xᵢ ≤ n·Σx, so the Gini moments ride
+    * DECIMAL(38,0)/HUGEINT products (the [[gMarketBasket]] micro-lift
+    * idiom — BIGINT overflowed at the K=40 stress scale); every exchanged
+    * number is still exact. */
+  def gRevenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(revConcBody(idiv = "DIV", big = "DECIMAL(38, 0)"))
+  }
+
+  private def revConcBody(idiv: String, big: String): String =
+    s"""WITH rev AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY c.c_mktsegment, o.o_custkey),
+       |rnk AS (
+       |  SELECT segment, cents,
+       |    row_number() OVER (PARTITION BY segment ORDER BY cents, ck) AS rn,
+       |    count(*) OVER (PARTITION BY segment) AS n
+       |  FROM rev)
+       |SELECT segment,
+       |  CAST(max(n) AS BIGINT) AS n_cust,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents,
+       |  CAST((CAST(1000 AS $big) *
+       |      (2 * sum(CAST(rn AS $big) * cents)
+       |       - CAST(max(n) + 1 AS $big) * sum(cents)))
+       |    $idiv (CAST(max(n) AS $big) * sum(cents)) AS BIGINT) AS gini_milli,
+       |  CAST(CAST(1000 AS $big)
+       |    * sum(CASE WHEN rn > n - ((n + 9) $idiv 10) THEN cents
+       |               ELSE 0 END) $idiv sum(cents) AS BIGINT)
+       |    AS top_decile_milli
+       |FROM rnk GROUP BY segment
+       |ORDER BY segment""".stripMargin
+
+  /** DuckDB twin: identical rollup, window, and moments; HUGEINT carries
+    * the products exactly where Spark uses DECIMAL(38,0). */
+  val gRevenueConcentrationSql: String = revConcBody(idiv = "//", big = "HUGEINT")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_revenue_concentration" -> (gRevenueConcentration _),
     "g_forecast_baseline" -> (gForecastBaseline _),
     "g_audience_overlap" -> (gAudienceOverlap _),
     "g_scd2_state" -> (gScd2State _),
@@ -2510,6 +2575,7 @@ object AnalyticsOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g_revenue_concentration" -> gRevenueConcentrationSql,
     "g_scd2_state" -> gScd2StateSql,
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,

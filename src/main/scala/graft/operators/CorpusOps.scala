@@ -1810,7 +1810,81 @@ object CorpusOps {
       |  CAST(1000 * c1 // tot AS BIGINT) AS head_share_milli
       |FROM m ORDER BY lang""".stripMargin
 
+  // ===================================================== c-TF-IDF topics
+
+  /** Class-based TF-IDF topic labeling (the BERTopic c-TF-IDF reduction):
+    * where [[LlmOps.hTfidf]] names each DOCUMENT's distinctive terms,
+    * this names each CLASS's — concatenate every document of a class
+    * (here: `source`, the crawl/feed a doc arrived from) into one
+    * pseudo-document, weight each term by class frequency × an inverse
+    * CLASS-frequency log, and report the top-3 terms per class. This is
+    * the standard cluster-labeling step after any corpus clustering
+    * (what IS src7?) and the fastest spam-feed tell (a source whose top
+    * terms are navigation boilerplate). The idf is the exact bit-length
+    * log `length(bin(4·n_src DIV src_df))` ([[hBm25]]'s idiom, ×4 so
+    * near-ubiquitous terms still separate into ≥3 integer weight tiers);
+    * everything stays BIGINT so both engines agree exactly.
+    *
+    * Scale shape: ONE corpus explode collapses map-side into the
+    * (source, term) class-vocabulary table, which is localCheckpointed
+    * because THREE consumers read it (the class-df rollup, the class
+    * count, and the score join) — un-checkpointed, Spark re-inlines each
+    * into its own corpus explode. Everything downstream is
+    * classes×vocabulary-sized; the top-3 window plans as
+    * WindowGroupLimit (map-side top-k per source before the one source
+    * exchange). At 100 TB: one map-reduce over tokens, then control-
+    * table algebra. */
+  def hCtfidfTopics(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """SELECT source, t AS term, count(*) AS ctf
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t
+        |GROUP BY source, t""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("ctfidf_ctf")
+    s.sql(
+      """WITH ctf AS (SELECT source, term, ctf FROM ctfidf_ctf),
+        |ns AS (SELECT count(DISTINCT source) AS nsrc FROM ctf),
+        |sdf AS (SELECT term, count(*) AS src_df FROM ctf GROUP BY term),
+        |sc AS (
+        |  SELECT c.source, c.term,
+        |    c.ctf * length(bin((4 * n.nsrc) DIV d.src_df)) AS score
+        |  FROM ctf c JOIN sdf d ON c.term = d.term CROSS JOIN ns n)
+        |SELECT source, term, CAST(score AS BIGINT) AS score,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT source, term, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term)
+        |      AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3
+        |ORDER BY source, rnk""".stripMargin)
+  }
+
+  /** DuckDB twin: identical class-vocab table (MATERIALIZED — three
+    * consumers) and bit-length idf. */
+  val hCtfidfTopicsSql: String =
+    """WITH ctf AS MATERIALIZED (
+      |  SELECT source, t.term, count(*) AS ctf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  GROUP BY source, t.term),
+      |ns AS (SELECT count(DISTINCT source) AS nsrc FROM ctf),
+      |sdf AS (SELECT term, count(*) AS src_df FROM ctf GROUP BY term),
+      |sc AS (
+      |  SELECT c.source, c.term,
+      |    c.ctf * length(bin((4 * n.nsrc) // d.src_df)) AS score
+      |  FROM ctf c JOIN sdf d ON c.term = d.term CROSS JOIN ns n)
+      |SELECT source, term, CAST(score AS BIGINT) AS score,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM (
+      |  SELECT source, term, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term)
+      |      AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 3
+      |ORDER BY source, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_ctfidf_topics" -> (hCtfidfTopics _),
     "h_zipf_audit" -> (hZipfAudit _),
     "h_percentile_norm" -> (hPercentileNorm _),
     "h_quality_classifier" -> (hQualityClassifier _),
@@ -1830,6 +1904,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_ctfidf_topics" -> hCtfidfTopicsSql,
     "h_zipf_audit" -> hZipfAuditSql,
     "h_percentile_norm" -> hPercentileNormSql,
     "h_quality_classifier" -> hQualityClassifierSql,

@@ -3101,9 +3101,123 @@ object LlmOps {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ============================================================ kNN graph
+
+  /** Mutual-kNN GRAPH audit — the health check run on an embedding space
+    * before any graph-based curation trusts it (SemDeDup clustering,
+    * label propagation, kNN classification): build each vector's
+    * directed 3-NN list and report, per IVF cell, the reciprocity rate
+    * (how many a→b edges have the b→a partner — hubby/degenerate spaces
+    * reciprocate poorly) and the label homophily rate (how many edges
+    * join same-label endpoints — the do-neighborhoods-mean-anything
+    * test). Both rates in exact integer millis; cosine ranking ties
+    * break by neighbor id (the [[hAnnBrute]] total order).
+    *
+    * Scale shape: the kNN is CELL-BUCKETED, never all-pairs — vectors
+    * are assigned scan-local to the 16 raw-seed centroids (one broadcast
+    * struct array, the [[hAnnIvf]] baseline quantizer), so the self-join
+    * is an equi-join on c_id and candidate pairs scale with cell sizes,
+    * the [[hSemdedup]] argument. The assignment table feeds THREE
+    * consumers (both self-join sides + the cell census) and the edge
+    * list TWO (the mutual probe joins it to itself), so both are
+    * localCheckpointed — un-checkpointed, Spark re-inlines the whole
+    * assignment cascade into each consumer. The top-3 window plans as
+    * WindowGroupLimit inside each cell. At 100 TB: one corpus pass to
+    * assign, one cell-keyed exchange to join, control-table algebra
+    * after. */
+  def hKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    label
+        |  FROM embeddings),
+        |seedcoll AS (
+        |  SELECT collect_list(named_struct('c_id', vec_id, 'cv', v,
+        |    'cnrm', sqrt(dot_product(v, v)))) AS cs
+        |  FROM base WHERE vec_id < 16)
+        |SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm, label,
+        |  array_sort(transform(cs, c -> named_struct(
+        |    'neg', -dot_product(v, c.cv) / (sqrt(dot_product(v, v)) * c.cnrm),
+        |    'c_id', c.c_id)))[0].c_id AS c_id
+        |FROM base CROSS JOIN seedcoll""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("knng_assigned")
+    Checkpoints.track(s.sql(
+      """SELECT c_id, a_id, b_id, la, lb FROM (
+        |  SELECT x.c_id, x.vec_id AS a_id, y.vec_id AS b_id,
+        |    x.label AS la, y.label AS lb,
+        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |      dot_product(x.v, y.v) / (x.nrm * y.nrm) DESC, y.vec_id) AS rn
+        |  FROM knng_assigned x JOIN knng_assigned y
+        |    ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
+        |WHERE rn <= 3""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("knng_edges")
+    s.sql(
+      """WITH cells AS (
+        |  SELECT c_id, count(*) AS n_nodes FROM knng_assigned GROUP BY c_id)
+        |SELECT CAST(a.c_id AS BIGINT) AS c_id,
+        |  CAST(max(n.n_nodes) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(1000 * sum(CASE WHEN m.b_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    DIV count(*) AS BIGINT) AS mutual_milli,
+        |  CAST(1000 * sum(CASE WHEN a.la = a.lb THEN 1 ELSE 0 END)
+        |    DIV count(*) AS BIGINT) AS homophily_milli
+        |FROM knng_edges a
+        |LEFT JOIN knng_edges m ON a.a_id = m.b_id AND a.b_id = m.a_id
+        |JOIN cells n ON a.c_id = n.c_id
+        |GROUP BY a.c_id
+        |ORDER BY c_id""".stripMargin)
+  }
+
+  /** DuckDB twin: identical raw-seed assignment (row_number over the
+    * 16-centroid cross join), cell-bucketed 3-NN, and integer rates;
+    * MATERIALIZED where Spark checkpoints. */
+  val hKnnGraphSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, label
+      |  FROM base),
+      |seed AS (
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cnrm
+      |  FROM base WHERE vec_id < 16),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, v, nrm, label, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, n.label, s.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) DESC, s.c_id)
+      |        AS rn
+      |    FROM normed n CROSS JOIN seed s)
+      |  WHERE rn = 1),
+      |edges AS MATERIALIZED (
+      |  SELECT c_id, a_id, b_id, la, lb FROM (
+      |    SELECT x.c_id, x.vec_id AS a_id, y.vec_id AS b_id,
+      |      x.label AS la, y.label AS lb,
+      |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |        list_dot_product(x.v, y.v) / (x.nrm * y.nrm) DESC, y.vec_id)
+      |        AS rn
+      |    FROM assigned x JOIN assigned y
+      |      ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
+      |  WHERE rn <= 3),
+      |cells AS (SELECT c_id, count(*) AS n_nodes FROM assigned GROUP BY c_id)
+      |SELECT CAST(a.c_id AS BIGINT) AS c_id,
+      |  CAST(max(n.n_nodes) AS BIGINT) AS n_nodes,
+      |  CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(1000 * sum(CASE WHEN m.b_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS mutual_milli,
+      |  CAST(1000 * sum(CASE WHEN a.la = a.lb THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS homophily_milli
+      |FROM edges a
+      |LEFT JOIN edges m ON a.a_id = m.b_id AND a.b_id = m.a_id
+      |JOIN cells n ON a.c_id = n.c_id
+      |GROUP BY a.c_id
+      |ORDER BY c_id""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_knn_graph" -> (hKnnGraph _),
     "h_dedup_exact" -> (hDedupExact _),
     "h_dedup_bloom" -> (hDedupBloom _),
     "h_dedup_bloom_sharded" -> (hDedupBloomSharded _),
@@ -3146,6 +3260,7 @@ object LlmOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_knn_graph" -> hKnnGraphSql,
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,
     "h_ann_recall" -> hAnnRecallSql,

@@ -67,7 +67,18 @@ object ScaleStressBench {
     // round 17 second wave: zipf is one token explode into a
     // vocabulary-sized aggregate; filtered ANN is the hAnnIvf plan with
     // the label equality folded into the broadcast candidate join.
-    "h_zipf_audit", "h_ann_filtered")
+    "h_zipf_audit", "h_ann_filtered",
+    // round 17 third wave: one token explode into the checkpointed
+    // (source, term) class-vocab table; everything downstream is
+    // classes x vocabulary sized — expected linear in tokens.
+    // (h_knn_graph is deliberately NOT stress-listed: its 16-cell seed
+    // quantizer is corpus-sized-dependent — real IVF grows nlist ~ sqrt(N),
+    // so K-fold replication under a FIXED nlist grows cells xK and
+    // within-cell candidate pairs xK², measuring a mis-sized index
+    // rather than the operator — the h_minhash_calibration pre-round-13
+    // precedent. The cell-bucketed join itself is the stress-measured
+    // h_semdedup/h_ann_ivf shape.)
+    "h_ctfidf_topics")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -120,7 +131,12 @@ object ScaleStressBench {
     "g_audience_overlap",
     // round 17 second wave: reads ONLY events; the checkpointed
     // (type, day) histogram is <= |types|*days rows at any K.
-    "g_forecast_baseline")
+    "g_forecast_baseline",
+    // round 17 third wave: orders (xK) joined to the HELD customer
+    // dimension — the g_rfm_segments growth shape: the per-customer
+    // rollup stays dimension-sized at any K, only the one custkey
+    // join/aggregate's input grows.
+    "g_revenue_concentration")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -437,4 +437,34 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(gw1 == (if (a1 > 0) 1000L * s1e / a1 else -1L), s"$t wape1")
     }
   }
+
+  test("g_revenue_concentration: Gini and top-decile share recompute exactly from per-customer spend") {
+    val rows = AnalyticsOps.gRevenueConcentration(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val seg = Tables.load(spark, sf, "customer")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spend = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    spend.groupBy { case (ck, _) => seg(ck) }.foreach { case (sg, custs) =>
+      // ascending Lorenz order with the (cents, custkey) total tiebreak
+      val xs = custs.toSeq.sortBy { case (ck, c) => (c, ck) }.map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val k = (n + 9) / 10
+      val top = xs.takeRight(k.toInt).sum
+      val (gn, gs, gini, tdec) = rows(sg)
+      assert(gn == n && gs == s, s"$sg: rollup diverged from the referee")
+      assert(gini == (1000 * (2 * s1 - (n + 1) * s)) / (n * s), s"$sg gini")
+      assert(tdec == 1000 * top / s, s"$sg top decile")
+      assert(gini >= 0 && gini < 1000, s"$sg gini range")
+      // the richest decile can never carry less than a uniform decile
+      assert(tdec >= 1000 * k / n - 1, s"$sg top-decile lower bound")
+    }
+  }
 }

@@ -131,6 +131,34 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("h_ctfidf_topics: every class's top-3 recomputes exactly from the class-vocab referee") {
+    val rows = CorpusOps.hCtfidfTopics(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("source", "text").collect()
+      .flatMap(r => r.getString(1).split(' ').map(t => (r.getString(0), t)))
+    val ctf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nsrc = toks.map(_._1).distinct.length.toLong
+    val srcDf = ctf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = ctf.toSeq
+      .map { case ((src, t), c) => (src, t, c * bitlen(4 * nsrc / srcDf(t))) }
+      .groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+        ts.sortBy { case (_, t, sc) => (-sc, t) }.take(3).zipWithIndex
+          .map { case ((src, t, sc), i) => (src, t, sc, i + 1L) }
+      }.sortBy { case (src, _, _, rnk) => (src, rnk) }
+    assert(rows.toSeq == expected, "c-TF-IDF top-3 diverged from the referee")
+    // every class present, rnk dense from 1, scores non-increasing
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(1L to rs.length),
+        s"$src: ranks not dense")
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$src: scores increase down the ranks")
+    }
+  }
+
   test("h_zipf_audit: moments recompute exactly; slope is negative (frequency falls with rank)") {
     val rows = CorpusOps.hZipfAudit(spark, graft.SparkSpec.sf0001).collect()
     assert(rows.nonEmpty)

@@ -183,4 +183,47 @@ class LlmOpsSpec extends SparkSuite {
       assert(rs.map(_._6).distinct.length == 1, s"query $q: n_cand must be constant per query")
     }
   }
+
+  test("h_knn_graph: per-cell rates recompute exactly from a full Scala kNN referee") {
+    val rows = LlmOps.hKnnGraph(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.load(spark, graft.SparkSpec.sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))",
+        "CAST(label AS LONG)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val seeds = vecs.filter(_._1 < 16)
+    val cellOf = vecs.map { case (id, v, _) =>
+      id -> seeds.map { case (cid, cv, _) => (-cos(v, cv), cid) }.min._2
+    }.toMap
+    val byCell = vecs.groupBy { case (id, _, _) => cellOf(id) }
+    // directed 3-NN within each cell, ties by neighbor id
+    val edges = byCell.values.flatten.flatMap { case (a, av, al) =>
+      byCell(cellOf(a)).filter(_._1 != a)
+        .map { case (b, bv, bl) => (-cos(av, bv), b, bl) }
+        .sorted.take(3)
+        .map { case (_, b, bl) => (cellOf(a), a, b, al, bl) }
+    }.toSet
+    val expected = edges.groupBy(_._1).toSeq.map { case (c, es) =>
+      val dir = es.map { case (_, a, b, _, _) => (a, b) }
+      val mutual = dir.count { case (a, b) => dir.contains((b, a)) }.toLong
+      val homo = es.count { case (_, _, _, la, lb) => la == lb }.toLong
+      (c, byCell(c).length.toLong, es.size.toLong,
+        1000L * mutual / es.size, 1000L * homo / es.size)
+    }.sortBy(_._1)
+    assert(rows.toSeq == expected, "kNN graph census diverged from the referee")
+    rows.foreach { case (_, nNodes, nEdges, mut, homo) =>
+      assert(nEdges <= 3 * nNodes, "more than k edges per node")
+      assert(mut >= 0 && mut <= 1000 && homo >= 0 && homo <= 1000)
+    }
+    // singleton cells emit no edges (and so no row); the censused cells
+    // can never exceed the corpus
+    assert(rows.map(_._2).sum <= vecs.length.toLong,
+      "cell census exceeds the corpus")
+  }
 }

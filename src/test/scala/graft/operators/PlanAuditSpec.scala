@@ -1392,4 +1392,50 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank windows must plan as WindowGroupLimit:\n$plan")
   }
+
+  test("g_revenue_concentration: one segment exchange shared by rank window and moment aggregate") {
+    val plan = AnalyticsOps.gRevenueConcentration(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the Lorenz window and the final Gini/top-decile aggregate ride ONE
+    // segment exchange over the per-customer rollup (subset clustering);
+    // both facts scan exactly once — the rollup join is the only
+    // fact-table work
+    assert("hashpartitioning\\(segment".r.findAllIn(plan).length == 1,
+      s"expected exactly one segment exchange:\n$plan")
+    assert(plan.split("orders.parquet").length - 1 == 1,
+      s"orders must scan exactly once:\n$plan")
+    assert(plan.split("customer.parquet").length - 1 == 1,
+      s"customer must scan exactly once:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("h_ctfidf_topics: all three consumers read the checkpointed class-vocab table") {
+    val plan = CorpusOps.hCtfidfTopics(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the (source, term) count table feeds the class-df rollup, the
+    // class count, and the score join; the checkpoint keeps the corpus
+    // explode to ONE pass — a parquet scan here means re-inline crept in
+    assert(plan.split("documents.parquet").length - 1 == 0,
+      s"report must read only the checkpointed class-vocab table:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed class-vocab table as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row class count must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the top-3 window must cap map-side as WindowGroupLimit:\n$plan")
+  }
+
+  test("h_knn_graph: edge and cell censuses read only the checkpointed tables") {
+    val plan = LlmOps.hKnnGraph(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the assignment table feeds both self-join sides + the cell census,
+    // and the edge list feeds the mutual probe twice; both are
+    // checkpointed, so the final plan reads ZERO parquet — the kNN is
+    // cell-bucketed (c_id equi-join), never all-pairs
+    assert(plan.split("embeddings.parquet").length - 1 == 0,
+      s"report must read only the checkpointed assignment/edge tables:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed tables as sources:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
