@@ -489,4 +489,50 @@ class CheckpointRecoverySpec extends SparkSuite {
         s"post-restart closures wrong: $post")
     } finally q2.stop()
   }
+
+  test("StreamingSessionize: the open session survives restart — the closure spans both waves") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val us = 1000000L
+    // wave 1 ends with an OPEN session (sid 1, entry 'a', events at 1s, 2s)
+    val wave1 = Seq((1L, 9L, 1L * us, "a"), (2L, 9L, 2L * us, "b"))
+    // wave 2: a replayed wave-1 row the recovered frontier must drop, an
+    // in-gap extension at 3s, then a 30-min-plus jump that closes sid 1 —
+    // whose start (1s) and n_events (3) span the restart: lost state would
+    // close a session starting at 3s with n_events 1, or none at all
+    val wave2 = Seq((2L, 9L, 2L * us, "b"), (3L, 9L, 3L * us, "b"),
+      (4L, 9L, 4000L * us, "c"))
+    val captured = new ConcurrentHashMap[Long, Array[StreamingSessionize.ClosedSession]]()
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingSessionize(input.toDF().toDF("event_id", "user_id", "tus", "event_type"))
+    val checkpoint = ckpt("recover-sessionize")
+    def start(): StreamingQuery = out.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(capture(captured) _)
+      .start()
+    def closures(): Seq[StreamingSessionize.ClosedSession] =
+      captured.asScala.toSeq.sortBy(_._1).flatMap(_._2)
+
+    val q1 = start()
+    var lastId = -1L
+    try {
+      input.addData(wave1)
+      // wave 1 closes nothing — wait for the batch to commit, then stop
+      settle()
+      assert(closures().isEmpty, "wave 1 must not close a session")
+      lastId = maxBatch(captured)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(wave2)
+      await(() => closures().size == 1, "post-restart closure")
+      val post = captured.asScala.toSeq.filter(_._1 > lastId).flatMap(_._2)
+      assert(post.toSeq == Seq(
+        StreamingSessionize.ClosedSession(9L, 1L, "a", 1L * us, 3L * us, 3L)),
+        s"post-restart closures wrong: $post")
+    } finally q2.stop()
+  }
 }
