@@ -2540,8 +2540,120 @@ object AnalyticsOps {
     * the products exactly where Spark uses DECIMAL(38,0). */
   val gRevenueConcentrationSql: String = revConcBody(idiv = "//", big = "HUGEINT")
 
+  // ====================================================== repeat purchase
+
+  /** REPEAT-PURCHASE latency profile — the retention diagnostic between
+    * [[gRfmSegments]]' recency/frequency quintiles and
+    * [[gCohortRetention]]'s calendar grid: per market segment, how many
+    * customers ever come back, and WHEN — the exact mean and MEDIAN days
+    * between a customer's consecutive orders (the replenishment-cycle
+    * number that times win-back campaigns and sizes forecast lags). Order
+    * days are pure integer epoch arithmetic (`epoch-µs DIV 86 400e6` —
+    * never a locale calendar function, the [[gSeasonality]] rule); the
+    * median is the engine's value-histogram distributed selection
+    * ([[RelationalQueries.dHistogramEqdepth]]): the gap domain is
+    * day-bounded, so the quantile is one cumulative window over the
+    * ≤|distinct gaps| histogram — never a per-segment sort of the order
+    * corpus. A segment with zero repeat gaps reports the −1 sentinel.
+    *
+    * Scale shape: ONE custkey-co-partitioned join+aggregate collapses
+    * orders to each customer's sorted day array (gap ties in a day are
+    * gap-invariant, so only days are collected); the array is
+    * localCheckpointed because THREE consumers read it (the repeater
+    * census, the gap histogram, and nothing re-derives the fact table).
+    * Gaps explode SCAN-LOCALLY from the array; every downstream table is
+    * histogram- or segment-sized. */
+  def gRepeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Checkpoints.track(s.sql(
+      """SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+        |  array_sort(collect_list(unix_micros(o.o_orderdate) DIV 86400000000L))
+        |    AS ds
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, o.o_custkey""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("repeat_cust")
+    s.sql(
+      """WITH cust AS (SELECT segment, ck, ds FROM repeat_cust),
+        |rep AS (
+        |  SELECT segment, count(*) AS n_cust,
+        |    sum(CASE WHEN size(ds) >= 2 THEN 1 ELSE 0 END) AS n_repeaters
+        |  FROM cust GROUP BY segment),
+        |hist AS (
+        |  SELECT segment,
+        |    element_at(ds, i) - element_at(ds, i - 1) AS v, count(*) AS c
+        |  FROM (SELECT segment, ds FROM cust WHERE size(ds) >= 2)
+        |  LATERAL VIEW explode(sequence(2, size(ds))) x AS i
+        |  GROUP BY segment, element_at(ds, i) - element_at(ds, i - 1)),
+        |cum AS (
+        |  SELECT segment, v, c,
+        |    sum(c) OVER (PARTITION BY segment ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY segment) AS tot
+        |  FROM hist),
+        |med AS (
+        |  SELECT segment, min(v) AS median_gap_days
+        |  FROM cum WHERE 2 * cum >= tot GROUP BY segment),
+        |agg AS (
+        |  SELECT segment, sum(c) AS n_gaps, sum(v * c) AS sgap
+        |  FROM hist GROUP BY segment)
+        |SELECT r.segment,
+        |  CAST(r.n_cust AS BIGINT) AS n_cust,
+        |  CAST(r.n_repeaters AS BIGINT) AS n_repeaters,
+        |  CAST(1000 * r.n_repeaters DIV r.n_cust AS BIGINT) AS repeat_milli,
+        |  CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+        |  CAST(CASE WHEN a.n_gaps > 0 THEN a.sgap DIV a.n_gaps ELSE -1 END
+        |    AS BIGINT) AS mean_gap_days,
+        |  CAST(coalesce(m.median_gap_days, -1) AS BIGINT) AS median_gap_days
+        |FROM rep r
+        |LEFT JOIN agg a ON r.segment = a.segment
+        |LEFT JOIN med m ON r.segment = m.segment
+        |ORDER BY r.segment""".stripMargin)
+  }
+
+  /** DuckDB twin: identical day arrays (MATERIALIZED — multi-consumer),
+    * gap explode, and histogram selection. */
+  val gRepeatPurchaseSql: String =
+    """WITH cust AS MATERIALIZED (
+      |  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+      |    list_sort(list(epoch_us(o.o_orderdate) // 86400000000)) AS ds
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_mktsegment, o.o_custkey),
+      |rep AS (
+      |  SELECT segment, count(*) AS n_cust,
+      |    sum(CASE WHEN len(ds) >= 2 THEN 1 ELSE 0 END) AS n_repeaters
+      |  FROM cust GROUP BY segment),
+      |hist AS (
+      |  SELECT segment, ds[i] - ds[i - 1] AS v, count(*) AS c
+      |  FROM (SELECT segment, ds FROM cust WHERE len(ds) >= 2),
+      |    unnest(generate_series(2, len(ds))) AS t(i)
+      |  GROUP BY segment, ds[i] - ds[i - 1]),
+      |cum AS (
+      |  SELECT segment, v, c,
+      |    sum(c) OVER (PARTITION BY segment ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY segment) AS tot
+      |  FROM hist),
+      |med AS (
+      |  SELECT segment, min(v) AS median_gap_days
+      |  FROM cum WHERE 2 * cum >= tot GROUP BY segment),
+      |agg AS (
+      |  SELECT segment, sum(c) AS n_gaps, sum(v * c) AS sgap
+      |  FROM hist GROUP BY segment)
+      |SELECT r.segment,
+      |  CAST(r.n_cust AS BIGINT) AS n_cust,
+      |  CAST(r.n_repeaters AS BIGINT) AS n_repeaters,
+      |  CAST(1000 * r.n_repeaters // r.n_cust AS BIGINT) AS repeat_milli,
+      |  CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+      |  CAST(CASE WHEN a.n_gaps > 0 THEN a.sgap // a.n_gaps ELSE -1 END
+      |    AS BIGINT) AS mean_gap_days,
+      |  CAST(coalesce(m.median_gap_days, -1) AS BIGINT) AS median_gap_days
+      |FROM rep r
+      |LEFT JOIN agg a ON r.segment = a.segment
+      |LEFT JOIN med m ON r.segment = m.segment
+      |ORDER BY r.segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_revenue_concentration" -> (gRevenueConcentration _),
+    "g_repeat_purchase" -> (gRepeatPurchase _),
     "g_forecast_baseline" -> (gForecastBaseline _),
     "g_audience_overlap" -> (gAudienceOverlap _),
     "g_scd2_state" -> (gScd2State _),
@@ -2576,6 +2688,7 @@ object AnalyticsOps {
 
   def oracleSql: Map[String, String] = Map(
     "g_revenue_concentration" -> gRevenueConcentrationSql,
+    "g_repeat_purchase" -> gRepeatPurchaseSql,
     "g_scd2_state" -> gScd2StateSql,
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,

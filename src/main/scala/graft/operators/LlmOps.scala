@@ -3214,10 +3214,132 @@ object LlmOps {
       |GROUP BY a.c_id
       |ORDER BY c_id""".stripMargin
 
+  // ========================================================= dedup impact
+
+  /** DEDUP IMPACT accounting — the before/after report a curation review
+    * reads next to [[hDedupExact]]'s survivor counts: per language, what
+    * exact-dup removal actually costs and saves — documents and TOKENS
+    * removed (the number the training-budget owner cares about, since
+    * duplicates are bought in tokens), and the VOCABULARY LOST: terms
+    * that existed only in removed documents and vanish from the corpus
+    * entirely (exact-dup removal should lose ~none — a nonzero count
+    * means the survivor rule is dropping unique content, the audit's
+    * alarm — for EXACT dedup a removed doc's text survives in its keeper
+    * by definition, so vocab_lost = 0 IS the rule-integrity invariant;
+    * the same report over a near-dup survivor set is where real
+    * vocabulary loss shows). Survivors are [[hDedupExact]]'s
+    * min-doc_id-per-body rule over the ingest-REPLAY corpus (a third of
+    * the docs redelivered under re-crawl ids — the at-least-once
+    * scenario hDedupExact models; the pristine table has no dups and
+    * would report zeros); the report groups by body text so DuckDB
+    * replays the rule verbatim (production keys the same join on the
+    * 64-bit body hash).
+    *
+    * Scale shape: ONE body-keyed aggregate finds each body's keeper; the
+    * keeper flag joins back co-keyed on the same body key (zero extra
+    * shuffle under the same partitioning). The flagged corpus is
+    * localCheckpointed because TWO censuses read it (doc-level and
+    * term-level — un-checkpointed, each re-inlines the survivor join);
+    * the term census is one explode into a (lang, term) aggregate with
+    * the kept flag folded map-side (`max(kept)`), so vocabulary loss
+    * costs exactly the vocabulary-sized exchange every term op here
+    * pays. */
+  def hDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    // the audited corpus is the INGEST-REPLAY scenario ([[hDedupExact]]'s
+    // at-least-once convention): a third of the corpus redelivered under
+    // re-crawl ids — so the removal rates are real, not the pristine
+    // table's zeros
+    s.sql(
+      """SELECT doc_id, lang, text FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, text FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin)
+      .createOrReplaceTempView("dedup_ingest")
+    Checkpoints.track(s.sql(
+      """SELECT d.doc_id, d.lang, d.text,
+        |  CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
+        |FROM dedup_ingest d
+        |JOIN (SELECT text, min(doc_id) AS keeper FROM dedup_ingest GROUP BY text) k
+        |  ON d.text = k.text""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("dedup_flagged")
+    s.sql(
+      """WITH f AS (
+        |  SELECT doc_id, lang, text, kept, size(split(text, ' ')) AS ntoks
+        |  FROM dedup_flagged),
+        |dc AS (
+        |  SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept,
+        |    sum(ntoks) AS toks, sum(kept * ntoks) AS toks_kept
+        |  FROM f GROUP BY lang),
+        |tc AS (
+        |  SELECT lang, count(*) AS vocab,
+        |    sum(CASE WHEN kept_term = 0 THEN 1 ELSE 0 END) AS vocab_lost
+        |  FROM (
+        |    SELECT lang, t AS term, max(kept) AS kept_term
+        |    FROM f LATERAL VIEW explode(split(text, ' ')) x AS t
+        |    GROUP BY lang, t)
+        |  GROUP BY lang)
+        |SELECT d.lang,
+        |  CAST(d.n_docs AS BIGINT) AS n_docs,
+        |  CAST(d.n_kept AS BIGINT) AS n_kept,
+        |  CAST(1000 * (d.n_docs - d.n_kept) DIV d.n_docs AS BIGINT)
+        |    AS doc_removed_milli,
+        |  CAST(d.toks AS BIGINT) AS tokens_total,
+        |  CAST(d.toks_kept AS BIGINT) AS tokens_kept,
+        |  CAST(1000 * (d.toks - d.toks_kept) DIV d.toks AS BIGINT)
+        |    AS token_removed_milli,
+        |  CAST(t.vocab AS BIGINT) AS vocab,
+        |  CAST(t.vocab_lost AS BIGINT) AS vocab_lost
+        |FROM dc d JOIN tc t ON d.lang = t.lang
+        |ORDER BY d.lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical survivor rule (MATERIALIZED flag table) and
+    * the same two censuses. */
+  val hDedupImpactSql: String =
+    """WITH ingest AS MATERIALIZED (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |f AS MATERIALIZED (
+      |  SELECT d.doc_id, d.lang, d.text,
+      |    CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept,
+      |    len(string_split(d.text, ' ')) AS ntoks
+      |  FROM ingest d
+      |  JOIN (SELECT text, min(doc_id) AS keeper FROM ingest GROUP BY text) k
+      |    ON d.text = k.text),
+      |dc AS (
+      |  SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept,
+      |    sum(ntoks) AS toks, sum(kept * ntoks) AS toks_kept
+      |  FROM f GROUP BY lang),
+      |tc AS (
+      |  SELECT lang, count(*) AS vocab,
+      |    sum(CASE WHEN kept_term = 0 THEN 1 ELSE 0 END) AS vocab_lost
+      |  FROM (
+      |    SELECT lang, t.term, max(kept) AS kept_term
+      |    FROM f, unnest(string_split(text, ' ')) AS t(term)
+      |    GROUP BY lang, t.term)
+      |  GROUP BY lang)
+      |SELECT d.lang,
+      |  CAST(d.n_docs AS BIGINT) AS n_docs,
+      |  CAST(d.n_kept AS BIGINT) AS n_kept,
+      |  CAST(1000 * (d.n_docs - d.n_kept) // d.n_docs AS BIGINT)
+      |    AS doc_removed_milli,
+      |  CAST(d.toks AS BIGINT) AS tokens_total,
+      |  CAST(d.toks_kept AS BIGINT) AS tokens_kept,
+      |  CAST(1000 * (d.toks - d.toks_kept) // d.toks AS BIGINT)
+      |    AS token_removed_milli,
+      |  CAST(t.vocab AS BIGINT) AS vocab,
+      |  CAST(t.vocab_lost AS BIGINT) AS vocab_lost
+      |FROM dc d JOIN tc t ON d.lang = t.lang
+      |ORDER BY d.lang""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_knn_graph" -> (hKnnGraph _),
+    "h_dedup_impact" -> (hDedupImpact _),
     "h_dedup_exact" -> (hDedupExact _),
     "h_dedup_bloom" -> (hDedupBloom _),
     "h_dedup_bloom_sharded" -> (hDedupBloomSharded _),
@@ -3261,6 +3383,7 @@ object LlmOps {
 
   def oracle: Map[String, String] = Map(
     "h_knn_graph" -> hKnnGraphSql,
+    "h_dedup_impact" -> hDedupImpactSql,
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,
     "h_ann_recall" -> hAnnRecallSql,

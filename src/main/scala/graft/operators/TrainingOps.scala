@@ -2182,7 +2182,83 @@ object TrainingOps {
       |WHERE 5 * i.ni >= 3 * (la.n + lb.n - i.ni)
       |ORDER BY i.a_id, i.b_id""".stripMargin
 
+  // ================================================== prefix-cache plan
+
+  /** PREFIX-CACHE planning table — the serving-side question every LLM
+    * inference stack (vLLM / SGLang-style radix caching) asks of a
+    * request or training corpus: how much prompt mass shares a common
+    * token PREFIX, and how many tokens would a prefix cache never
+    * recompute? Per language: documents sharing their leading-2-token
+    * prefix with at least one other doc (a cache hit after the first),
+    * the share in millis, and the exact token savings
+    * `Σ_groups (c−1)·|prefix|` against the total token mass. The 2-token
+    * prefix constant matches the shipped corpora's vocabulary (birthday
+    * math: longer prefixes never collide on synthetic word soup — the
+    * honest g_funnel_ab posture: the MACHINERY is the op; production
+    * sets the constant to its cache page size).
+    *
+    * Scale shape: the prefix is a scan-local projection (slice of the
+    * token array — no explode), so the corpus collapses map-side into
+    * the (lang, prefix) group table; the per-lang report is a second
+    * aggregate over that prefix-cardinality-sized table. Two exchanges
+    * total at any volume, nothing pairwise. */
+  def hPrefixCache(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH p AS (
+        |  SELECT lang,
+        |    array_join(slice(split(text, ' '), 1, 2), ' ') AS prefix,
+        |    size(split(text, ' ')) AS ntoks
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, prefix, count(*) AS c,
+        |    size(split(prefix, ' ')) AS plen, sum(ntoks) AS toks
+        |  FROM p GROUP BY lang, prefix)
+        |SELECT lang,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_prefixes,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_shared_docs,
+        |  CAST(1000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) DIV sum(c)
+        |    AS BIGINT) AS shared_milli,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN c > 1 THEN (c - 1) * plen ELSE 0 END) AS BIGINT)
+        |    AS tokens_saved,
+        |  CAST(1000 * sum(CASE WHEN c > 1 THEN (c - 1) * plen ELSE 0 END)
+        |    DIV sum(toks) AS BIGINT) AS saved_milli
+        |FROM g GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical prefix projection and two-level rollup. */
+  val hPrefixCacheSql: String =
+    """WITH p AS (
+      |  SELECT lang,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+      |      AS prefix,
+      |    len(string_split(text, ' ')) AS ntoks
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, prefix, count(*) AS c,
+      |    len(string_split(prefix, ' ')) AS plen, sum(ntoks) AS toks
+      |  FROM p GROUP BY lang, prefix)
+      |SELECT lang,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_prefixes,
+      |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_shared_docs,
+      |  CAST(1000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) // sum(c)
+      |    AS BIGINT) AS shared_milli,
+      |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN c > 1 THEN (c - 1) * plen ELSE 0 END) AS BIGINT)
+      |    AS tokens_saved,
+      |  CAST(1000 * sum(CASE WHEN c > 1 THEN (c - 1) * plen ELSE 0 END)
+      |    // sum(toks) AS BIGINT) AS saved_milli
+      |FROM g GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_prefix_cache" -> (hPrefixCache _),
     "h_simjoin_prefix" -> (hSimjoinPrefix _),
     "h_stratified_sample" -> (hStratifiedSample _),
     "h_minhash_calibration" -> (hMinhashCalibration _),
@@ -2213,6 +2289,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_prefix_cache" -> hPrefixCacheSql,
     "h_simjoin_prefix" -> hSimjoinPrefixSql,
     "h_stratified_sample" -> hStratifiedSampleSql,
     "h_minhash_calibration" -> hMinhashCalibrationSql,

@@ -78,7 +78,11 @@ object ScaleStressBench {
     // rather than the operator — the h_minhash_calibration pre-round-13
     // precedent. The cell-bucketed join itself is the stress-measured
     // h_semdedup/h_ann_ivf shape.)
-    "h_ctfidf_topics")
+    "h_ctfidf_topics",
+    // round 17 fourth wave: prefix-cache is a scan-local slice into two
+    // bounded aggregates; dedup-impact is the survivor join + one explode
+    // into a vocabulary-sized aggregate — both expected linear.
+    "h_prefix_cache", "h_dedup_impact")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -136,7 +140,11 @@ object ScaleStressBench {
     // dimension — the g_rfm_segments growth shape: the per-customer
     // rollup stays dimension-sized at any K, only the one custkey
     // join/aggregate's input grows.
-    "g_revenue_concentration")
+    "g_revenue_concentration",
+    // round 17 fourth wave: orders (xK) to held customers — the RFM
+    // growth shape; gaps explode scan-locally from the checkpointed
+    // per-customer day arrays, histograms stay day-domain-bounded.
+    "g_repeat_purchase")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

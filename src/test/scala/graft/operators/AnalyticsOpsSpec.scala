@@ -467,4 +467,33 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(tdec >= 1000 * k / n - 1, s"$sg top-decile lower bound")
     }
   }
+
+  test("g_repeat_purchase: repeat rate, mean and median gap recompute exactly from per-customer order days") {
+    val rows = AnalyticsOps.gRepeatPurchase(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val seg = Tables.load(spark, sf, "customer")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val days = Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "unix_micros(o_orderdate) DIV 86400000000L")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    days.groupBy { case (ck, _) => seg(ck) }.foreach { case (sg, custs) =>
+      val gaps = custs.values.toSeq.flatMap(ds => ds.zip(ds.tail).map { case (a, b) => b - a })
+      val n = custs.size.toLong
+      val rep = custs.values.count(_.length >= 2).toLong
+      val (gn, grep, grm, gng, gmean, gmed) = rows(sg)
+      assert(gn == n && grep == rep && grm == 1000L * rep / n, s"$sg repeater census")
+      assert(gng == gaps.length.toLong, s"$sg gap count")
+      if (gaps.nonEmpty) {
+        assert(gmean == gaps.sum / gaps.length, s"$sg mean gap")
+        // histogram-selection median: smallest v with 2*cum >= n
+        val srt = gaps.sorted
+        val med = srt.find(v => 2L * srt.count(_ <= v) >= srt.length).get
+        assert(gmed == med, s"$sg median gap")
+      } else assert(gmean == -1L && gmed == -1L, s"$sg empty-gap sentinel")
+    }
+  }
 }

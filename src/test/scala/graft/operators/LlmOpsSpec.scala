@@ -226,4 +226,34 @@ class LlmOpsSpec extends SparkSuite {
     assert(rows.map(_._2).sum <= vecs.length.toLong,
       "cell census exceeds the corpus")
   }
+
+  test("h_dedup_impact: the replay-ingest accounting recomputes exactly; exact dedup loses zero vocabulary") {
+    val rows = LlmOps.hDedupImpact(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val replayed = ds.count(_._1 % 3 == 0).toLong
+      val nDocs = ds.length.toLong + replayed
+      // survivors: one keeper per distinct text of the ingest corpus —
+      // the replayed copies (and any pre-existing exact dups) collapse
+      val kept = ds.map(_._3).distinct.length.toLong
+      val toks = ds.map(_._3.split(' ').length.toLong).sum +
+        ds.filter(_._1 % 3 == 0).map(_._3.split(' ').length.toLong).sum
+      val toksKept = ds.map(_._3).distinct.map(_.split(' ').length.toLong).sum
+      val vocab = ds.flatMap(_._3.split(' ')).distinct.length.toLong
+      val (gn, gk, gdm, gt, gtk, gtm, gv, gvl) = rows(lang)
+      assert(gn == nDocs && gk == kept, s"$lang doc census")
+      assert(gdm == 1000L * (nDocs - kept) / nDocs, s"$lang removed milli")
+      assert(gt == toks && gtk == toksKept, s"$lang token accounting")
+      assert(gtm == 1000L * (toks - toksKept) / toks, s"$lang token milli")
+      assert(gv == vocab, s"$lang vocabulary size")
+      // the structural invariant: exact dedup can never lose a term —
+      // every removed doc's text survives verbatim in its keeper
+      assert(gvl == 0L, s"$lang: exact dedup lost $gvl terms — survivor rule broken")
+    }
+  }
 }

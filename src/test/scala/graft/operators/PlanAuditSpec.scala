@@ -1425,6 +1425,48 @@ class PlanAuditSpec extends SparkSuite {
       s"the top-3 window must cap map-side as WindowGroupLimit:\n$plan")
   }
 
+  test("h_prefix_cache: the prefix is a scan-local slice — no explode anywhere in the plan") {
+    val plan = graft.operators.TrainingOps.hPrefixCache(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the whole op is projection → (lang, prefix) aggregate → lang
+    // rollup: a Generate here means someone exploded the token array the
+    // slice was designed to avoid
+    assert(!plan.contains("Generate"),
+      s"prefix projection must not explode the token array:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"no join belongs in this plan:\n$plan")
+    assert(plan.split("documents.parquet").length - 1 == 1,
+      s"one corpus scan:\n$plan")
+  }
+
+  test("g_repeat_purchase: all censuses read the checkpointed day arrays") {
+    val plan = AnalyticsOps.gRepeatPurchase(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the per-customer sorted day array has three consumers (repeater
+    // census, gap histogram, mean aggregate); the checkpoint keeps the
+    // orders⋈customer collapse to ONE pass — a parquet scan here means
+    // re-inline crept back
+    assert(plan.split("orders.parquet").length - 1 == 0 &&
+      plan.split("customer.parquet").length - 1 == 0,
+      s"report must read only the checkpointed day arrays:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed day arrays as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("h_dedup_impact: both censuses read the checkpointed flag table") {
+    val plan = LlmOps.hDedupImpact(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the survivor-flagged corpus feeds the doc census and the term
+    // census; the checkpoint keeps the body-keyed survivor join to ONE
+    // pass — a parquet scan here means re-inline crept back
+    assert(plan.split("documents.parquet").length - 1 == 0,
+      s"report must read only the checkpointed flag table:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed flag table as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("h_knn_graph: edge and cell censuses read only the checkpointed tables") {
     val plan = LlmOps.hKnnGraph(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString

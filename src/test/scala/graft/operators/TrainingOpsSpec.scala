@@ -221,4 +221,31 @@ class TrainingOpsSpec extends SparkSuite {
       assert(chk > 0, s"$lang mask checksum must pin real content")
     }
   }
+
+  test("h_prefix_cache: every cell recomputes exactly from a prefix-group referee") {
+    val rows = TrainingOps.hPrefixCache(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(' ')))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val groups = ds.map(_._2).groupBy(_.take(2).mkString(" "))
+      val nDocs = ds.length.toLong
+      val shared = groups.valuesIterator.filter(_.length > 1).map(_.length.toLong).sum
+      val toks = ds.map(_._2.length.toLong).sum
+      val saved = groups.collect { case (p, g) if g.length > 1 =>
+        (g.length - 1).toLong * p.split(' ').length
+      }.sum
+      val (gn, gp, gsh, gshm, gt, gsv, gsvm) = rows(lang)
+      assert(gn == nDocs && gp == groups.size.toLong && gsh == shared,
+        s"$lang: group census diverged")
+      assert(gshm == 1000L * shared / nDocs, s"$lang shared_milli")
+      assert(gt == toks && gsv == saved, s"$lang token accounting")
+      assert(gsvm == 1000L * saved / toks, s"$lang saved_milli")
+      // a cached prefix saves at most its own length per doc
+      assert(saved <= 2L * shared, s"$lang: savings exceed the 2-token page")
+    }
+  }
 }
