@@ -241,6 +241,15 @@ object StreamBench {
     if (sys.env.get("SPARK_GRAFT_STATE").contains("rocksdb"))
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // SPARK_GRAFT_ROCKSDB_CHANGELOG=true: commit per-batch CHANGELOGS
+    // instead of full SST snapshots (snapshots then amortize in the
+    // background every minDeltasForSnapshot batches) — the first knob to
+    // try when the soak attribution shows stateCommit dominating (see
+    // BASELINE.md's standing-index soak: 11,042‰ of wall). Opt-in so the
+    // recorded baselines stay comparable.
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true"))
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
