@@ -1854,6 +1854,61 @@ object AnalyticsOps {
       |FROM arms CROSS JOIN gap
       |ORDER BY arm""".stripMargin
 
+  // ==================================================== decayed popularity
+
+  /** Exponentially-DECAYED popularity score — the trending/feature-store
+    * ranking signal (half-life weighting) next to the raw volume census:
+    * per event type, each day's count weighted by 1/2^(age_weeks) against
+    * the newest day in the log, in EXACT integer micros — the decay
+    * weight is `10⁶ DIV 2^⌊age_days/7⌋` via an integer shift (never a
+    * float pow, so both engines agree bit-for-bit; ages cap at 62
+    * half-lives where the weight is exactly 0). The side-by-side
+    * raw-vs-decayed shares ARE the trending verdict: a type whose
+    * decayed share beats its raw share is gaining, one that trails is
+    * fading.
+    *
+    * Scale shape: the corpus collapses map-side into the (type, day)
+    * histogram — ≤|types|·days rows at ANY volume; the anchor day and
+    * both share denominators ride unpartitioned windows over that
+    * control table (the [[gGapFill]] bounds-aggregate posture — single-
+    * partition windows are fine on domain-bounded tables, never on the
+    * corpus). One exchange carries the whole thing. */
+  def gDecayedPopularity(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    s.sql(decayBody(idiv = "DIV",
+      shift = "shiftleft(1L, CAST(least((ad - day) DIV 7, 62L) AS INT))"))
+  }
+
+  private def decayBody(idiv: String, shift: String): String =
+    s"""WITH hist AS (
+       |  SELECT event_type, tus $idiv 86400000000 AS day, count(*) AS c
+       |  FROM events GROUP BY event_type, tus $idiv 86400000000),
+       |w AS (SELECT event_type, day, c, max(day) OVER () AS ad FROM hist),
+       |dec AS (
+       |  SELECT event_type,
+       |    sum(c) AS n_events,
+       |    sum(c * (1000000 $idiv ($shift))) AS decayed_micro
+       |  FROM w GROUP BY event_type)
+       |SELECT event_type,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(decayed_micro AS BIGINT) AS decayed_micro,
+       |  CAST(1000 * n_events $idiv sum(n_events) OVER () AS BIGINT)
+       |    AS raw_share_milli,
+       |  CAST(1000 * decayed_micro $idiv sum(decayed_micro) OVER () AS BIGINT)
+       |    AS decayed_share_milli,
+       |  CAST(row_number() OVER (ORDER BY decayed_micro DESC, event_type)
+       |    AS BIGINT) AS trend_rank
+       |FROM dec
+       |ORDER BY event_type""".stripMargin
+
+  /** DuckDB twin: epoch_us day fold, the same integer shift decay. */
+  val gDecayedPopularitySql: String = {
+    val body = decayBody(idiv = "//",
+      shift = "(CAST(1 AS BIGINT) << least((ad - day) // 7, 62))")
+    body.replace("FROM events GROUP BY",
+      "FROM (SELECT event_type, epoch_us(ts) AS tus FROM events) GROUP BY")
+  }
+
   // ====================================================== sessionization
 
   /** Batch SESSIONIZATION — the explicit gaps-and-islands session build
@@ -2654,6 +2709,7 @@ object AnalyticsOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_revenue_concentration" -> (gRevenueConcentration _),
     "g_repeat_purchase" -> (gRepeatPurchase _),
+    "g_decayed_popularity" -> (gDecayedPopularity _),
     "g_forecast_baseline" -> (gForecastBaseline _),
     "g_audience_overlap" -> (gAudienceOverlap _),
     "g_scd2_state" -> (gScd2State _),
@@ -2689,6 +2745,7 @@ object AnalyticsOps {
   def oracleSql: Map[String, String] = Map(
     "g_revenue_concentration" -> gRevenueConcentrationSql,
     "g_repeat_purchase" -> gRepeatPurchaseSql,
+    "g_decayed_popularity" -> gDecayedPopularitySql,
     "g_scd2_state" -> gScd2StateSql,
     "g_top_paths" -> gTopPathsSql,
     "g_funnel_timing" -> gFunnelTimingSql,

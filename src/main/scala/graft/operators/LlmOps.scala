@@ -3335,11 +3335,80 @@ object LlmOps {
       |FROM dc d JOIN tc t ON d.lang = t.lang
       |ORDER BY d.lang""".stripMargin
 
+  // ======================================================== OOV curve
+
+  /** Tokenizer VOCAB-SIZE decision curve — the number a tokenizer budget
+    * is chosen from, where [[hVocabTopk]] lists the head terms and
+    * [[hTokenizeIds]] applies ONE trained vocab: for each candidate
+    * vocabulary size k ∈ {8, 16, 32} per language, the token-weighted
+    * out-of-vocabulary rate if the vocab were cut at the top-k most
+    * frequent terms (ties by term — the engine's standard rank order).
+    * Reading the curve down a language says what each doubling of the
+    * vocab budget buys; reading across languages says which language
+    * needs the budget most (the multilingual fairness argument for
+    * per-lang vocab allocations).
+    *
+    * Scale shape: ONE corpus explode collapses map-side into the (lang,
+    * term) count table; the rank window and the per-(lang, k) rollup
+    * share ONE lang exchange (subset clustering — the [[hZipfAudit]]
+    * shape); the 3-row rung table cross-joins broadcast. Everything
+    * after the explode is vocabulary-sized. */
+  def hOovCurve(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH counts AS (
+        |  SELECT lang, t AS term, count(*) AS n
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t
+        |  GROUP BY lang, t),
+        |ranked AS (
+        |  SELECT lang, term, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+        |  FROM counts),
+        |rungs AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(k))
+        |SELECT lang, CAST(k AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN rnk > k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov_terms,
+        |  CAST(sum(n) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN rnk > k THEN n ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(1000 * sum(CASE WHEN rnk > k THEN n ELSE 0 END) DIV sum(n)
+        |    AS BIGINT) AS oov_milli
+        |FROM ranked CROSS JOIN rungs
+        |GROUP BY lang, k
+        |ORDER BY lang, k""".stripMargin)
+  }
+
+  /** DuckDB twin: identical rank and rung rollup. */
+  val hOovCurveSql: String =
+    """WITH counts AS (
+      |  SELECT lang, t.term, count(*) AS n
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  GROUP BY lang, t.term),
+      |ranked AS (
+      |  SELECT lang, term, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      |  FROM counts),
+      |rungs AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(k))
+      |SELECT lang, CAST(k AS BIGINT) AS k,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN rnk > k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov_terms,
+      |  CAST(sum(n) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN rnk > k THEN n ELSE 0 END) AS BIGINT)
+      |    AS oov_tokens,
+      |  CAST(1000 * sum(CASE WHEN rnk > k THEN n ELSE 0 END) // sum(n)
+      |    AS BIGINT) AS oov_milli
+      |FROM ranked CROSS JOIN rungs
+      |GROUP BY lang, k
+      |ORDER BY lang, k""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_knn_graph" -> (hKnnGraph _),
     "h_dedup_impact" -> (hDedupImpact _),
+    "h_oov_curve" -> (hOovCurve _),
     "h_dedup_exact" -> (hDedupExact _),
     "h_dedup_bloom" -> (hDedupBloom _),
     "h_dedup_bloom_sharded" -> (hDedupBloomSharded _),
@@ -3384,6 +3453,7 @@ object LlmOps {
   def oracle: Map[String, String] = Map(
     "h_knn_graph" -> hKnnGraphSql,
     "h_dedup_impact" -> hDedupImpactSql,
+    "h_oov_curve" -> hOovCurveSql,
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,
     "h_ann_recall" -> hAnnRecallSql,

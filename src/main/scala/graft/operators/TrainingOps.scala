@@ -2257,7 +2257,165 @@ object TrainingOps {
       |FROM g GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ============================================== minhash banding design
+
+  /** Truncating integer J^r in micros: nested square-and-floor, engine-
+    * identical (r a power of two). */
+  private def bdPow(base: String, e: Int, idiv: String): String =
+    if (e == 1) base
+    else s"((${bdPow(base, e / 2, idiv)}) * (${bdPow(base, e / 2, idiv)}) $idiv 1000000)"
+
+  /** The S-curve 1−(1−J^r)^b at J=0.6 in exact integer micros. The base
+    * is CAST to BIGINT so the squared products never overflow DuckDB's
+    * INT32 literals. */
+  private def bdTheory(b: Int, r: Int, idiv: String): String =
+    s"(1000000 - ${bdPow(s"(1000000 - ${bdPow("CAST(600000 AS BIGINT)", r, idiv)})", b, idiv)})"
+
+  private val bdRungs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  /** MINHASH BANDING DESIGN table — the (bands × rows-per-band) decision
+    * every LSH dedup job makes BEFORE committing a 10⁹-document run, with
+    * both sides of the trade measured on the corpus instead of guessed:
+    * for every factorization of the 8-perm signature ((1×8), (2×4),
+    * (4×2), (8×1)), the theoretical S-curve match probability
+    * 1−(1−J^r)^b at the J=0.6 dedup threshold (exact truncating integer
+    * micros — nested square-and-floor, bit-identical cross-engine), the
+    * ACTUAL candidate-pair volume Σ_buckets C(c,2) the banded join would
+    * process (the cost side — [[ProfileOps.hLshBalance]]'s census swept
+    * across the whole design space), and the MEASURED recall on the
+    * planted J≈0.95 near-dup pairs ([[hMinhashCalibration]]'s
+    * stripped-copy corpus — the benefit side). Wider bands cut
+    * candidates and recall together; this table is where the cut is
+    * chosen.
+    *
+    * Scale shape: signatures build in ONE corpus explode (the
+    * calibration's engine-agnostic md5-slice MinHash, 8 flat min
+    * columns) and are localCheckpointed — the 15 band projections, the
+    * bucket census, and the planted self-join are all consumers. Band
+    * keys are scan-local string concats (the band index is IN the key,
+    * so one census covers all rungs); the census exchange carries
+    * (rung, key) rows; the planted probe is ONE equi-join on the
+    * +1 000 000 id offset with all four rung verdicts decided scan-local
+    * from the same 8 equality bits. */
+  def hMinhashBandDesign(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    Checkpoints.track(s.sql(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, split(text, ' ') AS tokens FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    array_distinct(transform(sequence(1, size(tokens) - 2),
+        |      i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1),
+        |                  '|', element_at(tokens, i + 2)))) AS shingles
+        |  FROM tok WHERE size(tokens) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    md5(concat('0|', s)) AS m0, md5(concat('1|', s)) AS m1,
+        |    md5(concat('2|', s)) AS m2, md5(concat('3|', s)) AS m3
+        |  FROM sh LATERAL VIEW explode(shingles) t AS s)
+        |SELECT doc_id,
+        |  min(CAST(conv(substring(m0, 1, 15), 16, 10) AS BIGINT)) AS h0,
+        |  min(CAST(conv(substring(m0, 17, 15), 16, 10) AS BIGINT)) AS h1,
+        |  min(CAST(conv(substring(m1, 1, 15), 16, 10) AS BIGINT)) AS h2,
+        |  min(CAST(conv(substring(m1, 17, 15), 16, 10) AS BIGINT)) AS h3,
+        |  min(CAST(conv(substring(m2, 1, 15), 16, 10) AS BIGINT)) AS h4,
+        |  min(CAST(conv(substring(m2, 17, 15), 16, 10) AS BIGINT)) AS h5,
+        |  min(CAST(conv(substring(m3, 1, 15), 16, 10) AS BIGINT)) AS h6,
+        |  min(CAST(conv(substring(m3, 17, 15), 16, 10) AS BIGINT)) AS h7
+        |FROM g GROUP BY doc_id""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("band_sig")
+    s.sql(bandDesignBody("band_sig", idiv = "DIV"))
+  }
+
+  private def bandDesignBody(sig: String, idiv: String): String = {
+    val hs = (0 until 8).map(i => s"h$i")
+    val bandSelects = bdRungs.flatMap { case (b, r) =>
+      (0 until b).map { band =>
+        val cols = hs.slice(band * r, (band + 1) * r).mkString(", ")
+        s"SELECT '${b}x$r' AS rung, concat_ws('|', '$band', $cols) AS key FROM s0"
+      }
+    }.mkString("\n  UNION ALL ")
+    val rungRows = bdRungs.map { case (b, r) =>
+      s"('${b}x$r', $b, $r, ${bdTheory(b, r, idiv)})"
+    }.mkString(",\n    ")
+    val hitCase = Seq(
+      "WHEN '1x8' THEN h.hit_1x8", "WHEN '2x4' THEN h.hit_2x4",
+      "WHEN '4x2' THEN h.hit_4x2", "WHEN '8x1' THEN h.hit_8x1").mkString(" ")
+    s"""WITH s0 AS (SELECT * FROM $sig),
+       |bands AS (
+       |  $bandSelects),
+       |cens AS (SELECT rung, key, count(*) AS c FROM bands GROUP BY rung, key),
+       |cand AS (
+       |  SELECT rung, sum(c * (c - 1) $idiv 2) AS cand_pairs
+       |  FROM cens GROUP BY rung),
+       |pl AS (
+       |  SELECT ${(0 until 8).map(i =>
+             s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END) AS e$i").mkString(", ")}
+       |  FROM s0 a JOIN s0 b ON b.doc_id = a.doc_id + 1000000),
+       |hits AS (
+       |  SELECT count(*) AS n_planted,
+       |    sum(CASE WHEN e0+e1+e2+e3+e4+e5+e6+e7 = 8 THEN 1 ELSE 0 END) AS hit_1x8,
+       |    sum(CASE WHEN e0+e1+e2+e3 = 4 OR e4+e5+e6+e7 = 4 THEN 1 ELSE 0 END) AS hit_2x4,
+       |    sum(CASE WHEN e0+e1 = 2 OR e2+e3 = 2 OR e4+e5 = 2 OR e6+e7 = 2
+       |             THEN 1 ELSE 0 END) AS hit_4x2,
+       |    sum(CASE WHEN e0+e1+e2+e3+e4+e5+e6+e7 >= 1 THEN 1 ELSE 0 END) AS hit_8x1
+       |  FROM pl),
+       |rungs AS (
+       |  SELECT * FROM (VALUES
+       |    $rungRows) AS t(rung, n_bands, band_rows, theory600_micro))
+       |SELECT r.rung, CAST(r.n_bands AS BIGINT) AS n_bands,
+       |  CAST(r.band_rows AS BIGINT) AS band_rows,
+       |  CAST(r.theory600_micro AS BIGINT) AS theory600_micro,
+       |  CAST(c.cand_pairs AS BIGINT) AS cand_pairs,
+       |  CAST(h.n_planted AS BIGINT) AS n_planted,
+       |  CAST(CASE r.rung $hitCase END AS BIGINT) AS planted_hits,
+       |  CAST(1000 * (CASE r.rung $hitCase END) $idiv h.n_planted AS BIGINT)
+       |    AS recall_milli
+       |FROM rungs r JOIN cand c ON r.rung = c.rung CROSS JOIN hits h
+       |ORDER BY r.n_bands""".stripMargin
+  }
+
+  /** DuckDB twin: identical signatures (hex via the concat-0x cast),
+    * band census, planted probe, and nested-integer S-curve. */
+  val hMinhashBandDesignSql: String = {
+    val sigSql =
+      """sigt AS MATERIALIZED (
+        |  WITH corpus AS (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+        |    FROM documents),
+        |  tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+        |  sh AS (
+        |    SELECT doc_id,
+        |      list_distinct(list_transform(range(len(tokens) - 2),
+        |        i -> tokens[i + 1] || '|' || tokens[i + 2] || '|' || tokens[i + 3]))
+        |        AS shingles
+        |    FROM tok WHERE len(tokens) >= 3),
+        |  g AS (
+        |    SELECT doc_id,
+        |      md5(concat('0|', t.s)) AS m0, md5(concat('1|', t.s)) AS m1,
+        |      md5(concat('2|', t.s)) AS m2, md5(concat('3|', t.s)) AS m3
+        |    FROM sh, unnest(shingles) AS t(s))
+        |  SELECT doc_id,
+        |    min(CAST(concat('0x', substring(m0, 1, 15)) AS BIGINT)) AS h0,
+        |    min(CAST(concat('0x', substring(m0, 17, 15)) AS BIGINT)) AS h1,
+        |    min(CAST(concat('0x', substring(m1, 1, 15)) AS BIGINT)) AS h2,
+        |    min(CAST(concat('0x', substring(m1, 17, 15)) AS BIGINT)) AS h3,
+        |    min(CAST(concat('0x', substring(m2, 1, 15)) AS BIGINT)) AS h4,
+        |    min(CAST(concat('0x', substring(m2, 17, 15)) AS BIGINT)) AS h5,
+        |    min(CAST(concat('0x', substring(m3, 1, 15)) AS BIGINT)) AS h6,
+        |    min(CAST(concat('0x', substring(m3, 17, 15)) AS BIGINT)) AS h7
+        |  FROM g GROUP BY doc_id)""".stripMargin
+    s"WITH $sigSql,\n" + bandDesignBody("sigt", idiv = "//").drop("WITH ".length)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_minhash_band_design" -> (hMinhashBandDesign _),
     "h_prefix_cache" -> (hPrefixCache _),
     "h_simjoin_prefix" -> (hSimjoinPrefix _),
     "h_stratified_sample" -> (hStratifiedSample _),
@@ -2289,6 +2447,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_minhash_band_design" -> hMinhashBandDesignSql,
     "h_prefix_cache" -> hPrefixCacheSql,
     "h_simjoin_prefix" -> hSimjoinPrefixSql,
     "h_stratified_sample" -> hStratifiedSampleSql,

@@ -82,7 +82,13 @@ object ScaleStressBench {
     // round 17 fourth wave: prefix-cache is a scan-local slice into two
     // bounded aggregates; dedup-impact is the survivor join + one explode
     // into a vocabulary-sized aggregate — both expected linear.
-    "h_prefix_cache", "h_dedup_impact")
+    "h_prefix_cache", "h_dedup_impact",
+    // round 17 fifth wave: band-design signatures are one shingle explode
+    // into 8 flat mins; replica tokens are suffixed so replica signatures
+    // are distinct and bucket populations stay source-shaped — expected
+    // linear. The OOV curve is one token explode into a vocab-sized
+    // aggregate (the zipf shape).
+    "h_minhash_band_design", "h_oov_curve")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
@@ -144,7 +150,10 @@ object ScaleStressBench {
     // round 17 fourth wave: orders (xK) to held customers — the RFM
     // growth shape; gaps explode scan-locally from the checkpointed
     // per-customer day arrays, histograms stay day-domain-bounded.
-    "g_repeat_purchase")
+    "g_repeat_purchase",
+    // round 17 fifth wave: reads ONLY events; the (type, day) histogram
+    // is domain-bounded at any K, windows run on it alone.
+    "g_decayed_popularity")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

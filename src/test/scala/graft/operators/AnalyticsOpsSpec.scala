@@ -496,4 +496,32 @@ class AnalyticsOpsSpec extends SparkSuite {
       } else assert(gmean == -1L && gmed == -1L, s"$sg empty-gap sentinel")
     }
   }
+
+  test("g_decayed_popularity: decayed scores recompute exactly from the daily histogram") {
+    val rows = AnalyticsOps.gDecayedPopularity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    val hist = Tables.eventsCanonical(spark, sf)
+      .selectExpr("event_type", "tus DIV 86400000000L AS day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val anchor = hist.keys.map(_._2).max
+    val byType = hist.groupBy(_._1._1).view.mapValues(_.map { case ((_, d), c) => (d, c) }.toSeq).toMap
+    val decayed = byType.view.mapValues(_.map { case (d, c) =>
+      c * (1000000L / (1L << math.min((anchor - d) / 7, 62L))) }.sum).toMap
+    val totRaw = hist.values.sum
+    val totDec = decayed.values.sum
+    byType.foreach { case (t, days) =>
+      val (n, dm, rs, dsh, _) = rows(t)
+      assert(n == days.map(_._2).sum, s"$t raw count")
+      assert(dm == decayed(t), s"$t decayed micro")
+      assert(rs == 1000L * n / totRaw && dsh == 1000L * decayed(t) / totDec, s"$t shares")
+    }
+    // ranks are a permutation ordered by decayed score
+    val ranked = rows.toSeq.sortBy(_._2._5)
+    assert(ranked.map(_._2._5) == (1L to rows.size).toSeq)
+    assert(ranked.map(_._2._2).zip(ranked.map(_._2._2).tail).forall { case (a, b) => a >= b },
+      "trend rank must follow descending decayed score")
+  }
 }

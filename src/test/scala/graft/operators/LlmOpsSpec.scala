@@ -256,4 +256,32 @@ class LlmOpsSpec extends SparkSuite {
       assert(gvl == 0L, s"$lang: exact dedup lost $gvl terms — survivor rule broken")
     }
   }
+
+  test("h_oov_curve: every rung recomputes exactly from the term-frequency referee") {
+    val rows = LlmOps.hOovCurve(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.load(spark, graft.SparkSpec.sf0001, "documents")
+      .selectExpr("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(' ').map(t => (r.getString(0), t)))
+    toks.groupBy(_._1).foreach { case (lang, ts) =>
+      val counts = ts.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (t, n) => (-n, t) }
+      val total = counts.map(_._2).sum
+      for (k <- Seq(8L, 16L, 32L)) {
+        val oovTerms = counts.drop(k.toInt)
+        val oov = oovTerms.map(_._2).sum
+        val (v, nt, tt, ot, om) = rows((lang, k))
+        assert(v == counts.length.toLong && nt == oovTerms.length.toLong,
+          s"$lang k=$k vocab census")
+        assert(tt == total && ot == oov && om == 1000L * oov / total,
+          s"$lang k=$k token accounting")
+      }
+      // the curve is non-increasing in k (a bigger vocab never adds OOV)
+      val curve = Seq(8L, 16L, 32L).map(k => rows((lang, k))._5)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a >= b },
+        s"$lang: OOV curve increased with vocab size: $curve")
+    }
+  }
 }

@@ -1467,6 +1467,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("h_minhash_band_design: all fifteen band projections read the checkpointed signatures") {
+    val plan = graft.operators.TrainingOps.hMinhashBandDesign(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the 8-column signature table feeds 15 band projections, the bucket
+    // census, and both planted self-join sides; the checkpoint keeps the
+    // corpus shingle explode to ONE pass — a parquet scan here means
+    // re-inline crept back (it would mean 17 corpus explodes)
+    assert(plan.split("documents.parquet").length - 1 == 0,
+      s"design table must read only the checkpointed signatures:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed signatures as source:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 4-row rung and 1-row hits tables must broadcast:\n$plan")
+  }
+
+  test("h_oov_curve: rank window and rung rollup share one lang exchange") {
+    val plan = LlmOps.hOovCurve(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // (lang, k) grouping is a subset cluster of the lang window
+    // partitioning, so both ride ONE lang hash exchange over the
+    // vocabulary-sized count table; the 3-row rung table broadcasts
+    assert("hashpartitioning\\(lang#\\d+, \\d+\\)".r.findAllIn(plan).length == 1,
+      s"expected exactly one single-key lang exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 3-row rung table must broadcast:\n$plan")
+    assert(plan.split("documents.parquet").length - 1 == 1,
+      s"one corpus scan:\n$plan")
+  }
+
+  test("g_decayed_popularity: one corpus collapse, windows only on the histogram") {
+    val plan = AnalyticsOps.gDecayedPopularity(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // the corpus collapses map-side into the (type, day) histogram; the
+    // anchor and share windows run single-partition over that control
+    // table ONLY (the gGapFill posture) — 2 exchanges total, censused
+    assert(plan.split("events.parquet").length - 1 == 1,
+      s"one corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(graft.tools.ExchangeBudget.countShuffles(plan) <= 2,
+      s"the histogram fold must be the only corpus exchange:\n$plan")
+  }
+
   test("h_knn_graph: edge and cell censuses read only the checkpointed tables") {
     val plan = LlmOps.hKnnGraph(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString

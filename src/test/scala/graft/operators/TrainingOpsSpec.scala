@@ -248,4 +248,35 @@ class TrainingOpsSpec extends SparkSuite {
       assert(saved <= 2L * shared, s"$lang: savings exceed the 2-token page")
     }
   }
+
+  test("h_minhash_band_design: theory matches the closed form; dominance and cost orderings hold") {
+    val rows = TrainingOps.hMinhashBandDesign(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._2)
+    assert(rows.map(_._1).toSeq == Seq("1x8", "2x4", "4x2", "8x1"))
+    // exact truncating-integer S-curve referee: 1 - (1 - 0.6^r)^b in micros
+    def pow(base: Long, e: Long): Long =
+      if (e == 1) base else { val h = pow(base, e / 2); h * h / 1000000L }
+    rows.foreach { case (_, b, r, theory, _, _, _, _) =>
+      assert(b * r == 8L, "rungs factorize the 8-perm signature")
+      assert(theory == 1000000L - pow(1000000L - pow(600000L, r), b),
+        s"${b}x$r theory diverged from the closed form")
+    }
+    // a match in a WIDER band implies a match at every narrower rung, so
+    // recall is monotone in n_bands; more bands also means more bucket
+    // memberships, so candidate volume is monotone too
+    val hits = rows.map(_._7); val cand = rows.map(_._5)
+    assert(hits.zip(hits.tail).forall { case (a, c) => a <= c },
+      s"planted hits not monotone in bands: ${hits.toSeq}")
+    assert(cand.zip(cand.tail).forall { case (a, c) => a <= c },
+      s"candidate volume not monotone in bands: ${cand.toSeq}")
+    rows.foreach { case (rung, _, _, _, candP, np, hit, recall) =>
+      assert(np > 0 && hit <= np && recall == 1000L * hit / np, s"$rung accounting")
+      assert(candP >= hit, s"$rung: colliding planted pairs are themselves candidates")
+    }
+    // the design tension is real on this corpus: the widest band must be
+    // cheapest, the narrowest most complete
+    assert(cand.head == cand.min && hits.last == hits.max)
+  }
 }
