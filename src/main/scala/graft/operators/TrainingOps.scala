@@ -1981,6 +1981,15 @@ object TrainingOps {
         |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1),
         |                '|', element_at(tokens, i + 2)))) AS shingles
         |FROM tok WHERE size(tokens) >= 3""".stripMargin)
+      // width-repartition before checkpointing: the sf-scale parquet is
+      // ONE split, so an un-repartitioned checkpoint pins every
+      // downstream map (the 6M-digest sig build, both g2 explode sides)
+      // to one task — the h_minhash_band_design lesson (6.8 -> 2.1 s
+      // there; a smaller measured ~3.0 -> 2.7 s here, where the pair
+      // join's exchanges already spread most of the work). A cluster
+      // corpus scans wide already; repartition(defaultParallelism) never
+      // narrows it
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()).createOrReplaceTempView("cal_sh")
     s.sql(
       """WITH g AS (
