@@ -136,7 +136,20 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
-    spark.stop()
+    // The driver's artifact keeps only the LAST 2000 chars of stdout and
+    // tries to parse a JSON line out of that window (every prior round's
+    // BENCH_r*.json shows "parsed": null: the full line above is ~9 KB, so
+    // the window starts mid-line and no complete JSON line survives next to
+    // sbt's trailing "[success]" banner). Emit a second, compact line —
+    // same schema, `queries` trimmed to the slowest entries and values
+    // rounded to ms — sized to fit the window whole. Full per-query data
+    // stays in the long line and in the $out file.
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full set in $out","failed":$fs,"loadavg":{"before":$loadBefore,"after":$loadAfter},"sf":"$sfDir"}"""
+    spark.stop() // stop first: any stop-time WARN lines must not land after the compact line
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

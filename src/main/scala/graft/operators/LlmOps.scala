@@ -3228,7 +3228,10 @@ object LlmOps {
     * by definition, so vocab_lost = 0 IS the rule-integrity invariant;
     * the same report over a near-dup survivor set is where real
     * vocabulary loss shows). Survivors are [[hDedupExact]]'s
-    * min-doc_id-per-body rule over the ingest-REPLAY corpus (a third of
+    * min-doc_id keeper rule applied PER (lang, body) — the report is
+    * per-language, so the keeper choice is too (a cross-language global
+    * keeper would let corpus shape alone fire the alarm) — over the
+    * ingest-REPLAY corpus (a third of
     * the docs redelivered under re-crawl ids — the at-least-once
     * scenario hDedupExact models; the pristine table has no dups and
     * would report zeros); the report groups by body text so DuckDB
@@ -3246,6 +3249,12 @@ object LlmOps {
     * pays. */
   def hDedupImpact(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
+    // replay ids are doc_id + 1e6; a source corpus whose real ids reach 1e6
+    // would silently collide replay ids with real ids and corrupt the keeper
+    // flags — same defensive require the ScaleStressBench replicator carries
+    val maxId = s.sql("SELECT max(doc_id) AS m FROM documents").first().getLong(0)
+    require(maxId < 1000000L,
+      s"hDedupImpact replay-id offset 1000000 collides: max(doc_id)=$maxId")
     // the audited corpus is the INGEST-REPLAY scenario ([[hDedupExact]]'s
     // at-least-once convention): a third of the corpus redelivered under
     // re-crawl ids — so the removal rates are real, not the pristine
@@ -3256,12 +3265,18 @@ object LlmOps {
         |SELECT doc_id + 1000000, lang, text FROM documents
         |WHERE doc_id % 3 = 0""".stripMargin)
       .createOrReplaceTempView("dedup_ingest")
+    // keeper is chosen PER (lang, text): the report and its vocab_lost = 0
+    // invariant are per-language, so a byte-identical text appearing under
+    // two langs must keep one copy in EACH lang (a global keeper would make
+    // the other lang count the doc removed and could fire the vocab alarm
+    // on corpus shape alone)
     Checkpoints.track(s.sql(
       """SELECT d.doc_id, d.lang, d.text,
         |  CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept
         |FROM dedup_ingest d
-        |JOIN (SELECT text, min(doc_id) AS keeper FROM dedup_ingest GROUP BY text) k
-        |  ON d.text = k.text""".stripMargin)
+        |JOIN (SELECT lang, text, min(doc_id) AS keeper
+        |      FROM dedup_ingest GROUP BY lang, text) k
+        |  ON d.lang = k.lang AND d.text = k.text""".stripMargin)
       .localCheckpoint()).createOrReplaceTempView("dedup_flagged")
     s.sql(
       """WITH f AS (
@@ -3307,8 +3322,9 @@ object LlmOps {
       |    CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS kept,
       |    len(string_split(d.text, ' ')) AS ntoks
       |  FROM ingest d
-      |  JOIN (SELECT text, min(doc_id) AS keeper FROM ingest GROUP BY text) k
-      |    ON d.text = k.text),
+      |  JOIN (SELECT lang, text, min(doc_id) AS keeper
+      |        FROM ingest GROUP BY lang, text) k
+      |    ON d.lang = k.lang AND d.text = k.text),
       |dc AS (
       |  SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept,
       |    sum(ntoks) AS toks, sum(kept * ntoks) AS toks_kept
