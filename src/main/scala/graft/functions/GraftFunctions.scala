@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ArrayDotProduct, Bridge, Fnv64aExpr, KplDeaggregateExpr, MinhashSignatureExpr}
+import org.apache.spark.sql.graft.{ArrayDotProduct, Bridge, Fnv64aExpr, MinhashSignatureExpr}
 
 /** Column-API facade + SQL registration for the engine's custom functions.
   *
@@ -54,14 +54,13 @@ object GraftFunctions {
         name, builder, "scala_udf")
     }
     spark.udf.register("kpl_aggregate", udaf(KplFunctions.KplAggregateAgg))
-    spark.udf.register("kpl_pack_ordered",
-      udf((rows: Seq[KplIn]) => KplFunctions.packOrdered(rows)))
-    spark.udf.register("kpl_deaggregate",
-      udf((data: Array[Byte]) => KplFunctions.deaggregate(data)))
-    spark.udf.register("kpl_is_aggregated",
-      udf((data: Array[Byte]) => data != null && graft.kernel.KplProtobuf.isAggregated(data)))
     // simhash64 / hamming64 were Scala UDFs through round 16; they are
     // native codegen expressions now (SimHashExprs.scala) and register
-    // through GraftBuilders.all above like every other expression
+    // through GraftBuilders.all above like every other expression.
+    // The kpl_pack_ordered / kpl_deaggregate / kpl_is_aggregated scalar
+    // udfs were retired in round 18: every SQL path packs through the
+    // kpl_aggregate UDAF and unpacks through the native
+    // kpl_deaggregate_rows Generator; the Scala-level codecs remain on
+    // [[KplFunctions]] for direct callers.
   }
 }

@@ -42,18 +42,17 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(hexes(1) === java.lang.Long.toHexString(Fnv64a.hash("a")))
   }
 
-  test("kpl_pack_ordered + kpl_deaggregate round-trip in SQL") {
+  test("kpl_aggregate + kpl_deaggregate_rows round-trip in SQL") {
     import spark.implicits._
     Seq(("r1", "k"), ("r2", "k"), ("r3", "j")).toDF("s", "k")
       .createOrReplaceTempView("recs")
     val out = spark.sql(
       """WITH packed AS (
-        |  SELECT kpl_pack_ordered(sort_array(collect_list(struct(encode(s,'UTF-8') AS body, k AS key)))) AS entries
-        |  FROM recs),
-        |entryx AS (SELECT explode(entries) AS e FROM packed),
-        |recsx AS (SELECT explode(kpl_deaggregate(e.data)) AS r FROM entryx)
-        |SELECT decode(r.data, 'UTF-8') AS s, r.partition_key FROM recsx ORDER BY s
-        |""".stripMargin).collect()
+        |  SELECT kpl_aggregate(encode(s,'UTF-8'), k) AS entries FROM recs),
+        |entryx AS (SELECT explode(entries) AS e FROM packed)
+        |SELECT decode(data, 'UTF-8') AS s, partition_key
+        |FROM entryx, LATERAL (SELECT kpl_deaggregate_rows(e.data))
+        |ORDER BY s""".stripMargin).collect()
     assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("r1", "k"), ("r2", "k"), ("r3", "j")))
   }
@@ -65,8 +64,8 @@ class GraftFunctionsSpec extends SparkSuite {
     val out = spark.sql(
       """SELECT g, kpl_aggregate(encode(s, 'UTF-8'), g) AS entries FROM gr GROUP BY g""")
       .selectExpr("g", "explode(entries) AS e")
-      .selectExpr("g", "explode(kpl_deaggregate(e.data)) AS r")
-      .selectExpr("g", "decode(r.data, 'UTF-8') AS s", "r.partition_key AS pk")
+      .selectExpr("g", "kpl_deaggregate_rows(e.data)")
+      .selectExpr("g", "decode(data, 'UTF-8') AS s", "partition_key AS pk")
       .collect()
     assert(out.length === 200)
     assert(out.forall(r => r.getString(2) === r.getString(0)))
@@ -77,8 +76,7 @@ class GraftFunctionsSpec extends SparkSuite {
     Seq(("a", "k"), ("b", "k"), ("c", "j")).toDF("s", "k").createOrReplaceTempView("genrecs")
     val out = spark.sql(
       """WITH packed AS (
-        |  SELECT kpl_pack_ordered(sort_array(collect_list(struct(encode(s,'UTF-8') AS body, k AS key)))) AS entries
-        |  FROM genrecs),
+        |  SELECT kpl_aggregate(encode(s,'UTF-8'), k) AS entries FROM genrecs),
         |e AS (SELECT explode(entries) AS entry FROM packed)
         |SELECT decode(data, 'UTF-8') AS s, partition_key
         |FROM e, LATERAL (SELECT kpl_deaggregate_rows(entry.data))
