@@ -47,12 +47,56 @@ object Checkpoints {
     else rdds.foreach(_.unpersist(blocking = false))
   }
 
-  /** Unpersist every tracked checkpoint (idempotent, non-blocking). */
+  /** Unpersist every tracked checkpoint (idempotent, non-blocking).
+    * [[sharedTable]] entries deliberately survive — see below. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach { df =>
       try release(df)
       catch { case _: Throwable => () } // a stopped session is not an error
     }
     tracked.clear()
+  }
+
+  // ------------------------------------------------------------- shared
+
+  /** Write-once index tables cached per (session, key). Weak session keys:
+    * a stopped, dereferenced session must not be pinned by its cache. */
+  private val shared =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  /** Get-or-build a SHARED materialized table, cached per (session, key).
+    *
+    * Several declared queries read the same expensive derived table (the
+    * dup-cluster label assignment feeds h_dup_clusters, h_dedup_survivors
+    * AND h_curation_funnel); rebuilding it per consumer triples the most
+    * expensive chain in a sequential harness pass. At cluster scale the
+    * same role is a written-once survivor/label table that every
+    * downstream job scans — so the cache IS the 100 TB design, not a
+    * bench trick. `build` must return an already-materialized
+    * (localCheckpointed) frame; entries survive [[releaseAll]] (releasing
+    * a lineage-truncated checkpoint a later consumer still reads would be
+    * unrecoverable) and release only via [[releaseShared]] or session GC.
+    * Key by derivation + source dir: one session can serve several scale
+    * dirs (ScaleStressBench). */
+  def sharedTable(s: org.apache.spark.sql.SparkSession, key: String)
+                 (build: => DataFrame): DataFrame = {
+    val m = synchronized {
+      Option(shared.get(s)).getOrElse {
+        val nm = scala.collection.mutable.Map.empty[String, DataFrame]
+        shared.put(s, nm); nm
+      }
+    }
+    m.synchronized(m.getOrElseUpdate(key, build))
+  }
+
+  /** Release every shared table of every live session (test hygiene). */
+  def releaseShared(): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    shared.values.asScala.foreach(_.values.foreach { df =>
+      try release(df)
+      catch { case _: Throwable => () }
+    })
+    shared.clear()
   }
 }

@@ -15,9 +15,10 @@ class CheckpointHygieneSpec extends SparkSuite {
 
   private def afterRelease(body: => Unit): Int = {
     Checkpoints.releaseAll() // drop anything a previous suite left tracked
+    Checkpoints.releaseShared() // including cross-query shared index tables
     val before = persistentCount
     try body
-    finally Checkpoints.releaseAll()
+    finally { Checkpoints.releaseAll(); Checkpoints.releaseShared() }
     persistentCount - before
   }
 
@@ -77,8 +78,35 @@ class CheckpointHygieneSpec extends SparkSuite {
     assert(leaked == 0, s"$leaked persistent RDDs leaked")
   }
 
+  test("component labels are built once and shared across their three consumers") {
+    Checkpoints.releaseAll()
+    Checkpoints.releaseShared()
+    val base = persistentCount
+    // first consumer builds the shared label table (plus its own tracked
+    // checkpoints, released post-action)
+    TrainingOps.hDupClusters(spark, SparkSpec.sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Checkpoints.releaseAll()
+    val afterFirst = persistentCount
+    assert(afterFirst >= base + 1, "shared label table should survive releaseAll")
+    // the other two consumers must REUSE it: no new persistent blocks
+    // survive their releaseAll
+    TrainingOps.hDedupSurvivors(spark, SparkSpec.sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Checkpoints.releaseAll()
+    TrainingOps.hCurationFunnel(spark, SparkSpec.sf0001)
+      .write.format("noop").mode("overwrite").save()
+    Checkpoints.releaseAll()
+    assert(persistentCount == afterFirst,
+      s"consumers rebuilt the shared table: $afterFirst -> $persistentCount blocks")
+    Checkpoints.releaseShared()
+    assert(persistentCount == base,
+      s"releaseShared left ${persistentCount - base} blocks")
+  }
+
   test("superseded label rounds release inside the loop, not only at the end") {
     Checkpoints.releaseAll()
+    Checkpoints.releaseShared()
     // while hDupClusters runs, the resident snapshot count must stay
     // bounded (shingle table + edges + ≤2 label rounds + result-backing
     // labels), regardless of how many propagation rounds converge takes
