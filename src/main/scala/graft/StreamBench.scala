@@ -59,10 +59,15 @@ object StreamBench {
     * rejecting mismatches with 403. This makes the signed bench row an
     * end-to-end proof: a wrong canonicalization on either side zeroes the
     * throughput instead of silently passing. */
-  final class BenchHttpSink(creds: Option[SigV4.Credentials]) {
+  final class BenchHttpSink(creds: Option[SigV4.Credentials], throttleEvery: Int = 0) {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val verified = new AtomicLong(0)
     val rejected = new AtomicLong(0)
+    /** Chaos mode: every `throttleEvery`-th request loses ALL its records to
+      * `ProvisionedThroughputExceededException` — the sustained-throttle
+      * regime the RetryingTransport must absorb. */
+    val throttledReqs = new AtomicLong(0)
+    private val attempts = new AtomicLong(-1)
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private val seq = new AtomicLong(0)
     private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -86,6 +91,18 @@ object StreamBench {
       val (code, resp) =
         if (!ok) { rejected.incrementAndGet(); 403 ->
           """{"__type":"AccessDeniedException","message":"signature mismatch"}""" }
+        else if (throttleEvery > 0 && attempts.incrementAndGet() % throttleEvery == 0) {
+          throttledReqs.incrementAndGet()
+          val recs = mapper.readTree(body).path("Records")
+          val out = mapper.createObjectNode()
+          out.put("FailedRecordCount", recs.size())
+          val arr = out.putArray("Records")
+          (0 until recs.size()).foreach { _ =>
+            arr.addObject().put("ErrorCode", "ProvisionedThroughputExceededException")
+              .put("ErrorMessage", "chaos throttle")
+          }
+          200 -> mapper.writeValueAsString(out)
+        }
         else {
           verified.incrementAndGet()
           val recs = mapper.readTree(body).path("Records")
@@ -282,13 +299,16 @@ object StreamBench {
     // dedup — isolates state-store cost) | nosink (dedup but discard rows —
     // isolates pack/deliver cost) | http (full pipeline through the real
     // HTTP wire transport) | http_signed (same, plus SigV4 on every request,
-    // server-verified)
+    // server-verified) | http_chaos (same wire, but 1-in-5 requests throttle
+    // whole and the retry/backoff path absorbs them — the chaos-soak stage)
     val stage = sys.env.getOrElse("SPARK_GRAFT_STREAM_STAGE", "full")
     val creds =
       if (stage == "http_signed") Some(SigV4.Credentials("AKIDBENCH", "bench-secret-key"))
       else None
     val httpSink =
-      if (stage == "http" || stage == "http_signed") Some(new BenchHttpSink(creds)) else None
+      if (stage == "http" || stage == "http_signed") Some(new BenchHttpSink(creds))
+      else if (stage == "http_chaos") Some(new BenchHttpSink(None, throttleEvery = 5))
+      else None
     val query = (stage match {
       case "nodedup" =>
         import org.apache.spark.sql.functions._
@@ -314,6 +334,15 @@ object StreamBench {
         StreamPipeline.build(
           input.toDF(),
           new HttpKinesisTransport(httpSink.get.endpoint, credentials = creds),
+          StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L))
+      case "http_chaos" =>
+        // sustained throttle storm (1-in-5 requests rejected whole) absorbed
+        // by the retry/backoff path — the chaos-soak row's delivery stage;
+        // real backoff sleeps ARE part of the measured cost
+        StreamPipeline.build(
+          input.toDF(),
+          new graft.streaming.RetryingTransport(
+            new HttpKinesisTransport(httpSink.get.endpoint), maxRetries = 6),
           StreamPipeline.Options(streamName = "bench", checkpoint = ckpt, triggerMs = 10L))
       case _ =>
         StreamPipeline.build(
@@ -384,11 +413,13 @@ object StreamBench {
       val sec = (System.nanoTime() - t0Soak) / 1e9
       query.stop()
       val recs = CountingTransport.userRecords.get()
+      val soakHttp = httpSink.map(sk =>
+        s""","http_requests_ok":${sk.verified.get()},"http_throttled":${sk.throttledReqs.get()}""").getOrElse("")
       println(
         s"""{"metric":"stream_soak_user_rec_per_sec","value":${(recs / sec).round},"unit":"rec/sec",""" +
         s""""stage":"$stage","state":"${sys.env.getOrElse("SPARK_GRAFT_STATE", "hdfs")}",""" +
         s""""shuffle":$shuffle,"soak_sec":${sec.round},"input_msgs":${gen - 1000},""" +
-        s""""delivered_user_records":$recs,"mb":${CountingTransport.bytes.get() / 1e6},""" +
+        s""""delivered_user_records":$recs,"mb":${CountingTransport.bytes.get() / 1e6}$soakHttp,""" +
         s""""samples":${samples.mkString("[", ",", "]")}}""")
       spark.stop()
       httpSink.foreach(_.stop())
@@ -419,7 +450,7 @@ object StreamBench {
     }.mkString("[", ",", "]")
     val httpStats = httpSink.map(sk =>
       s""","signed":${creds.isDefined},"http_requests_verified":${sk.verified.get()},""" +
-      s""""http_requests_rejected":${sk.rejected.get()}""").getOrElse("")
+      s""""http_requests_rejected":${sk.rejected.get()},"http_throttled":${sk.throttledReqs.get()}""").getOrElse("")
     println(
       s"""{"metric":"stream_user_rec_per_sec","value":${rate.round},"unit":"rec/sec",""" +
       s""""stage":"$stage","shuffle":$shuffle,"input_msgs":${work.length},"delivered_user_records":$userRecords,""" +

@@ -1834,13 +1834,21 @@ object CorpusOps {
     * WindowGroupLimit (map-side top-k per source before the one source
     * exchange). At 100 TB: one map-reduce over tokens, then control-
     * table algebra. */
-  def hCtfidfTopics(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
-    Checkpoints.track(s.sql(
+  /** The (source, term) class-vocabulary table, materialized ONCE per
+    * (session, dir) via [[Checkpoints.sharedTable]] and registered as
+    * `ctfidf_ctf` — [[hCtfidfTopics]] and [[hTopicCoherence]] both read
+    * it (the shared componentLabels discipline: a write-once index table,
+    * not a per-query rebuild). */
+  private def classVocab(s: SparkSession, dir: String): Unit =
+    Checkpoints.sharedTable(s, s"ctfidf_ctf:$dir")(s.sql(
       """SELECT source, t AS term, count(*) AS ctf
         |FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t
         |GROUP BY source, t""".stripMargin)
       .localCheckpoint()).createOrReplaceTempView("ctfidf_ctf")
+
+  def hCtfidfTopics(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    classVocab(s, dir)
     s.sql(
       """WITH ctf AS (SELECT source, term, ctf FROM ctfidf_ctf),
         |ns AS (SELECT count(DISTINCT source) AS nsrc FROM ctf),
@@ -1883,7 +1891,132 @@ object CorpusOps {
       |WHERE rnk <= 3
       |ORDER BY source, rnk""".stripMargin
 
+  // ===================================================== topic coherence
+
+  /** UMass TOPIC-COHERENCE audit of the [[hCtfidfTopics]] labels — the
+    * quality gate run on ANY topic model's output before the labels are
+    * trusted (Mimno et al. 2011): a class's top terms are a coherent
+    * topic only if they actually CO-OCCUR in that class's documents.
+    * Recomputes each source's c-TF-IDF top-3 (the exact bit-length-idf
+    * ranking the labeling query ships) and scores the three ordered
+    * pairs by the UMass statistic — integer micro-ratio
+    * `10⁶·(D(wᵢ,wⱼ)+1) DIV D(wⱼ)` through the engine's bit-length log,
+    * summed — where D counts within-class documents. Reported per class:
+    * the three terms, their document frequencies, all three pair
+    * co-occurrence counts, and the coherence score (higher = terms
+    * travel together = a real topic; a boilerplate/spam class scores
+    * low). Everything BIGINT, so the audit hash-matches cross-engine.
+    *
+    * Scale shape: the class-vocab table comes from the SHARED
+    * `ctfidf_ctf` checkpoint ([[classVocab]] — built once per session,
+    * also serving hCtfidfTopics); the corpus explode for co-occurrence
+    * is filtered by the broadcast 3-terms-per-class panel BEFORE the
+    * distinct, so the flags aggregate sees only panel hits (≤ 3 rows per
+    * (doc, class)); everything downstream is classes-sized. */
+  def hTopicCoherence(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    classVocab(s, dir)
+    s.sql(
+      """WITH top3 AS (
+        |  SELECT source, term, rnk FROM (
+        |    SELECT c.source, c.term,
+        |      row_number() OVER (PARTITION BY c.source
+        |        ORDER BY c.ctf * length(bin((4 * n.nsrc) DIV d.src_df)) DESC,
+        |                 c.term) AS rnk
+        |    FROM ctfidf_ctf c
+        |    JOIN (SELECT term, count(*) AS src_df FROM ctfidf_ctf GROUP BY term) d
+        |      ON c.term = d.term
+        |    CROSS JOIN (SELECT count(DISTINCT source) AS nsrc FROM ctfidf_ctf) n)
+        |  WHERE rnk <= 3),
+        |hits AS (
+        |  SELECT e.source, e.doc_id, p.rnk
+        |  FROM (SELECT source, doc_id, t AS term
+        |        FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t) e
+        |  JOIN top3 p ON e.source = p.source AND e.term = p.term),
+        |flags AS (
+        |  SELECT source, doc_id,
+        |    max(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS a1,
+        |    max(CASE WHEN rnk = 2 THEN 1 ELSE 0 END) AS a2,
+        |    max(CASE WHEN rnk = 3 THEN 1 ELSE 0 END) AS a3
+        |  FROM hits GROUP BY source, doc_id),
+        |agg AS (
+        |  SELECT source,
+        |    sum(a1) AS d1, sum(a2) AS d2, sum(a3) AS d3,
+        |    sum(a1 * a2) AS d12, sum(a1 * a3) AS d13, sum(a2 * a3) AS d23
+        |  FROM flags GROUP BY source),
+        |terms AS (
+        |  SELECT source,
+        |    max(CASE WHEN rnk = 1 THEN term END) AS t1,
+        |    max(CASE WHEN rnk = 2 THEN term END) AS t2,
+        |    max(CASE WHEN rnk = 3 THEN term END) AS t3
+        |  FROM top3 GROUP BY source)
+        |SELECT a.source, t.t1, t.t2, t.t3,
+        |  CAST(a.d1 AS BIGINT) AS d1, CAST(a.d2 AS BIGINT) AS d2,
+        |  CAST(a.d3 AS BIGINT) AS d3,
+        |  CAST(a.d12 AS BIGINT) AS d12, CAST(a.d13 AS BIGINT) AS d13,
+        |  CAST(a.d23 AS BIGINT) AS d23,
+        |  CAST(length(bin(1000000 * (a.d12 + 1) DIV a.d1))
+        |     + length(bin(1000000 * (a.d13 + 1) DIV a.d1))
+        |     + length(bin(1000000 * (a.d23 + 1) DIV a.d2)) AS BIGINT)
+        |    AS coherence
+        |FROM agg a JOIN terms t ON a.source = t.source
+        |ORDER BY a.source""".stripMargin)
+  }
+
+  /** DuckDB twin: identical top-3 ranking, flag algebra and bit-length
+    * UMass statistic. */
+  val hTopicCoherenceSql: String =
+    """WITH ctf AS MATERIALIZED (
+      |  SELECT source, t.term, count(*) AS ctf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  GROUP BY source, t.term),
+      |top3 AS (
+      |  SELECT source, term, rnk FROM (
+      |    SELECT c.source, c.term,
+      |      row_number() OVER (PARTITION BY c.source
+      |        ORDER BY c.ctf * length(bin((4 * n.nsrc) // d.src_df)) DESC,
+      |                 c.term) AS rnk
+      |    FROM ctf c
+      |    JOIN (SELECT term, count(*) AS src_df FROM ctf GROUP BY term) d
+      |      ON c.term = d.term
+      |    CROSS JOIN (SELECT count(DISTINCT source) AS nsrc FROM ctf) n)
+      |  WHERE rnk <= 3),
+      |hits AS (
+      |  SELECT e.source, e.doc_id, p.rnk
+      |  FROM (SELECT source, doc_id, t.term
+      |        FROM documents, unnest(string_split(text, ' ')) AS t(term)) e
+      |  JOIN top3 p ON e.source = p.source AND e.term = p.term),
+      |flags AS (
+      |  SELECT source, doc_id,
+      |    max(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS a1,
+      |    max(CASE WHEN rnk = 2 THEN 1 ELSE 0 END) AS a2,
+      |    max(CASE WHEN rnk = 3 THEN 1 ELSE 0 END) AS a3
+      |  FROM hits GROUP BY source, doc_id),
+      |agg AS (
+      |  SELECT source,
+      |    sum(a1) AS d1, sum(a2) AS d2, sum(a3) AS d3,
+      |    sum(a1 * a2) AS d12, sum(a1 * a3) AS d13, sum(a2 * a3) AS d23
+      |  FROM flags GROUP BY source),
+      |terms AS (
+      |  SELECT source,
+      |    max(CASE WHEN rnk = 1 THEN term END) AS t1,
+      |    max(CASE WHEN rnk = 2 THEN term END) AS t2,
+      |    max(CASE WHEN rnk = 3 THEN term END) AS t3
+      |  FROM top3 GROUP BY source)
+      |SELECT a.source, t.t1, t.t2, t.t3,
+      |  CAST(a.d1 AS BIGINT) AS d1, CAST(a.d2 AS BIGINT) AS d2,
+      |  CAST(a.d3 AS BIGINT) AS d3,
+      |  CAST(a.d12 AS BIGINT) AS d12, CAST(a.d13 AS BIGINT) AS d13,
+      |  CAST(a.d23 AS BIGINT) AS d23,
+      |  CAST(length(bin(1000000 * (a.d12 + 1) // a.d1))
+      |     + length(bin(1000000 * (a.d13 + 1) // a.d1))
+      |     + length(bin(1000000 * (a.d23 + 1) // a.d2)) AS BIGINT)
+      |    AS coherence
+      |FROM agg a JOIN terms t ON a.source = t.source
+      |ORDER BY a.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_topic_coherence" -> (hTopicCoherence _),
     "h_ctfidf_topics" -> (hCtfidfTopics _),
     "h_zipf_audit" -> (hZipfAudit _),
     "h_percentile_norm" -> (hPercentileNorm _),
@@ -1904,6 +2037,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_topic_coherence" -> hTopicCoherenceSql,
     "h_ctfidf_topics" -> hCtfidfTopicsSql,
     "h_zipf_audit" -> hZipfAuditSql,
     "h_percentile_norm" -> hPercentileNormSql,

@@ -3351,6 +3351,100 @@ object LlmOps {
       |FROM dc d JOIN tc t ON d.lang = t.lang
       |ORDER BY d.lang""".stripMargin
 
+  // ===================================================== Chao dup estimate
+
+  /** Capture-recapture DUPLICATE-MASS estimator — the sample-based
+    * planning number a dedup run is budgeted from BEFORE anyone pays for
+    * the full corpus pass: draw a deterministic ~20 % record sample
+    * (md5 of the doc_id, so duplicate CLASSES are sampled per-copy, not
+    * per-class), count how many distinct texts the sample shows and how
+    * many of them appeared exactly once (f1) and exactly twice (f2), and
+    * extrapolate the corpus' true distinct-text count with the
+    * bias-corrected Chao1 lower bound `d_obs + f1·(f1−1) DIV (2·(f2+1))`
+    * (Chao 1984 — the standard unseen-species estimator, integer-exact
+    * here). The audit column: the TRUE distinct count over the full
+    * replay-doubled ingest ([[hDedupExact]]'s at-least-once corpus, so
+    * real duplicate mass exists to estimate) and the estimator's relative
+    * error in milli — the evidence table for "how much dedup will save"
+    * from a 20 % scan. All BIGINT.
+    *
+    * Scale shape: the sample arm is a hash-filtered scan into a
+    * text-keyed aggregate (sample-sized); the truth arm is one distinct
+    * aggregate over the corpus (the audit's cost, dropped in production
+    * where the estimate is the point); both collapse to per-lang rows
+    * before the final lang-keyed join of two dimension-sized tables. */
+  def hDupChao(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH ingest AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |samp AS (
+        |  SELECT lang, text, count(*) AS f
+        |  FROM ingest
+        |  WHERE CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10)
+        |        AS BIGINT) < 51
+        |  GROUP BY lang, text),
+        |sa AS (
+        |  SELECT lang, sum(f) AS n_sampled, count(*) AS d_obs,
+        |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1,
+        |    sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2
+        |  FROM samp GROUP BY lang),
+        |tr AS (
+        |  SELECT lang, count(DISTINCT text) AS true_d, count(*) AS n_docs
+        |  FROM ingest GROUP BY lang)
+        |SELECT sa.lang,
+        |  CAST(tr.n_docs AS BIGINT) AS n_docs,
+        |  CAST(sa.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(sa.d_obs AS BIGINT) AS d_obs,
+        |  CAST(sa.f1 AS BIGINT) AS f1,
+        |  CAST(sa.f2 AS BIGINT) AS f2,
+        |  CAST(sa.d_obs + sa.f1 * (sa.f1 - 1) DIV (2 * (sa.f2 + 1)) AS BIGINT)
+        |    AS chao_est,
+        |  CAST(tr.true_d AS BIGINT) AS true_distinct,
+        |  CAST(1000 * abs(sa.d_obs + sa.f1 * (sa.f1 - 1) DIV (2 * (sa.f2 + 1))
+        |       - tr.true_d) DIV tr.true_d AS BIGINT) AS err_milli
+        |FROM sa JOIN tr ON sa.lang = tr.lang
+        |ORDER BY sa.lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical sample rule and estimator algebra. */
+  val hDupChaoSql: String =
+    """WITH ingest AS MATERIALIZED (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |samp AS (
+      |  SELECT lang, text, count(*) AS f
+      |  FROM ingest
+      |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+      |        AS BIGINT) < 51
+      |  GROUP BY lang, text),
+      |sa AS (
+      |  SELECT lang, sum(f) AS n_sampled, count(*) AS d_obs,
+      |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1,
+      |    sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2
+      |  FROM samp GROUP BY lang),
+      |tr AS (
+      |  SELECT lang, count(DISTINCT text) AS true_d, count(*) AS n_docs
+      |  FROM ingest GROUP BY lang)
+      |SELECT sa.lang,
+      |  CAST(tr.n_docs AS BIGINT) AS n_docs,
+      |  CAST(sa.n_sampled AS BIGINT) AS n_sampled,
+      |  CAST(sa.d_obs AS BIGINT) AS d_obs,
+      |  CAST(sa.f1 AS BIGINT) AS f1,
+      |  CAST(sa.f2 AS BIGINT) AS f2,
+      |  CAST(sa.d_obs + sa.f1 * (sa.f1 - 1) // (2 * (sa.f2 + 1)) AS BIGINT)
+      |    AS chao_est,
+      |  CAST(tr.true_d AS BIGINT) AS true_distinct,
+      |  CAST(1000 * abs(sa.d_obs + sa.f1 * (sa.f1 - 1) // (2 * (sa.f2 + 1))
+      |       - tr.true_d) // tr.true_d AS BIGINT) AS err_milli
+      |FROM sa JOIN tr ON sa.lang = tr.lang
+      |ORDER BY sa.lang""".stripMargin
+
   // ======================================================== OOV curve
 
   /** Tokenizer VOCAB-SIZE decision curve — the number a tokenizer budget
@@ -3424,6 +3518,7 @@ object LlmOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_knn_graph" -> (hKnnGraph _),
     "h_dedup_impact" -> (hDedupImpact _),
+    "h_dup_chao" -> (hDupChao _),
     "h_oov_curve" -> (hOovCurve _),
     "h_dedup_exact" -> (hDedupExact _),
     "h_dedup_bloom" -> (hDedupBloom _),
@@ -3469,6 +3564,7 @@ object LlmOps {
   def oracle: Map[String, String] = Map(
     "h_knn_graph" -> hKnnGraphSql,
     "h_dedup_impact" -> hDedupImpactSql,
+    "h_dup_chao" -> hDupChaoSql,
     "h_oov_curve" -> hOovCurveSql,
     "h_ann_lsh" -> hAnnLshSql,
     "h_ann_ivf" -> hAnnIvfSql,

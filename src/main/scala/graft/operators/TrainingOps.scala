@@ -687,6 +687,90 @@ object TrainingOps {
       |  max(tokens) AS max_chunk_tokens, max(n_docs) AS max_chunk_docs
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==================================================== batch bucketing
+
+  /** Length-bucketed BATCHING efficiency — the training-loader decision
+    * [[hPaddingWaste]] prices per document and [[hSeqPacking]] solves by
+    * concatenation: when documents must stay ISOLATED (fine-tuning,
+    * instruction data), a batch of B sequences pads every member to the
+    * batch max, so the loader's ORDER decides the bill. Two orderings
+    * are priced side by side on identical batches of B = 8 per language:
+    * `random` (deterministic content-hash order — what a shuffled loader
+    * does) and `bucketed` (ascending token length, hash tie-break — the
+    * sorted-batching / "length bucketing" trick every serious trainer
+    * ships). Reported per language: batch census, the exact padded-token
+    * rate of each arm in milli, and the savings — the table that decides
+    * whether the loader grows a bucketing stage. All integer (`B·max −
+    * Σtok` per batch; rates cross-multiplied).
+    *
+    * Scale shape: tokens count scan-local; BOTH row_number windows and
+    * BOTH (lang, batch) aggregates cluster on the same lang key, so the
+    * whole comparison rides ONE lang exchange (subset clustering); the
+    * per-lang rollup join is lang-keyed on dimension-sized tables. At
+    * 100 TB this is exactly how a sorted loader plans its epochs: one
+    * sort-within-language pass, batch ids by position. */
+  def hBatchBucketing(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT lang, CAST(size(split(text, ' ')) AS BIGINT) AS tok,
+        |    CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, tok,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY draw, tok) - 1) DIV 8 AS rb,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY tok, draw) - 1) DIV 8 AS lb
+        |  FROM d),
+        |ra AS (SELECT lang, rb, count(*) AS n, max(tok) AS mx, sum(tok) AS st
+        |       FROM r GROUP BY lang, rb),
+        |la AS (SELECT lang, lb, count(*) AS n, max(tok) AS mx, sum(tok) AS st
+        |       FROM r GROUP BY lang, lb),
+        |rr AS (SELECT lang, count(*) AS nb, sum(n) AS nd, sum(st) AS tok,
+        |         sum(n * mx - st) AS pad, sum(n * mx) AS slots
+        |       FROM ra GROUP BY lang),
+        |lr AS (SELECT lang, sum(n * mx - st) AS pad, sum(n * mx) AS slots
+        |       FROM la GROUP BY lang)
+        |SELECT rr.lang,
+        |  CAST(rr.nd AS BIGINT) AS n_docs,
+        |  CAST(rr.nb AS BIGINT) AS n_batches,
+        |  CAST(rr.tok AS BIGINT) AS total_tokens,
+        |  CAST(1000 * rr.pad DIV rr.slots AS BIGINT) AS random_pad_milli,
+        |  CAST(1000 * lr.pad DIV lr.slots AS BIGINT) AS bucketed_pad_milli,
+        |  CAST(rr.pad - lr.pad AS BIGINT) AS tokens_saved
+        |FROM rr JOIN lr ON rr.lang = lr.lang
+        |ORDER BY rr.lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical orderings and batch algebra. */
+  val hBatchBucketingSql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    CAST(concat('0x', substring(md5(text), 1, 6)) AS BIGINT) AS draw
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, tok,
+      |    (row_number() OVER (PARTITION BY lang ORDER BY draw, tok) - 1) // 8 AS rb,
+      |    (row_number() OVER (PARTITION BY lang ORDER BY tok, draw) - 1) // 8 AS lb
+      |  FROM d),
+      |ra AS (SELECT lang, rb, count(*) AS n, max(tok) AS mx, sum(tok) AS st
+      |       FROM r GROUP BY lang, rb),
+      |la AS (SELECT lang, lb, count(*) AS n, max(tok) AS mx, sum(tok) AS st
+      |       FROM r GROUP BY lang, lb),
+      |rr AS (SELECT lang, count(*) AS nb, sum(n) AS nd, sum(st) AS tok,
+      |         sum(n * mx - st) AS pad, sum(n * mx) AS slots
+      |       FROM ra GROUP BY lang),
+      |lr AS (SELECT lang, sum(n * mx - st) AS pad, sum(n * mx) AS slots
+      |       FROM la GROUP BY lang)
+      |SELECT rr.lang,
+      |  CAST(rr.nd AS BIGINT) AS n_docs,
+      |  CAST(rr.nb AS BIGINT) AS n_batches,
+      |  CAST(rr.tok AS BIGINT) AS total_tokens,
+      |  CAST(1000 * rr.pad // rr.slots AS BIGINT) AS random_pad_milli,
+      |  CAST(1000 * lr.pad // lr.slots AS BIGINT) AS bucketed_pad_milli,
+      |  CAST(rr.pad - lr.pad AS BIGINT) AS tokens_saved
+      |FROM rr JOIN lr ON rr.lang = lr.lang
+      |ORDER BY rr.lang""".stripMargin
+
   // ==================================================== chunking
 
   /** Overlapping-window document chunking — the RAG-indexing / long-doc
@@ -2496,6 +2580,7 @@ object TrainingOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_batch_bucketing" -> (hBatchBucketing _),
     "h_minhash_band_design" -> (hMinhashBandDesign _),
     "h_prefix_cache" -> (hPrefixCache _),
     "h_simjoin_prefix" -> (hSimjoinPrefix _),
@@ -2528,6 +2613,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_batch_bucketing" -> hBatchBucketingSql,
     "h_minhash_band_design" -> hMinhashBandDesignSql,
     "h_prefix_cache" -> hPrefixCacheSql,
     "h_simjoin_prefix" -> hSimjoinPrefixSql,

@@ -16,14 +16,17 @@ import org.apache.spark.sql.SparkSession
   *    data instead of every doc becoming a K-clique (which would send
   *    LSH candidate-pair counts quadratic and measure a different,
   *    pathological workload);
-  *  - replica ids stride by 10,000: doc_ids stay under the 1,000,000
-  *    mutation offset the dup-cluster pipelines use internally, and
-  *    replica embeddings keep vec_id ≥ 10,000 so the IVF seed/training
-  *    predicates (vec_id < 16 / < 256) still select exactly the
-  *    replica-0 vectors — index-build semantics are unchanged;
-  *  - replica r>0 embeddings are rotated by pmod(r, 63)+1 positions
-  *    (injective for K ≤ 64, enforced) — distinct vectors with the
-  *    source norm distribution;
+  *  - replica ids stride by 6,000 (> max source doc_id): doc_ids stay
+  *    under the 1,000,000 mutation offset the dup-cluster pipelines use
+  *    internally up to K=166, and replica embeddings keep vec_id ≥ 6,000
+  *    so the IVF seed/training predicates (vec_id < 16 / < 256) still
+  *    select exactly the replica-0 vectors — index-build semantics are
+  *    unchanged;
+  *  - replica r>0 embeddings are rotated by pmod(r, 63)+1 positions,
+  *    composed past r=63 with a norm-preserving sign-flip class
+  *    (negate-all for r 64–126, negate-even-dims for 127–189) — 189
+  *    distinct isometries, so replicas are distinct vectors with the
+  *    source norm distribution (enforced);
   *  - n_chars is recomputed so `length(text) = n_chars` invariants hold.
   *
   * `sbt "runMain graft.tools.ScaleStressBench [k1,k2,...]"` (default
@@ -164,21 +167,29 @@ object ScaleStressBench {
   // expected block size — and per-block pair cost — within ~2.5× of the
   // linear target at any K.
 
-  private val stride = 10000L
+  // 6,000 > max source doc_id (5,000 at sf0.1): replicas stay distinct,
+  // and (K-1)·stride + max(doc_id) stays under the 1,000,000 replay/
+  // mutation offset the dup-cluster pipelines add internally up to K=166
+  // (round 18: was 10,000, which capped the ladder at K=100 — the K=160
+  // rung the 100 TB extrapolation needed could not be built)
+  private val stride = 6000L
 
   def buildScaled(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
-    // 63 distinct non-zero rotations exist for a 64-dim vector, so replica
-    // rotations are injective only for K-1 <= 63; beyond that replicas
-    // repeat verbatim and the corpus degenerates into exact-dup cliques —
-    // exactly the pathology the replication scheme exists to avoid
-    require(k <= 64, s"K=$k would reuse embedding rotations (max 64)")
+    // 63 distinct non-zero rotations exist for a 64-dim vector; past 64
+    // replicas each rotation is composed with one of three norm-preserving
+    // sign-flip classes (identity / negate-all / negate-even-dims), giving
+    // 189 distinct isometries — beyond THAT replicas would repeat verbatim
+    // and the corpus degenerates into exact-dup cliques, exactly the
+    // pathology the replication scheme exists to avoid
+    require(k <= 166, s"K=$k: replica doc_ids would cross the 1e6 mutation offset (max 166)")
+    require(k <= 189, s"K=$k would reuse embedding isometries (max 189)")
     val fs = new java.io.File(outDir)
     val marker = new java.io.File(fs, "_built")
     // the marker records the SOURCE dir + replicator version: a rerun with
     // a different SPARK_GRAFT_SF_DIR (or an older scaled layout — v2 added
     // orders/events, v3 added lineitem + held dims) must rebuild, not
     // silently reuse stale data
-    val markerContent = s"$srcDir v3"
+    val markerContent = s"$srcDir v4" // v4: stride 6000 + flip-composed rotations past K=64
     if (marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == markerContent)
       return
@@ -199,10 +210,15 @@ object ScaleStressBench {
     spark.sql(
       s"""SELECT vec_id + r * ${stride}L AS vec_id,
          |  CASE WHEN r = 0 THEN embedding
-         |       ELSE concat(slice(embedding, pmod(r, 63) + 2, size(embedding) - pmod(r, 63) - 1),
-         |                   slice(embedding, 1, pmod(r, 63) + 1))
+         |       WHEN r <= 63 THEN rot
+         |       WHEN r <= 126 THEN transform(rot, x -> -x)
+         |       ELSE transform(rot, (x, i) -> CASE WHEN i % 2 = 0 THEN -x ELSE x END)
          |  END AS embedding, label
-         |FROM src_embeds LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r""".stripMargin)
+         |FROM (
+         |  SELECT vec_id, r, label, embedding,
+         |    concat(slice(embedding, pmod(r, 63) + 2, size(embedding) - pmod(r, 63) - 1),
+         |           slice(embedding, 1, pmod(r, 63) + 1)) AS rot
+         |  FROM src_embeds LATERAL VIEW explode(sequence(0, ${k - 1})) t AS r)""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // orders/events replicas (round 13, for the ANALYZE/active-user stress

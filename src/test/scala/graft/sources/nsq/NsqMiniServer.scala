@@ -91,35 +91,61 @@ final class NsqMiniServer {
   }
 
   /** Deliver queued messages to connections with spare in-flight capacity,
-    * round-robin — nsqd's messagePump picks any eligible client. */
+    * round-robin — nsqd's messagePump picks any eligible client.
+    *
+    * Round-18 fix: the old loop reset its stall counter even when the
+    * write FAILED, so a stale snapshot of dead connections span forever —
+    * write → IOException → dropConn (requeue) → retry the same dead conn —
+    * while holding `deliverLock`, which also blocks every FIN/REQ handler
+    * (the ChaosPipelineSpec connection-kill storm found it: tens of
+    * millions of phantom requeues per minute and frozen FIN accounting).
+    * Now each full pass re-snapshots live connections and the loop exits
+    * once a pass delivers nothing. */
   private def maybeDeliver(): Unit = deliverLock.synchronized {
-    val cs = conns.asScala.toVector
-    if (cs.isEmpty) return
-    var spin = 0
-    while (!pending.isEmpty && spin < cs.size) {
-      val c = cs(rr % cs.size); rr += 1
-      if (c.inFlight.size < c.ready) {
-        val m = pending.poll()
-        if (m != null) {
-          c.inFlight.put(m.id, m)
-          try c.writeLock.synchronized(writeFrame(c.out, FrameMessage, encodeMessage(m)))
-          catch { case _: java.io.IOException => dropConn(c) }
-          spin = 0
+    var progress = true
+    while (!pending.isEmpty && progress) {
+      progress = false
+      val cs = conns.asScala.toVector
+      if (cs.isEmpty) return
+      var i = 0
+      while (!pending.isEmpty && i < cs.size) {
+        val c = cs(rr % cs.size); rr += 1; i += 1
+        if (conns.contains(c) && c.inFlight.size < c.ready) {
+          val m = pending.poll()
+          if (m != null) {
+            c.inFlight.put(m.id, m)
+            try {
+              c.writeLock.synchronized(writeFrame(c.out, FrameMessage, encodeMessage(m)))
+              progress = true
+            } catch { case _: java.io.IOException => dropConn(c) }
+          }
         }
-      } else spin += 1
+      }
     }
   }
+
+  /** Messages requeued because their connection died (chaos evidence,
+    * distinct from [[requeued]] which counts explicit REQ commands). */
+  val connRequeued = new AtomicInteger(0)
 
   /** A dead connection's in-flight messages requeue (nsqd does this on
     * client disconnect) — redelivery to surviving consumers is immediate. */
   private def dropConn(c: Conn): Unit = {
     conns.remove(c)
-    c.inFlight.values.asScala.foreach(m => pending.add(m.copy(attempts = m.attempts + 1)))
+    c.inFlight.values.asScala.foreach { m =>
+      pending.add(m.copy(attempts = m.attempts + 1))
+      connRequeued.incrementAndGet()
+    }
     c.inFlight.clear()
     try c.socket.close() catch { case _: Throwable => () }
   }
 
   def awaitSubscribe(): Unit = subscribed.await()
+
+  /** Chaos hook: kill every live consumer connection (nsqd's behavior on
+    * client timeout/reset) — each connection's un-FINned in-flight
+    * messages requeue for redelivery to whichever consumers reconnect. */
+  def killConnections(): Unit = conns.asScala.toVector.foreach(dropConn)
 
   private val acceptor = new Thread(() => {
     try {
