@@ -652,6 +652,74 @@ object AnalyticsOps {
       |FROM pos GROUP BY term
       |ORDER BY cf DESC, term LIMIT 50""".stripMargin
 
+  // ================================================= index compression
+
+  /** Posting-list COMPRESSION cost model — the index-sizing table read
+    * next to [[hInvertedIndex]] before a 10⁹-doc index is budgeted:
+    * real inverted indexes never store raw 8-byte doc ids; they store
+    * per-term SORTED doc-id GAPS varint-encoded (Lucene/ES's layout),
+    * and the whole economics of an index rests on those gaps being
+    * small. Per language: the exact byte cost of the gap+varint layout
+    * (varint bytes of g = (bitlen(g)+6) DIV 7, first gap = doc_id + 1)
+    * vs the raw fixed-width layout, the compression ratio in milli, and
+    * the gap-magnitude profile (Σ bitlen — the entropy-ish lower-bound
+    * proxy). All integer, so the sizing table hash-matches cross-engine.
+    *
+    * Scale shape: one corpus explode collapses to DISTINCT (lang, term,
+    * doc_id) postings; the gap window partitions by (lang, term) — the
+    * index's own shard key, one exchange — and everything after is a
+    * per-lang rollup. At 100 TB this is exactly the index-build shuffle
+    * itself, with byte accounting riding along for free. */
+  def hIndexCompression(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH dt AS (
+        |  SELECT DISTINCT lang, t AS term, doc_id
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t),
+        |g AS (
+        |  SELECT lang, term,
+        |    coalesce(doc_id - lag(doc_id) OVER (
+        |      PARTITION BY lang, term ORDER BY doc_id), doc_id + 1) AS gap
+        |  FROM dt),
+        |b AS (
+        |  SELECT lang, term, gap,
+        |    (length(bin(gap)) + 6) DIV 7 AS vbytes,
+        |    length(bin(gap)) AS gbits
+        |  FROM g)
+        |SELECT lang,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+        |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+        |  CAST(1000 * sum(vbytes) DIV (8 * count(*)) AS BIGINT) AS ratio_milli,
+        |  CAST(sum(gbits) AS BIGINT) AS total_gap_bits
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** DuckDB twin: identical gap derivation and varint arithmetic. */
+  val hIndexCompressionSql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT lang, t.term, doc_id
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)),
+      |g AS (
+      |  SELECT lang, term,
+      |    coalesce(doc_id - lag(doc_id) OVER (
+      |      PARTITION BY lang, term ORDER BY doc_id), doc_id + 1) AS gap
+      |  FROM dt),
+      |b AS (
+      |  SELECT lang, term, gap,
+      |    (length(bin(gap)) + 6) // 7 AS vbytes,
+      |    length(bin(gap)) AS gbits
+      |  FROM g)
+      |SELECT lang,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+      |  CAST(count(*) AS BIGINT) AS n_postings,
+      |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+      |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST(1000 * sum(vbytes) // (8 * count(*)) AS BIGINT) AS ratio_milli,
+      |  CAST(sum(gbits) AS BIGINT) AS total_gap_bits
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
   // ======================================================= corpus merge
 
   /** MERGE-style corpus upsert — the ACTION h_corpus_diff's accounting
@@ -2737,6 +2805,7 @@ object AnalyticsOps {
     "d_regression" -> (dRegression _),
     "a_compaction_bins" -> (aCompactionBins _),
     "h_inverted_index" -> (hInvertedIndex _),
+    "h_index_compression" -> (hIndexCompression _),
     "h_corpus_merge" -> (hCorpusMerge _),
     "h_supplier_rank" -> (hSupplierRank _),
     "g_anomaly" -> (gAnomaly _)
@@ -2773,6 +2842,7 @@ object AnalyticsOps {
     "d_regression" -> dRegressionSql,
     "a_compaction_bins" -> aCompactionBinsSql,
     "h_inverted_index" -> hInvertedIndexSql,
+    "h_index_compression" -> hIndexCompressionSql,
     "h_corpus_merge" -> hCorpusMergeSql,
     "h_supplier_rank" -> hSupplierRankSql,
     "g_anomaly" -> gAnomalySql

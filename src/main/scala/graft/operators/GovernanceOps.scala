@@ -137,17 +137,78 @@ object GovernanceOps {
 
   val hFuzzyMatchSql: String = fuzzyBody("//")
 
+  // ============================================================ DP release
+
+  /** Differentially-private AGGREGATE RELEASE mechanics — the noised
+    * statistics table a corpus platform publishes when exact per-group
+    * counts are themselves sensitive (the k-anonymity report's
+    * complement: suppress small groups there, noise the released numbers
+    * here), with the ε ledger a privacy review audits. Per (lang,
+    * metric ∈ {docs, tokens}): the true value, a symmetric-geometric
+    * noise draw (the discrete-Laplace family at scale b = 1/ln 2 ⇒
+    * ε = ln 2 per release), the clamped released value, and the
+    * sequential-composition ledger (two releases per lang ⇒ 2·ln 2
+    * spent). The noise is DETERMINISTIC-BY-DRAW so the release is
+    * reproducible and cross-engine exact: the draw is the first 24 md5
+    * bits of (metric | lang); the magnitude is the draw's TRAILING-ZERO
+    * count (a uniform integer's trailing zeros are exactly
+    * Geometric(½): P(k) = 2^(−k−1), capped at 20 by OR-ing bit 20 in),
+    * the sign is draw bit 21 — giving P(0) = ½, P(±k) = 2^(−k−2), the
+    * two-sided geometric ratio-½ ladder (spec-pinned by exhaustive
+    * enumeration). A production system swaps the md5 draw for a real
+    * RNG; every other number in the release is unchanged.
+    *
+    * Scale shape: one scan collapses to |langs|×2 rows; everything after
+    * is control-plane algebra on that dimension-sized table. */
+  def hDpRelease(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(dpReleaseBody(
+      div = "DIV",
+      draw = "CAST(conv(substring(md5(concat(metric, '|', lang)), 1, 6), 16, 10) AS BIGINT)",
+      ntoks = "size(split(text, ' '))"))
+  }
+
+  private def dpReleaseBody(div: String, draw: String, ntoks: String): String =
+    s"""WITH m AS (
+      |  SELECT lang, 'docs' AS metric, CAST(count(*) AS BIGINT) AS true_value
+      |  FROM documents GROUP BY lang
+      |  UNION ALL
+      |  SELECT lang, 'tokens' AS metric, CAST(sum($ntoks) AS BIGINT) AS true_value
+      |  FROM documents GROUP BY lang),
+      |d AS (
+      |  SELECT lang, metric, true_value, $draw AS draw FROM m),
+      |n AS (
+      |  SELECT lang, metric, true_value,
+      |    (CASE WHEN (draw >> 21) & 1 = 1 THEN 1 ELSE -1 END)
+      |      * (length(bin((draw | 1048576) & -(draw | 1048576))) - 1) AS noise
+      |  FROM d)
+      |SELECT lang, metric, true_value,
+      |  CAST(noise AS BIGINT) AS noise,
+      |  CAST(greatest(0, true_value + noise) AS BIGINT) AS released,
+      |  CAST(abs(greatest(0, true_value + noise) - true_value) AS BIGINT) AS abs_err,
+      |  CAST(1 AS BIGINT) AS eps_ln2_units,
+      |  CAST(2 AS BIGINT) AS lang_total_eps_ln2
+      |FROM n ORDER BY lang, metric""".stripMargin
+
+  /** DuckDB twin: identical draw, trailing-zeros noise and ledger. */
+  val hDpReleaseSql: String = dpReleaseBody(
+    div = "//",
+    draw = "CAST(concat('0x', substring(md5(concat(metric, '|', lang)), 1, 6)) AS BIGINT)",
+    ntoks = "len(string_split(text, ' '))")
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_k_anonymity" -> (hKAnonymity _),
     "h_dist_drift" -> (hDistDrift _),
-    "h_fuzzy_match" -> (hFuzzyMatch _)
+    "h_fuzzy_match" -> (hFuzzyMatch _),
+    "h_dp_release" -> (hDpRelease _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "h_k_anonymity" -> hKAnonymitySql,
     "h_dist_drift" -> hDistDriftSql,
-    "h_fuzzy_match" -> hFuzzyMatchSql
+    "h_fuzzy_match" -> hFuzzyMatchSql,
+    "h_dp_release" -> hDpReleaseSql
   )
 }

@@ -524,4 +524,31 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(ranked.map(_._2._2).zip(ranked.map(_._2._2).tail).forall { case (a, b) => a >= b },
       "trend rank must follow descending decayed score")
   }
+  test("h_index_compression: varint/gap accounting recomputes exactly from the corpus") {
+    val rows = AnalyticsOps.hIndexCompression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val postings = ds.flatMap { case (id, _, text) => text.split(' ').map(t => (t, id)) }.distinct
+      val byTerm = postings.groupBy(_._1)
+      var vb = 0L; var gb = 0L
+      byTerm.values.foreach { ps =>
+        val ids = ps.map(_._2).sorted
+        val gaps = (ids.head + 1) +: ids.zip(ids.tail).map { case (a, b) => b - a }
+        gaps.foreach { g => vb += (bitlen(g) + 6) / 7; gb += bitlen(g) }
+      }
+      val (nt, np, raw, vbytes, ratio, gbits) = rows(lang)
+      assert(nt == byTerm.size.toLong && np == postings.length.toLong, s"$lang census")
+      assert(raw == 8L * postings.length && vbytes == vb, s"$lang byte accounting")
+      assert(ratio == 1000L * vb / (8L * postings.length), s"$lang ratio")
+      assert(gbits == gb, s"$lang gap bits")
+      // the point of the layout: varint gaps must beat raw 8-byte ids
+      assert(vbytes < raw, s"$lang: varint layout failed to compress")
+    }
+  }
 }

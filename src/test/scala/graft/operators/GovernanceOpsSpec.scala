@@ -61,4 +61,35 @@ class GovernanceOpsSpec extends SparkSuite {
     assert(fuzzyTotal > 0,
       "no matches at all — the blocking key is too fine to ever pair documents")
   }
+
+  test("h_dp_release: noise is the pinned two-sided geometric ladder; ledger and clamp hold") {
+    // exhaustively enumerate the noise mapper over a full dyadic draw
+    // range: trailing zeros of a uniform integer are Geometric(1/2), so
+    // with the cap bit at 2^12 and sign at bit 21 the counts must be
+    // EXACTLY n/2 at 0 and n/2^(k+2) at each of +-k (k < 12)
+    val n = 1 << 16
+    val hist = spark.sql(
+      s"""SELECT noise, count(*) AS c FROM (
+         |  SELECT (CASE WHEN (id >> 21) & 1 = 1 THEN 1 ELSE -1 END)
+         |    * (length(bin((id | 4096) & -(id | 4096))) - 1) AS noise
+         |  FROM (SELECT explode(sequence(0, ${n - 1})) AS id))
+         |GROUP BY noise""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ids 0..65535 never reach bit 21 => sign always -1; fold to magnitude
+    val mag = hist.map { case (k, c) => math.abs(k) -> c }
+    assert(mag(0) === n / 2L)
+    (1 until 12).foreach(k => assert(mag(k) === (n >> (k + 1)).toLong, s"magnitude $k"))
+    assert(mag(12) === (n >> 12).toLong, "cap bin collects the tail")
+
+    val rows = GovernanceOps.hDpRelease(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0, "two releases per lang")
+    rows.foreach { r =>
+      val (tru, noise, released, err, eps, tot) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(released === math.max(0L, tru + noise), "clamp")
+      assert(err === math.abs(released - tru), "abs error")
+      assert(math.abs(noise) <= 20, "noise magnitude capped at 20")
+      assert(eps === 1L && tot === 2L, "epsilon ledger: 1 unit per release, 2 per lang")
+    }
+  }
 }
