@@ -91,7 +91,15 @@ object ScaleStressBench {
     // are distinct and bucket populations stay source-shaped — expected
     // linear. The OOV curve is one token explode into a vocab-sized
     // aggregate (the zipf shape).
-    "h_minhash_band_design", "h_oov_curve")
+    "h_minhash_band_design", "h_oov_curve",
+    // round 18: all five are documents-only. Bucketing is two lang
+    // windows over one exchange; chao is two corpus aggregates; topic
+    // coherence explodes into the shared class-vocab checkpoint + a
+    // panel-filtered flags aggregate; dp_release collapses to langs x 2
+    // rows in one scan; index_compression is the index-build shuffle
+    // itself ((lang, term)-keyed postings window) — all expected linear.
+    "h_batch_bucketing", "h_dup_chao", "h_topic_coherence",
+    "h_dp_release", "h_index_compression")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts
