@@ -854,6 +854,77 @@ object AnalyticsOps {
       |FROM flagged
       |ORDER BY day""".stripMargin
 
+  // ==================================== seasonality-adjusted anomaly
+
+  /** DOW-ADJUSTED anomaly detection — the false-positive fix every
+    * volume alert needs once [[gSeasonality]] has shown the series has a
+    * weekly shape: a raw z-test ([[gAnomaly]]) flags every busy Saturday
+    * of a weekend-heavy product as "anomalous"; the operational test
+    * compares each day against ITS OWN day-of-week population. Both
+    * verdicts are reported side by side per day — the raw global 3σ flag
+    * and the within-dow 3σ flag — using [[gAnomaly]]'s division-cleared
+    * exact-integer z-test `(C·x − S)² > 9·(C·Q − S²)`. The dow column's
+    * moments are LEAVE-ONE-OUT (C−1, S−w, Q−w² of the OTHER days of that
+    * weekday): with only ~4-5 members per weekday a self-included outlier
+    * inflates its own σ so much that max z² = C−1 < 9 — a 3σ flag would
+    * be mathematically impossible — while the LOO form is exact, still
+    * integer, and is the test that actually answers "is today unlike
+    * other Saturdays". Day-of-week is the engine-neutral integer
+    * `epoch_day % 7` (never the 0-vs-1-based dayofweek builtins).
+    * Weekly seasonality is PLANTED deterministically (volume = count ×
+    * (7 + dow), a 7:13 weekday swing) so the adjustment path is
+    * exercised on any input, and the [[gAnomaly]] 3×-max spike day is
+    * appended so the flag path fires in BOTH columns — the gAnomaly
+    * convention.
+    *
+    * Scale shape: ONE corpus aggregate to the calendar-bounded daily
+    * table; every moment after is algebra on ≤ days rows (the dow
+    * moments table is ≤ 7 rows, broadcast back). */
+  def gAnomalySeasonal(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+    // the daily table is referenced by the spike append, both moment
+    // tables and the final join — left as a CTE Spark re-inlines the
+    // EVENTS scan into every reference (measured: 12 exchanges / 6 corpus
+    // scans); checkpointed it is one corpus aggregate and everything
+    // downstream runs on <= days rows
+    Checkpoints.track(s.sql(
+      """SELECT tus DIV 86400000000 AS dd, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)
+      .localCheckpoint()).createOrReplaceTempView("season_daily")
+    s.sql(anomalySeasonalBody("daily AS (SELECT dd, n FROM season_daily)", "DIV"))
+  }
+
+  private def anomalySeasonalBody(dailyCte: String, div: String): String =
+    s"""WITH $dailyCte,
+      |wtd AS (
+      |  SELECT dd, dd % 7 AS dow, n * (7 + dd % 7) AS w FROM daily
+      |  UNION ALL
+      |  SELECT max(dd) + 1 AS dd, (max(dd) + 1) % 7 AS dow,
+      |    3 * max(n * (7 + dd % 7)) AS w
+      |  FROM daily),
+      |mo AS (SELECT dow, count(*) AS c, sum(w) AS s, sum(w * w) AS q
+      |       FROM wtd GROUP BY dow),
+      |gmo AS (SELECT count(*) AS gn, sum(w) AS gs, sum(w * w) AS gq FROM wtd)
+      |SELECT CAST(w.dd AS BIGINT) AS day_num,
+      |  CAST(w.dow AS BIGINT) AS dow,
+      |  CAST(w.w AS BIGINT) AS volume,
+      |  (g.gn * w.w - g.gs) * (g.gn * w.w - g.gs)
+      |    > 9 * (g.gn * g.gq - g.gs * g.gs) AS raw_flag,
+      |  ((m.c - 1) * w.w - (m.s - w.w)) * ((m.c - 1) * w.w - (m.s - w.w))
+      |    > 9 * ((m.c - 1) * (m.q - w.w * w.w) - (m.s - w.w) * (m.s - w.w))
+      |    AS dow_flag,
+      |  CAST(1000 * w.w * m.c $div m.s AS BIGINT) AS vs_dow_mean_milli
+      |FROM wtd w JOIN mo m ON w.dow = m.dow CROSS JOIN gmo g
+      |ORDER BY day_num""".stripMargin
+
+  /** DuckDB twin: identical planted weighting, moments and cleared tests
+    * (MATERIALIZED daily — the checkpoint's role). */
+  val gAnomalySeasonalSql: String =
+    anomalySeasonalBody(
+      """daily AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS dd, count(*) AS n
+        |  FROM events GROUP BY 1)""".stripMargin, "//")
+
   // ============================================== graph centrality
 
   /** Power-iteration centrality over the customer↔supplier trade graph —
@@ -2808,7 +2879,8 @@ object AnalyticsOps {
     "h_index_compression" -> (hIndexCompression _),
     "h_corpus_merge" -> (hCorpusMerge _),
     "h_supplier_rank" -> (hSupplierRank _),
-    "g_anomaly" -> (gAnomaly _)
+    "g_anomaly" -> (gAnomaly _),
+    "g_anomaly_seasonal" -> (gAnomalySeasonal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2845,6 +2917,7 @@ object AnalyticsOps {
     "h_index_compression" -> hIndexCompressionSql,
     "h_corpus_merge" -> hCorpusMergeSql,
     "h_supplier_rank" -> hSupplierRankSql,
-    "g_anomaly" -> gAnomalySql
+    "g_anomaly" -> gAnomalySql,
+    "g_anomaly_seasonal" -> gAnomalySeasonalSql
   )
 }

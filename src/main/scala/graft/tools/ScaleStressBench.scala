@@ -164,7 +164,10 @@ object ScaleStressBench {
     "g_repeat_purchase",
     // round 17 fifth wave: reads ONLY events; the (type, day) histogram
     // is domain-bounded at any K, windows run on it alone.
-    "g_decayed_popularity")
+    "g_decayed_popularity",
+    // round 18: reads ONLY events; one corpus aggregate to the
+    // calendar-bounded daily table, all moments on <= days rows.
+    "g_anomaly_seasonal")
   // h_minhash_calibration entered the stress set in round 12, when its
   // block modulus became auto-sized from the corpus count (see its
   // Scaladoc): with the earlier fixed modulus, K-fold replication

@@ -551,4 +551,34 @@ class AnalyticsOpsSpec extends SparkSuite {
       assert(vbytes < raw, s"$lang: varint layout failed to compress")
     }
   }
+  test("g_anomaly_seasonal: per-dow moments recompute exactly; spike flags in both columns") {
+    val rows = AnalyticsOps.gAnomalySeasonal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // referee: daily counts from the canonical event time
+    val daily = graft.Tables.eventsCanonical(spark, sf)
+      .selectExpr("tus DIV 86400000000 AS dd").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val base = daily.toSeq.map { case (dd, n) => (dd, dd % 7, n * (7 + dd % 7)) }
+    val spikeDd = daily.keys.max + 1
+    val wtd = base :+ ((spikeDd, spikeDd % 7, 3L * base.map(_._3).max))
+    val byDow = wtd.groupBy(_._2)
+    val (gn, gs, gq) = (wtd.size.toLong, wtd.map(_._3).sum, wtd.map(x => x._3 * x._3).sum)
+    val got = rows.toMap
+    wtd.foreach { case (dd, dow, w) =>
+      val grp = byDow(dow)
+      val (c, s, q) = (grp.size.toLong, grp.map(_._3).sum, grp.map(x => x._3 * x._3).sum)
+      val (gdow, gw, rawF, dowF, vs) = got(dd)
+      assert(gdow == dow && gw == w, s"day $dd identity")
+      assert(rawF == ((gn * w - gs) * (gn * w - gs) > 9 * (gn * gq - gs * gs)), s"day $dd raw flag")
+      val (c1, s1, q1) = (c - 1, s - w, q - w * w)
+      assert(dowF == ((c1 * w - s1) * (c1 * w - s1) > 9 * (c1 * q1 - s1 * s1)),
+        s"day $dd dow flag (leave-one-out)")
+      assert(vs == 1000L * w * c / s, s"day $dd vs-mean")
+    }
+    // the planted spike is extreme globally AND within its own weekday
+    val (_, _, spikeRaw, spikeDow, _) = got(spikeDd)
+    assert(spikeRaw && spikeDow, "spike day must flag in both columns")
+  }
 }
