@@ -1138,6 +1138,42 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY yr, qtr""".stripMargin
 
+  /** F2: calendar INTERVAL arithmetic — month addition with end-of-month
+    * clamping (`add_months` ↔ `+ INTERVAL 1 MONTH`, both engines clamp
+    * Jan 31 + 1 month to Feb 28/29), `last_day`, exact days-in-month via
+    * datediff over the month span, and the anniversary-stability check
+    * (day-of-month preserved across +12 months except month-end clamps).
+    * One month-bucketed rollup so every derived date/interval value is
+    * hash-checked, not spot-checked. */
+  def f2Interval(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .selectExpr("CAST(o_orderdate AS DATE) AS d")
+      .selectExpr(
+        "CAST(year(d) * 12 + month(d) AS BIGINT) AS mbucket",
+        "add_months(d, 1) AS nm",
+        "last_day(d) AS ld",
+        "CAST(datediff(last_day(d), CAST(date_trunc('month', d) AS DATE)) + 1 AS BIGINT) AS dim",
+        "CASE WHEN day(d) = day(add_months(d, 12)) THEN 1L ELSE 0L END AS ann")
+      .groupBy(col("mbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nm")).as("first_next_month"),
+        max(col("ld")).as("month_end"),
+        max(col("dim")).as("days_in_month"),
+        sum(col("ann")).as("anniversary_stable"))
+      .orderBy(col("mbucket"))
+
+  val f2IntervalSql: String =
+    """SELECT CAST(year(d) * 12 + month(d) AS BIGINT) AS mbucket,
+      |  count(*) AS n,
+      |  CAST(min(CAST(d + INTERVAL 1 MONTH AS DATE)) AS DATE) AS first_next_month,
+      |  max(last_day(d)) AS month_end,
+      |  CAST(max(datediff('day', date_trunc('month', d), last_day(d)) + 1) AS BIGINT)
+      |    AS days_in_month,
+      |  CAST(sum(CASE WHEN day(d) = day(CAST(d + INTERVAL 12 MONTH AS DATE))
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS anniversary_stable
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |GROUP BY 1 ORDER BY mbucket""".stripMargin
+
   /** F2: math functions — round/abs/ln/sqrt/pow over prices (rounded for
     * cross-engine float determinism). */
   def f2Math(s: SparkSession, dir: String): DataFrame =
@@ -2086,6 +2122,7 @@ object RelationalQueries {
     "f_set_ops" -> (fSetOps _),
     "f2_string" -> (f2String _),
     "f2_date" -> (f2Date _),
+    "f2_interval" -> (f2Interval _),
     "f2_math" -> (f2Math _),
     "f2_array" -> (f2Array _),
     "f2_json" -> (f2Json _),
@@ -2155,6 +2192,7 @@ object RelationalQueries {
     "f_set_ops" -> fSetOpsSql,
     "f2_string" -> f2StringSql,
     "f2_date" -> f2DateSql,
+    "f2_interval" -> f2IntervalSql,
     "f2_math" -> f2MathSql,
     "f2_array" -> f2ArraySql,
     "f2_json" -> f2JsonSql,
