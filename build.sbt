@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNPREFIXED: the driver tails sbt stdout
+// and parses the last JSON line out of a 2000-char window; sbt's default
+// LoggedOutput prefixes every child line with "[info] ", which defeated the
+// parse in every BENCH_r*.json through r18 ("parsed": null). StdoutOutput
+// hands the child process the parent's stdout directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,6 +148,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest 15 of ${results.size}; full set in $out","failed":$fs,"loadavg":{"before":$loadBefore,"after":$loadAfter},"sf":"$sfDir"}"""
+    graft.operators.Checkpoints.releaseShared() // shared tables only release explicitly
     spark.stop() // stop first: any stop-time WARN lines must not land after the compact line
     println(compact)
     if (failed.nonEmpty) sys.exit(1)

@@ -11,8 +11,13 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_MASTER lets the cluster-posture audit run the same dump
+    // on local-cluster[n,c,mem] (multi-JVM executors) — combined with
+    // SPARK_GRAFT_MATERIALIZE=reliable this is the 100 TB deployment shape;
+    // results feed the identical DuckDB hash-compare (BASELINE.md r19).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet's physical ts encoding has drifted across data
@@ -58,6 +63,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.Checkpoints.releaseShared() // shared tables only release explicitly
     spark.stop()
   }
 }

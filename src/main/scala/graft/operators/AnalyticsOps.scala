@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -165,19 +166,19 @@ object AnalyticsOps {
         |  CAST(count(*) AS BIGINT) AS f_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
         |FROM orders GROUP BY o_custkey""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("rfm_cust")
+      .graftCheckpoint()).createOrReplaceTempView("rfm_cust")
     Checkpoints.track(s.sql(
       """SELECT c.ck, CAST(datediff(a.ad, c.last_order) AS BIGINT) AS r_days,
         |  c.f_orders, c.m_cents
         |FROM rfm_cust c
         |CROSS JOIN (SELECT max(last_order) AS ad FROM rfm_cust) a""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("rfm_base")
+      .graftCheckpoint()).createOrReplaceTempView("rfm_base")
     Checkpoints.track(s.sql(
       """SELECT CAST(k AS BIGINT) AS k,
         |  CAST((CAST(k AS BIGINT) * n + 4) DIV 5 AS BIGINT) AS tgt
         |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm_base)
         |LATERAL VIEW explode(sequence(1, 5)) t AS k""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("rfm_targets")
+      .graftCheckpoint()).createOrReplaceTempView("rfm_targets")
     s.sql(rfmBody(spark = true))
   }
 
@@ -364,7 +365,7 @@ object AnalyticsOps {
         |  count(*) AS n
         |FROM events
         |GROUP BY tus DIV 86400000000, (tus DIV 3600000000) % 24""".stripMargin)
-      .localCheckpoint())
+      .graftCheckpoint())
     c.createOrReplaceTempView("day_hour_counts")
     s.sql(
       """WITH tot AS (
@@ -869,7 +870,16 @@ object AnalyticsOps {
     * inflates its own σ so much that max z² = C−1 < 9 — a 3σ flag would
     * be mathematically impossible — while the LOO form is exact, still
     * integer, and is the test that actually answers "is today unlike
-    * other Saturdays". Day-of-week is the engine-neutral integer
+    * other Saturdays". Degenerate-class guard (round-19 advice): a
+    * weekday class with exactly ONE member has no peers, making both
+    * sides of the LOO inequality 0 (`0 > 0` never fires) — on a corpus
+    * spanning under ~2 weeks the planted spike day (always a NEW
+    * weekday) could then never flag. Such classes FALL BACK to the raw
+    * global test: with zero same-weekday peers the seasonal adjustment
+    * is impossible, so the alert degrades to unadjusted rather than
+    * silently never firing — preserving the "spike flags in BOTH
+    * columns" convention at any corpus span.
+    * Day-of-week is the engine-neutral integer
     * `epoch_day % 7` (never the 0-vs-1-based dayofweek builtins).
     * Weekly seasonality is PLANTED deterministically (volume = count ×
     * (7 + dow), a 7:13 weekday swing) so the adjustment path is
@@ -890,7 +900,7 @@ object AnalyticsOps {
     Checkpoints.track(s.sql(
       """SELECT tus DIV 86400000000 AS dd, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("season_daily")
+      .graftCheckpoint()).createOrReplaceTempView("season_daily")
     s.sql(anomalySeasonalBody("daily AS (SELECT dd, n FROM season_daily)", "DIV"))
   }
 
@@ -910,9 +920,13 @@ object AnalyticsOps {
       |  CAST(w.w AS BIGINT) AS volume,
       |  (g.gn * w.w - g.gs) * (g.gn * w.w - g.gs)
       |    > 9 * (g.gn * g.gq - g.gs * g.gs) AS raw_flag,
-      |  ((m.c - 1) * w.w - (m.s - w.w)) * ((m.c - 1) * w.w - (m.s - w.w))
-      |    > 9 * ((m.c - 1) * (m.q - w.w * w.w) - (m.s - w.w) * (m.s - w.w))
-      |    AS dow_flag,
+      |  CASE WHEN m.c <= 1 THEN
+      |    (g.gn * w.w - g.gs) * (g.gn * w.w - g.gs)
+      |      > 9 * (g.gn * g.gq - g.gs * g.gs)
+      |  ELSE
+      |    ((m.c - 1) * w.w - (m.s - w.w)) * ((m.c - 1) * w.w - (m.s - w.w))
+      |      > 9 * ((m.c - 1) * (m.q - w.w * w.w) - (m.s - w.w) * (m.s - w.w))
+      |  END AS dow_flag,
       |  CAST(1000 * w.w * m.c $div m.s AS BIGINT) AS vs_dow_mean_milli
       |FROM wtd w JOIN mo m ON w.dow = m.dow CROSS JOIN gmo g
       |ORDER BY day_num""".stripMargin
@@ -963,7 +977,7 @@ object AnalyticsOps {
     // before the checkpoint — localCheckpoint does not preserve the
     // hash partitioning for the downstream joins here, so the extra
     // exchange costs ~2× and buys nothing.)
-    val edges = Checkpoints.track(und.join(deg, "src").localCheckpoint())
+    val edges = Checkpoints.track(und.join(deg, "src").graftCheckpoint())
     var rank = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
@@ -1132,7 +1146,7 @@ object AnalyticsOps {
         .join(degIn.as("dv"), col("v") === col("dv.node"))
         .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"))
-        .localCheckpoint())
+        .graftCheckpoint())
     val deg = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -1217,13 +1231,13 @@ object AnalyticsOps {
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val out = Checkpoints.track(
       und.join(deg, "src").select(col("src"), col("dst"), col("deg"))
-        .localCheckpoint())
+        .graftCheckpoint())
     val n = out.select(col("src")).distinct().count()
     require(n > 0, "empty co-supply graph")
     val base = 1000000000000L / n
     var p = Checkpoints.track(
       out.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(base).as("p")).localCheckpoint())
+        .select(col("node"), lit(base).as("p")).graftCheckpoint())
     val roundRows = (1 to 8).map { r =>
       val next = Checkpoints.track(
         out.join(p, col("src") === col("node"))
@@ -1231,7 +1245,7 @@ object AnalyticsOps {
           .groupBy(col("dst")).agg(sum(col("c")).as("m"))
           .select(col("dst").as("node"),
             expr(s"(150 * ${base}L + 850 * m) DIV 1000").as("p"))
-          .localCheckpoint())
+          .graftCheckpoint())
       // every node keeps degree >= 1 on an undirected edge list, so the
       // round-over-round node sets are identical and the join is total
       val delta = next.as("b")
@@ -1802,7 +1816,7 @@ object AnalyticsOps {
     Checkpoints.track(s.sql(
       """SELECT l_orderkey AS ok, array_sort(collect_set(l_partkey)) AS ps
         |FROM lineitem GROUP BY l_orderkey""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("basket_grp")
+      .graftCheckpoint()).createOrReplaceTempView("basket_grp")
     s.sql(
       """WITH n AS (SELECT count(*) AS n FROM basket_grp),
         |pc AS (
@@ -1902,17 +1916,17 @@ object AnalyticsOps {
         |       THEN 'A' ELSE 'B' END AS arm,
         |  min(tus) AS t0
         |FROM events WHERE event_type = 'view' GROUP BY user_id, 2""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("ab_v")
+      .graftCheckpoint()).createOrReplaceTempView("ab_v")
     Checkpoints.track(s.sql(
       """SELECT e.user_id, min(e.tus) AS t1
         |FROM events e JOIN ab_v v ON e.user_id = v.user_id AND e.tus > v.t0
         |WHERE e.event_type = 'click' GROUP BY e.user_id""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("ab_c")
+      .graftCheckpoint()).createOrReplaceTempView("ab_c")
     Checkpoints.track(s.sql(
       """SELECT e.user_id, min(e.tus) AS t2
         |FROM events e JOIN ab_c c ON e.user_id = c.user_id AND e.tus > c.t1
         |WHERE e.event_type = 'purchase' GROUP BY e.user_id""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("ab_p")
+      .graftCheckpoint()).createOrReplaceTempView("ab_p")
     s.sql(
       """WITH v AS (SELECT * FROM ab_v),
         |c AS (SELECT * FROM ab_c),
@@ -2184,7 +2198,7 @@ object AnalyticsOps {
         |  count(*) AS hcnt
         |FROM events
         |GROUP BY event_type, (tus DIV 3600000000L) % 168""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("season_hh")
+      .graftCheckpoint()).createOrReplaceTempView("season_hh")
     s.sql(
       """WITH hh AS (SELECT * FROM season_hh),
         |dh AS (SELECT event_type, ((how DIV 24) + 4) % 7 AS dow,
@@ -2533,7 +2547,7 @@ object AnalyticsOps {
     Checkpoints.track(s.sql(
       """SELECT user_id, array_sort(collect_set(event_type)) AS ts
         |FROM events GROUP BY user_id""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("aud_sets")
+      .graftCheckpoint()).createOrReplaceTempView("aud_sets")
     s.sql(
       """WITH singles AS (
         |  SELECT t AS et, count(*) AS n
@@ -2612,7 +2626,7 @@ object AnalyticsOps {
     Checkpoints.track(s.sql(
       """SELECT event_type, tus DIV 86400000000L AS day, count(*) AS cnt
         |FROM events GROUP BY event_type, tus DIV 86400000000L""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("forecast_hist")
+      .graftCheckpoint()).createOrReplaceTempView("forecast_hist")
     s.sql(
       """WITH hist AS (SELECT * FROM forecast_hist),
         |scored AS (
@@ -2766,7 +2780,7 @@ object AnalyticsOps {
         |    AS ds
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment, o.o_custkey""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("repeat_cust")
+      .graftCheckpoint()).createOrReplaceTempView("repeat_cust")
     s.sql(
       """WITH cust AS (SELECT segment, ck, ds FROM repeat_cust),
         |rep AS (

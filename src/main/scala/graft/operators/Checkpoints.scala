@@ -29,6 +29,39 @@ object Checkpoints {
   /** Register a checkpointed DataFrame for post-action release. */
   def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
 
+  /** Materialization backend for every checkpoint site in the engine.
+    *
+    * `SPARK_GRAFT_MATERIALIZE` selects the discipline:
+    *  - `local` (default): `localCheckpoint()` — executor-local,
+    *    unreplicated storage blocks with truncated lineage. Free on
+    *    local[32]; on a real cluster a single executor loss makes the
+    *    blocks unrecoverable-by-design (Spark's own documented caveat),
+    *    which fails the QUERY (retriable at the job layer), never
+    *    corrupts a result.
+    *  - `reliable`: `checkpoint()` to the session's checkpoint dir —
+    *    the cluster deployment mode. Blocks are files on shared storage
+    *    (HDFS/object store on a real cluster), so executor loss
+    *    re-reads instead of failing; lineage truncation semantics are
+    *    identical to localCheckpoint. Costs one write+read of the
+    *    intermediate; measured vs `local` at sf0.1 in BASELINE.md
+    *    (round 19). Checkpoint FILES live until JVM exit (releaseAll
+    *    only unpins memory); a long-lived service would enable
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    *
+    * Both modes return a lineage-truncated, LogicalRDD-backed frame, so
+    * [[release]]/[[releaseAll]] work uniformly. Sites that need
+    * post-action release still wrap the result in [[track]]. */
+  def mat(df: DataFrame): DataFrame =
+    sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local") match {
+      case "reliable" =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft-reliable-ckpt"))
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+
   /** Unpersist every localCheckpoint BACKING an analyzed plan.
     *
     * `Dataset.unpersist` only consults the CacheManager, which never saw a
@@ -57,12 +90,25 @@ object Checkpoints {
     tracked.clear()
   }
 
+  /** `df.graftCheckpoint()` — drop-in replacement for the former direct
+    * `df.localCheckpoint()` call sites, routing through [[mat]] so one env
+    * var flips the whole engine between the local and reliable disciplines. */
+  implicit class MatOps(private val df: DataFrame) extends AnyVal {
+    def graftCheckpoint(): DataFrame = mat(df)
+  }
+
   // ------------------------------------------------------------- shared
 
-  /** Write-once index tables cached per (session, key). Weak session keys:
-    * a stopped, dereferenced session must not be pinned by its cache. */
+  /** Write-once index tables cached per (session, key). Plain strong map
+    * with an EXPLICIT lifecycle: a WeakHashMap keyed by SparkSession cannot
+    * collect here anyway, because the cached DataFrame VALUES strongly
+    * reference their session (`Dataset.sparkSession`), so every entry kept
+    * its key reachable and the "released on session GC" claim was false
+    * (round-18 advice). Long-lived mains (Bench, Verify, StreamBench,
+    * ScaleStressBench) call [[releaseShared]] before stopping; tests do the
+    * same in afterAll. */
   private val shared =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.HashMap[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]
 
   /** Get-or-build a SHARED materialized table, cached per (session, key).
@@ -76,7 +122,7 @@ object Checkpoints {
     * bench trick. `build` must return an already-materialized
     * (localCheckpointed) frame; entries survive [[releaseAll]] (releasing
     * a lineage-truncated checkpoint a later consumer still reads would be
-    * unrecoverable) and release only via [[releaseShared]] or session GC.
+    * unrecoverable) and release ONLY via an explicit [[releaseShared]].
     * Key by derivation + source dir: one session can serve several scale
     * dirs (ScaleStressBench). */
   def sharedTable(s: org.apache.spark.sql.SparkSession, key: String)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -366,14 +367,14 @@ object CorpusOps {
         |    ORDER BY rel DESC, d_id) AS rn
         |  FROM scored)
         |WHERE rn <= 20""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("mmr_cand")
+      .graftCheckpoint()).createOrReplaceTempView("mmr_cand")
     Checkpoints.track(s.sql(
       """SELECT a.q_id, a.d_id AS a_id, b.d_id AS b_id,
         |  CAST(round(round(dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
         |    * 10000e0, 0) AS BIGINT) AS sim_t
         |FROM mmr_cand a JOIN mmr_cand b
         |  ON a.q_id = b.q_id AND a.d_id <> b.d_id""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("mmr_psim")
+      .graftCheckpoint()).createOrReplaceTempView("mmr_psim")
     // round 1: pure relevance. Rounds 2..5 run as a Scala loop with the
     // accumulated pick set checkpointed each round — the single-statement
     // unrolled form re-inlines the pick chain EXPONENTIALLY (p4 = p3 ∪
@@ -386,7 +387,7 @@ object CorpusOps {
         |  SELECT q_id, d_id, rel_t, row_number() OVER (PARTITION BY q_id
         |    ORDER BY rel_t DESC, d_id) AS rn
         |  FROM mmr_cand) x
-        |WHERE rn = 1""".stripMargin).localCheckpoint())
+        |WHERE rn = 1""".stripMargin).graftCheckpoint())
     sel.createOrReplaceTempView("mmr_sel")
     for (k <- 2 to 5) {
       val nxt = s.sql(
@@ -403,7 +404,7 @@ object CorpusOps {
            |    ORDER BY (7 * rel_t - 3 * ms_t) DESC, d_id) AS rn
            |  FROM r) x
            |WHERE rn = 1""".stripMargin)
-      sel = Checkpoints.track(sel.unionAll(nxt).localCheckpoint())
+      sel = Checkpoints.track(sel.unionAll(nxt).graftCheckpoint())
       sel.createOrReplaceTempView("mmr_sel")
     }
     s.sql(
@@ -832,7 +833,7 @@ object CorpusOps {
     Checkpoints.track(s.sql(
       """SELECT lang, CAST(sum(size(split(text, ' '))) AS BIGINT) AS uniq
         |FROM documents GROUP BY lang""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("epoch_u")
+      .graftCheckpoint()).createOrReplaceTempView("epoch_u")
     s.sql(
       """WITH w AS (SELECT lang, uniq,
         |        CAST(floor(sqrt(CAST(uniq AS DOUBLE))) AS BIGINT) AS rw FROM epoch_u),
@@ -1064,7 +1065,7 @@ object CorpusOps {
         |      FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents)
         |      LATERAL VIEW explode(t) e AS tk)
         |GROUP BY lang, tk""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("tokfreq")
+      .graftCheckpoint()).createOrReplaceTempView("tokfreq")
     s.sql(
       """WITH v1 AS (
         |  SELECT lang, tk, rn AS id1 FROM (
@@ -1218,7 +1219,7 @@ object CorpusOps {
         |SELECT s.vec_id, s.blk, s.k0, s.k1, s.k2, s.k3, s.k4, s.k5, s.k6, s.k7,
         |  q.qv, dot_product(q.qv, q.qv) AS nrm2
         |FROM sig s JOIN qarr q ON s.vec_id = q.vec_id""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("cos_sig")
+      .graftCheckpoint()).createOrReplaceTempView("cos_sig")
     s.sql(
       """WITH cosed AS (
         |  SELECT
@@ -1352,7 +1353,7 @@ object CorpusOps {
         |LATERAL VIEW explode(srcs) y AS sb
         |WHERE sa <= sb
         |GROUP BY sa, sb""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("overlap_pairs")
+      .graftCheckpoint()).createOrReplaceTempView("overlap_pairs")
     s.sql(
       """SELECT p.sa AS src_a, p.sb AS src_b, p.n AS n_shared,
         |  CAST(1000L * p.n DIV least(ta.n, tb.n) AS BIGINT)
@@ -1429,7 +1430,7 @@ object CorpusOps {
       GraftFunctions.fnv64a(concat(col("text"), lit("|probe"))).as("k")).distinct()
     val tagged = members.withColumn("is_member", lit(true))
       .unionAll(probes.withColumn("is_member", lit(false)))
-      .localCheckpoint() // four probe passes; never re-derive the key sets
+      .graftCheckpoint() // four probe passes; never re-derive the key sets
     graft.operators.Checkpoints.track(tagged)
     val n = math.max(members.count(), 1L)
     // k = round(b·ln2); micros are (1 − e^(−k/b))^k · 1e6, precomputed
@@ -1525,7 +1526,7 @@ object CorpusOps {
         |FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk
         |WHERE doc_id % 3 = 0
         |GROUP BY CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("qc_weights")
+      .graftCheckpoint()).createOrReplaceTempView("qc_weights")
     s.sql(
       """WITH b AS (
         |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
@@ -1844,7 +1845,7 @@ object CorpusOps {
       """SELECT source, t AS term, count(*) AS ctf
         |FROM documents LATERAL VIEW explode(split(text, ' ')) x AS t
         |GROUP BY source, t""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("ctfidf_ctf")
+      .graftCheckpoint()).createOrReplaceTempView("ctfidf_ctf")
 
   def hCtfidfTopics(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
@@ -1906,6 +1907,13 @@ object CorpusOps {
     * co-occurrence counts, and the coherence score (higher = terms
     * travel together = a real topic; a boilerplate/spam class scores
     * low). Everything BIGINT, so the audit hash-matches cross-engine.
+    * Degenerate-panel guard (round-19 advice): a class whose vocabulary
+    * has under 2 distinct terms leaves t2 NULL and d2 = 0, and an
+    * unguarded `DIV d2` would silently NULL the whole coherence column
+    * for that class; the denominators ride `greatest(d, 1)` in BOTH
+    * engines, so a degenerate class instead surfaces a conspicuous
+    * ~20-bit score next to its NULL terms — visible in the audit rather
+    * than swallowed.
     *
     * Scale shape: the class-vocab table comes from the SHARED
     * `ctfidf_ctf` checkpoint ([[classVocab]] — built once per session,
@@ -1955,9 +1963,9 @@ object CorpusOps {
         |  CAST(a.d3 AS BIGINT) AS d3,
         |  CAST(a.d12 AS BIGINT) AS d12, CAST(a.d13 AS BIGINT) AS d13,
         |  CAST(a.d23 AS BIGINT) AS d23,
-        |  CAST(length(bin(1000000 * (a.d12 + 1) DIV a.d1))
-        |     + length(bin(1000000 * (a.d13 + 1) DIV a.d1))
-        |     + length(bin(1000000 * (a.d23 + 1) DIV a.d2)) AS BIGINT)
+        |  CAST(length(bin(1000000 * (a.d12 + 1) DIV greatest(a.d1, 1)))
+        |     + length(bin(1000000 * (a.d13 + 1) DIV greatest(a.d1, 1)))
+        |     + length(bin(1000000 * (a.d23 + 1) DIV greatest(a.d2, 1))) AS BIGINT)
         |    AS coherence
         |FROM agg a JOIN terms t ON a.source = t.source
         |ORDER BY a.source""".stripMargin)
@@ -2008,9 +2016,9 @@ object CorpusOps {
       |  CAST(a.d3 AS BIGINT) AS d3,
       |  CAST(a.d12 AS BIGINT) AS d12, CAST(a.d13 AS BIGINT) AS d13,
       |  CAST(a.d23 AS BIGINT) AS d23,
-      |  CAST(length(bin(1000000 * (a.d12 + 1) // a.d1))
-      |     + length(bin(1000000 * (a.d13 + 1) // a.d1))
-      |     + length(bin(1000000 * (a.d23 + 1) // a.d2)) AS BIGINT)
+      |  CAST(length(bin(1000000 * (a.d12 + 1) // greatest(a.d1, 1)))
+      |     + length(bin(1000000 * (a.d13 + 1) // greatest(a.d1, 1)))
+      |     + length(bin(1000000 * (a.d23 + 1) // greatest(a.d2, 1))) AS BIGINT)
       |    AS coherence
       |FROM agg a JOIN terms t ON a.source = t.source
       |ORDER BY a.source""".stripMargin

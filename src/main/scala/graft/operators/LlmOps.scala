@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -269,7 +270,7 @@ object LlmOps {
         |SELECT doc_id, array_distinct(transform(sequence(1, size(tokens) - 2),
         |  i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
         |FROM tok WHERE size(tokens) >= 3""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("sh")
+      .graftCheckpoint()).createOrReplaceTempView("sh")
 
   /** Near-dup text dedup via word-3-gram shingles → 64-perm MinHash →
     * 16×4 LSH banding → exact-Jaccard verify (≥ 0.6) on candidates only.
@@ -370,7 +371,7 @@ object LlmOps {
         |SELECT doc_id, is_batch, array_distinct(transform(sequence(1, size(tokens) - 2),
         |  i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1), '|', element_at(tokens, i + 2)))) AS shingles
         |FROM tok WHERE size(tokens) >= 3""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("shinc")
+      .graftCheckpoint()).createOrReplaceTempView("shinc")
     s.sql(
       """WITH sig AS (
         |  SELECT doc_id, is_batch,
@@ -1316,7 +1317,7 @@ object LlmOps {
     * the seeded-Lloyd chain is planned and executed exactly once per
     * invocation (O(1) storage at any corpus size). */
   private def registerIvfPqCentroids(s: SparkSession, dir: String): Unit =
-    Checkpoints.track(ivfCentroids(s, dir, refined = true).localCheckpoint())
+    Checkpoints.track(ivfCentroids(s, dir, refined = true).graftCheckpoint())
       .createOrReplaceTempView("ivfpq_centn")
 
   def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
@@ -1465,7 +1466,7 @@ object LlmOps {
         |  SELECT vec_id, j, slice(r, j * 8 + 1, 8) AS sv
         |  FROM resid LATERAL VIEW explode(sequence(0, 7)) t AS j)
         |SELECT j, array_sort(collect_list(named_struct('code', vec_id, 'cv', sv))) AS cs
-        |FROM rsub GROUP BY j""".stripMargin).localCheckpoint())
+        |FROM rsub GROUP BY j""".stripMargin).graftCheckpoint())
       .createOrReplaceTempView("ivfpq_cb")
 
   /** Registers the checkpointed compressed CODE TABLE `ivfpq_db` — one
@@ -1510,7 +1511,7 @@ object LlmOps {
         |    p -> array_sort(transform(element_at(cb, p.j + 1).cs, e -> named_struct(
         |      'd', dot_product(p.sv, p.sv) - 2 * dot_product(p.sv, e.cv) + dot_product(e.cv, e.cv),
         |      'code', e.code)))[0].code) AS codes
-        |FROM resid CROSS JOIN cba""".stripMargin).localCheckpoint())
+        |FROM resid CROSS JOIN cba""".stripMargin).graftCheckpoint())
       .createOrReplaceTempView("ivfpq_db")
 
   /** The shared compressed-domain query chain, WITH-prefix form ending at
@@ -2831,14 +2832,14 @@ object LlmOps {
         .select(expr("element_at(toks, i)").as("a"), expr("element_at(toks, i + 1)").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
       val top = Checkpoints.track(
-        counts.orderBy(col("n").desc, col("a"), col("b")).limit(1).localCheckpoint())
+        counts.orderBy(col("n").desc, col("a"), col("b")).limit(1).graftCheckpoint())
       rounds += top.select(lit(k.toLong).as("merge_round"),
         col("a").as("lhs"), col("b").as("rhs"), col("n"))
       if (k < 3)
         toks = Checkpoints.track(
           toks.crossJoin(broadcast(top))
             .select(split(expr(bpeFold), " ").as("toks"))
-            .localCheckpoint())
+            .graftCheckpoint())
     }
     rounds.reduce(_ unionAll _).orderBy("merge_round")
   }
@@ -3141,7 +3142,7 @@ object LlmOps {
         |    'neg', -dot_product(v, c.cv) / (sqrt(dot_product(v, v)) * c.cnrm),
         |    'c_id', c.c_id)))[0].c_id AS c_id
         |FROM base CROSS JOIN seedcoll""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("knng_assigned")
+      .graftCheckpoint()).createOrReplaceTempView("knng_assigned")
     Checkpoints.track(s.sql(
       """SELECT c_id, a_id, b_id, la, lb FROM (
         |  SELECT x.c_id, x.vec_id AS a_id, y.vec_id AS b_id,
@@ -3151,7 +3152,7 @@ object LlmOps {
         |  FROM knng_assigned x JOIN knng_assigned y
         |    ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
         |WHERE rn <= 3""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("knng_edges")
+      .graftCheckpoint()).createOrReplaceTempView("knng_edges")
     s.sql(
       """WITH cells AS (
         |  SELECT c_id, count(*) AS n_nodes FROM knng_assigned GROUP BY c_id)
@@ -3277,7 +3278,7 @@ object LlmOps {
         |JOIN (SELECT lang, text, min(doc_id) AS keeper
         |      FROM dedup_ingest GROUP BY lang, text) k
         |  ON d.lang = k.lang AND d.text = k.text""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("dedup_flagged")
+      .graftCheckpoint()).createOrReplaceTempView("dedup_flagged")
     s.sql(
       """WITH f AS (
         |  SELECT doc_id, lang, text, kept, size(split(text, ' ')) AS ntoks

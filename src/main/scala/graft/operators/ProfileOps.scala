@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -620,7 +621,7 @@ object ProfileOps {
         |  transform(array_sort(collect_list(named_struct('i', i, 'm', m))),
         |    p -> p.m) AS mv
         |FROM cent GROUP BY label""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("margin_cent")
+      .graftCheckpoint()).createOrReplaceTempView("margin_cent")
     s.sql(
       """WITH qv AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

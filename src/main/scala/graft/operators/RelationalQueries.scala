@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -740,7 +741,7 @@ object RelationalQueries {
       """SELECT v, count(*) AS c
         |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
         |GROUP BY v""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("eqd_hist")
+      .graftCheckpoint()).createOrReplaceTempView("eqd_hist")
     s.sql(dHistogramEqdepthBody(spark = true))
   }
 
@@ -1856,7 +1857,7 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'EUROPE') ON l_suppkey = s_suppkey
         |GROUP BY l_partkey, l_suppkey""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("offers")
+      .graftCheckpoint()).createOrReplaceTempView("offers")
     s.sql(
       """WITH eu AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -162,11 +163,11 @@ object TrainingOps {
     val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
       .union(pairs.select(col("b_id").as("a"), col("a_id").as("b")))
       .repartition(col("b"))
-      .localCheckpoint() // run the LSH pipeline once, not once per round
+      .graftCheckpoint() // run the LSH pipeline once, not once per round
     // node set = every shingled doc — read from the materialized `sh`
     // (registered by neardupPairs above) instead of re-tokenizing the corpus
     val nodes = s.sql("SELECT doc_id AS n FROM sh")
-    var labels = nodes.select(col("n"), col("n").as("label")).localCheckpoint()
+    var labels = nodes.select(col("n"), col("n").as("label")).graftCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -178,7 +179,7 @@ object TrainingOps {
       val step = labels.join(nbrMin, labels("n") === nbrMin("a"), "left")
         .select(labels("n"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       changed = step.filter(col("label") < col("old_label")).count()
       val next = step.select(col("n"), col("label"))
       // the superseded round's blocks are dead once `changed` (the last
@@ -366,7 +367,7 @@ object TrainingOps {
         |  FROM s1 LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
         |  WHERE size(t) >= 8)
         |SELECT DISTINCT g.doc_id FROM s1_grams g JOIN bench_grams b ON g.gram = b.gram""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("funnel_contam")
+      .graftCheckpoint()).createOrReplaceTempView("funnel_contam")
     // per-lang mixture weights over s3 survivors (small: one row per lang)
     Checkpoints.track(s.sql(
       """WITH train AS (
@@ -380,7 +381,7 @@ object TrainingOps {
         |counts AS (SELECT lang, count(*) AS n FROM s3 GROUP BY lang)
         |SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS rw
         |FROM counts""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("funnel_w")
+      .graftCheckpoint()).createOrReplaceTempView("funnel_w")
     s.sql(
       """WITH train AS (
         |  SELECT doc_id, lang, text, split(text, ' ') AS t
@@ -1578,7 +1579,7 @@ object TrainingOps {
         |    element_at(t, i + 6), element_at(t, i + 7)) AS gram
         |FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
         |WHERE size(t) >= 8""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("gram_index")
+      .graftCheckpoint()).createOrReplaceTempView("gram_index")
     s.sql(
       """WITH tok AS (
         |  SELECT doc_id, lang, split(text, ' ') AS t FROM documents
@@ -2085,7 +2086,7 @@ object TrainingOps {
       // corpus scans wide already; repartition(defaultParallelism) never
       // narrows it
       .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint()).createOrReplaceTempView("cal_sh")
+      .graftCheckpoint()).createOrReplaceTempView("cal_sh")
     s.sql(
       """WITH g AS (
         |  SELECT doc_id,
@@ -2236,7 +2237,7 @@ object TrainingOps {
         |      i -> CAST(conv(substr(md5(concat(element_at(t, i), '|', element_at(t, i + 1), '|', element_at(t, i + 2))), 1, 15), 16, 10) AS BIGINT))) AS shingles
         |  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
         |  WHERE size(t) >= 3)""".stripMargin)
-      .localCheckpoint()).createOrReplaceTempView("pfx_sh")
+      .graftCheckpoint()).createOrReplaceTempView("pfx_sh")
     s.sql(
       """WITH cg AS (
         |  SELECT doc_id, n, gram FROM pfx_sh LATERAL VIEW explode(shingles) e AS gram),
@@ -2430,7 +2431,7 @@ object TrainingOps {
         |    i -> concat(element_at(tokens, i), '|', element_at(tokens, i + 1),
         |                '|', element_at(tokens, i + 2)))) AS shingles
         |FROM tok WHERE size(tokens) >= 3""".stripMargin)
-      .localCheckpoint())
+      .graftCheckpoint())
     sh.createOrReplaceTempView("band_sh")
     sh
   }
@@ -2455,7 +2456,7 @@ object TrainingOps {
   private[graft] def bandSignatures(s: SparkSession, dir: String): DataFrame = {
     bandShingles(s, dir)
     val sig = Checkpoints.track(
-      s.sql(bandSignaturesSql("band_sh")).localCheckpoint())
+      s.sql(bandSignaturesSql("band_sh")).graftCheckpoint())
     sig.createOrReplaceTempView("band_sig")
     sig
   }
