@@ -51,8 +51,12 @@ object Checkpoints {
     * Both modes return a lineage-truncated, LogicalRDD-backed frame, so
     * [[release]]/[[releaseAll]] work uniformly. Sites that need
     * post-action release still wrap the result in [[track]]. */
+  /** Test hook: overrides SPARK_GRAFT_MATERIALIZE within a JVM (specs
+    * can't set env vars; HeavyQueriesClusterSpec flips modes per phase). */
+  @volatile var modeOverride: Option[String] = None
+
   def mat(df: DataFrame): DataFrame =
-    sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local") match {
+    modeOverride.getOrElse(sys.env.getOrElse("SPARK_GRAFT_MATERIALIZE", "local")) match {
       case "reliable" =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty)

@@ -2023,7 +2023,309 @@ object CorpusOps {
       |FROM agg a JOIN terms t ON a.source = t.source
       |ORDER BY a.source""".stripMargin
 
+  // ==================================================== compression screen
+
+  /** COMPRESSION-RATIO GIBBERISH SCREEN — the Gopher/Dolma filter-family
+    * member the suite lacked next to repetition ([[TrainingOps
+    * .hDocRepetition]]) and LM surprisal ([[LlmOps.hLmQuality]]): natural
+    * text compresses into a characteristic band; far BELOW it is
+    * boilerplate/repetition spam, far ABOVE it is base64/minified/
+    * encrypted junk — both poison for a training mix. Real zlib is not
+    * expressible cross-engine, so the screen scores each document with a
+    * deterministic ORDER-0 ENTROPY-CODING BOUND — the character-level
+    * term zlib's Huffman stage exploits — through the engine's exact
+    * bit-length log: `est_bits = Σ_c n_c · bitlen(len DIV n_c)`,
+    * `ratio_milli = 1000 · est_bits DIV (8 · len)` (raw = 8 bits/char).
+    * Verdict bands: ≤ 300‰ repetitive, ≥ 700‰ suspect_noise, else clean
+    * (measured corpus band 517–604‰). Two probe docs are PLANTED per
+    * language so both flag paths fire on any input (the gAnomaly spike
+    * convention): `'aa '×80` scores exactly 166‰ and a 64-distinct-char
+    * string scores exactly 875‰; probe ids derive from the lang bytes so
+    * they never collide with corpus ids. Reported per (lang, verdict):
+    * doc count and the min/max/mean ratio — the band table a filter
+    * threshold review reads.
+    *
+    * Scale shape: ONE char-level explode (≈ n_chars rows) collapsing
+    * map-side into the per-doc ALPHABET-BOUNDED histogram (≤ ~100 rows
+    * per doc), one doc_id-keyed length join riding the same exchange
+    * shape, then a langs×3 aggregate — token-linear, nothing
+    * corpus-squared anywhere. */
+  def hCompressionScreen(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH probes AS (
+        |  SELECT DISTINCT lang,
+        |    -(CAST(ascii(substring(lang, 1, 1)) AS BIGINT) * 256
+        |      + ascii(substring(lang, 2, 1))) AS pid
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT pid, lang, repeat('aa ', 80) FROM probes
+        |  UNION ALL
+        |  SELECT pid - 100000, lang,
+        |    concat_ws('', transform(sequence(0, 63), i -> char(48 + i)))
+        |  FROM probes),
+        |chars AS (
+        |  SELECT doc_id, lang, c
+        |  FROM corpus LATERAL VIEW explode(split(text, '')) t AS c),
+        |hist AS (
+        |  SELECT doc_id, lang, c, count(*) AS nc FROM chars GROUP BY 1, 2, 3),
+        |lens AS (SELECT doc_id, sum(nc) AS len FROM hist GROUP BY 1),
+        |bits AS (
+        |  SELECT h.doc_id, h.lang,
+        |    CAST(sum(h.nc * length(bin(l.len DIV h.nc))) AS BIGINT) AS est_bits,
+        |    max(l.len) AS len
+        |  FROM hist h JOIN lens l ON h.doc_id = l.doc_id GROUP BY 1, 2),
+        |ratio AS (
+        |  SELECT doc_id, lang,
+        |    CAST(1000 * est_bits DIV (8 * len) AS BIGINT) AS rm FROM bits),
+        |verdicts AS (
+        |  SELECT lang, rm,
+        |    CASE WHEN rm <= 300 THEN 'repetitive'
+        |         WHEN rm >= 700 THEN 'suspect_noise'
+        |         ELSE 'clean' END AS verdict
+        |  FROM ratio)
+        |SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(rm) AS min_milli, max(rm) AS max_milli,
+        |  CAST(sum(rm) DIV count(*) AS BIGINT) AS avg_milli
+        |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin)
+  }
+
+  /** DuckDB twin: identical probes (string_agg over a range where Spark
+    * transforms a sequence), char explode, bit-length bound and bands. */
+  val hCompressionScreenSql: String =
+    """WITH probes AS (
+      |  SELECT DISTINCT lang,
+      |    -(CAST(ascii(substring(lang, 1, 1)) AS BIGINT) * 256
+      |      + ascii(substring(lang, 2, 1))) AS pid
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT pid, lang, repeat('aa ', 80) FROM probes
+      |  UNION ALL
+      |  SELECT pid - 100000, lang,
+      |    (SELECT string_agg(chr(CAST(48 + i AS INT)), '' ORDER BY i)
+      |     FROM range(64) t(i))
+      |  FROM probes),
+      |chars AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, '')) AS c FROM corpus),
+      |hist AS (
+      |  SELECT doc_id, lang, c, count(*) AS nc FROM chars GROUP BY 1, 2, 3),
+      |lens AS (SELECT doc_id, sum(nc) AS len FROM hist GROUP BY 1),
+      |bits AS (
+      |  SELECT h.doc_id, h.lang,
+      |    CAST(sum(h.nc * length(bin(l.len // h.nc))) AS BIGINT) AS est_bits,
+      |    max(l.len) AS len
+      |  FROM hist h JOIN lens l ON h.doc_id = l.doc_id GROUP BY 1, 2),
+      |ratio AS (
+      |  SELECT doc_id, lang,
+      |    CAST(1000 * est_bits // (8 * len) AS BIGINT) AS rm FROM bits),
+      |verdicts AS (
+      |  SELECT lang, rm,
+      |    CASE WHEN rm <= 300 THEN 'repetitive'
+      |         WHEN rm >= 700 THEN 'suspect_noise'
+      |         ELSE 'clean' END AS verdict
+      |  FROM ratio)
+      |SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(rm) AS min_milli, max(rm) AS max_milli,
+      |  CAST(sum(rm) // count(*) AS BIGINT) AS avg_milli
+      |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+
+  // ==================================================== domain rollup
+
+  /** URL CANONICALIZATION + eTLD+1 DOMAIN ROLLUP — the missing half of
+    * [[TrainingOps.hDomainCap]]'s cap policy: a crawl pipeline caps by
+    * REGISTRABLE DOMAIN (the public-suffix-list eTLD+1 — `co.uk` is a
+    * suffix, `bbc.co.uk` is the capping unit), and before any domain can
+    * be counted its URLs must be canonicalized, because a re-crawl
+    * stores the same resource under case/`www.`/default-port/tracking-
+    * param/fragment noise. The testdata carries no URL column, so each
+    * document's crawl URL is SYNTHESIZED deterministically from
+    * (source, lang, doc_id) via md5-digit draws — scheme, optional
+    * `www.`, a public suffix from {com, org, net, co.uk, com.au,
+    * github.io}, upper-case noise, default/explicit/:8080 ports, utm_*
+    * tracking params in both positions, fragments — plus ONE re-crawl
+    * variant per URL (different surface form, same resource), built
+    * identically in both engines so the PARSING is what's under test.
+    *
+    * Canonicalization spec: strip fragment → drop `utm_*` params
+    * (keeping real ones) → lowercase host → strip one leading `www.` →
+    * drop scheme-default ports (443/https, 80/http), keep others. eTLD+1:
+    * longest public-suffix match from the list above, plus one label.
+    * Rollup per registrable domain: docs, raw vs canonical URL counts
+    * (canonical == docs is the collapse invariant the re-crawl variants
+    * prove), distinct hosts, corpus share in ‰, and the ≥1% cap flag —
+    * the [[TrainingOps.hDomainCap]] decision input at the right
+    * granularity.
+    *
+    * Scale shape: scan-local string algebra (md5, regexp) per document,
+    * one UNION ALL doubling, then ONE etld1-keyed aggregate with
+    * map-side partials; the corpus-total is a 1-row scalar subquery
+    * (broadcast). Nothing but the domain-cardinality table crosses an
+    * exchange — linear at any K. */
+  def hDomainRollup(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH seed AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(concat(source, ':', CAST(doc_id AS STRING))) AS h
+        |  FROM documents),
+        |dig AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(conv(substring(h, 1, 1), 16, 10) AS BIGINT) AS d1,
+        |    CAST(conv(substring(h, 2, 1), 16, 10) AS BIGINT) AS d2,
+        |    CAST(conv(substring(h, 3, 1), 16, 10) AS BIGINT) AS d3,
+        |    CAST(conv(substring(h, 4, 1), 16, 10) AS BIGINT) AS d4,
+        |    CAST(conv(substring(h, 5, 1), 16, 10) AS BIGINT) AS d5,
+        |    CAST(conv(substring(h, 6, 1), 16, 10) AS BIGINT) AS d6
+        |  FROM seed),
+        |parts AS (
+        |  SELECT doc_id, d1, d2, d3, d5,
+        |    CASE WHEN d1 % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+        |    concat(source, '-', lang, '.',
+        |      CASE d4 % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+        |                  WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au'
+        |                  ELSE 'github.io' END) AS hostbase,
+        |    CASE WHEN d6 % 3 = 0 THEN concat('?utm_source=feed&ref=', lang)
+        |         WHEN d6 % 3 = 1 THEN concat('?id=', CAST(doc_id AS STRING), '&utm_campaign=x')
+        |         ELSE '' END AS q,
+        |    concat('/p/', CAST(doc_id AS STRING)) AS pth
+        |  FROM dig),
+        |raw AS (
+        |  SELECT doc_id, concat(scheme, '://',
+        |    CASE WHEN d3 % 4 = 0
+        |      THEN upper(concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase))
+        |      ELSE concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase) END,
+        |    CASE WHEN d5 % 4 = 0 THEN CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END
+        |         WHEN d5 % 4 = 1 THEN ':8080' ELSE '' END,
+        |    pth, q, CASE WHEN d1 % 3 = 0 THEN '#sec1' ELSE '' END) AS url
+        |  FROM parts
+        |  UNION ALL
+        |  SELECT doc_id, concat(scheme, '://WWW.', upper(hostbase),
+        |    CASE WHEN d5 % 4 = 1 THEN ':8080'
+        |         ELSE CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END END,
+        |    pth,
+        |    CASE WHEN q = '' THEN '?utm_medium=rss' ELSE concat(q, '&utm_medium=rss') END,
+        |    '#top') AS url
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(url,
+        |      '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') AS u1
+        |  FROM raw),
+        |cparts AS (
+        |  SELECT doc_id,
+        |    regexp_extract(u1, '^(https?)://', 1) AS sch,
+        |    regexp_replace(lower(regexp_extract(u1, '^https?://([^/:?#]+)', 1)), '^www\\.', '') AS host,
+        |    regexp_extract(u1, '^https?://[^/:?#]+:([0-9]+)', 1) AS port,
+        |    regexp_extract(u1, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
+        |    regexp_extract(u1, '\\?(.*)$', 1) AS qq
+        |  FROM canon),
+        |curl AS (
+        |  SELECT doc_id, host,
+        |    concat(sch, '://', host,
+        |      CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+        |                OR (sch = 'http' AND port = '80')
+        |           THEN '' ELSE concat(':', port) END,
+        |      pth, CASE WHEN qq = '' THEN '' ELSE concat('?', qq) END) AS canon_url,
+        |    CASE WHEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1) <> ''
+        |         THEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1)
+        |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS etld1
+        |  FROM cparts)
+        |SELECT etld1,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_raw_urls,
+        |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canon_urls,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(1000 * count(DISTINCT doc_id) DIV (SELECT count(*) FROM documents) AS BIGINT) AS share_milli,
+        |  1000 * count(DISTINCT doc_id) >= 10 * (SELECT count(*) FROM documents) AS cap_flag
+        |FROM curl GROUP BY etld1 ORDER BY etld1""".stripMargin)
+  }
+
+  /** DuckDB twin: identical synthesis draws, canonicalization regexes
+    * (g-flagged where DuckDB defaults to first-match) and suffix-list
+    * matching. */
+  val hDomainRollupSql: String =
+    """WITH seed AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |dig AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(concat('0x', substring(h, 1, 1)) AS BIGINT) AS d1,
+      |    CAST(concat('0x', substring(h, 2, 1)) AS BIGINT) AS d2,
+      |    CAST(concat('0x', substring(h, 3, 1)) AS BIGINT) AS d3,
+      |    CAST(concat('0x', substring(h, 4, 1)) AS BIGINT) AS d4,
+      |    CAST(concat('0x', substring(h, 5, 1)) AS BIGINT) AS d5,
+      |    CAST(concat('0x', substring(h, 6, 1)) AS BIGINT) AS d6
+      |  FROM seed),
+      |parts AS (
+      |  SELECT doc_id, d1, d2, d3, d5,
+      |    CASE WHEN d1 % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+      |    source || '-' || lang || '.' ||
+      |      CASE d4 % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+      |                  WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au'
+      |                  ELSE 'github.io' END AS hostbase,
+      |    CASE WHEN d6 % 3 = 0 THEN '?utm_source=feed&ref=' || lang
+      |         WHEN d6 % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      |         ELSE '' END AS q,
+      |    '/p/' || CAST(doc_id AS VARCHAR) AS pth
+      |  FROM dig),
+      |raw AS (
+      |  SELECT doc_id, scheme || '://' ||
+      |    CASE WHEN d3 % 4 = 0
+      |      THEN upper(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END || hostbase)
+      |      ELSE CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END || hostbase END ||
+      |    CASE WHEN d5 % 4 = 0 THEN CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END
+      |         WHEN d5 % 4 = 1 THEN ':8080' ELSE '' END ||
+      |    pth || q || CASE WHEN d1 % 3 = 0 THEN '#sec1' ELSE '' END AS url
+      |  FROM parts
+      |  UNION ALL
+      |  SELECT doc_id, scheme || '://WWW.' || upper(hostbase) ||
+      |    CASE WHEN d5 % 4 = 1 THEN ':8080'
+      |         ELSE CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END END ||
+      |    pth ||
+      |    CASE WHEN q = '' THEN '?utm_medium=rss' ELSE q || '&utm_medium=rss' END ||
+      |    '#top' AS url
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(url,
+      |      '#.*$', ''), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '') AS u1
+      |  FROM raw),
+      |cparts AS (
+      |  SELECT doc_id,
+      |    regexp_extract(u1, '^(https?)://', 1) AS sch,
+      |    regexp_replace(lower(regexp_extract(u1, '^https?://([^/:?#]+)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(u1, '^https?://[^/:?#]+:([0-9]+)', 1) AS port,
+      |    regexp_extract(u1, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
+      |    regexp_extract(u1, '\?(.*)$', 1) AS qq
+      |  FROM canon),
+      |curl AS (
+      |  SELECT doc_id, host,
+      |    sch || '://' || host ||
+      |    CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+      |              OR (sch = 'http' AND port = '80')
+      |         THEN '' ELSE ':' || port END ||
+      |    pth || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canon_url,
+      |    CASE WHEN regexp_extract(host, '([^.]+\.(co\.uk|com\.au|github\.io))$', 1) <> ''
+      |         THEN regexp_extract(host, '([^.]+\.(co\.uk|com\.au|github\.io))$', 1)
+      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS etld1
+      |  FROM cparts)
+      |SELECT etld1,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_raw_urls,
+      |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canon_urls,
+      |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      |  CAST(1000 * count(DISTINCT doc_id) // (SELECT count(*) FROM documents) AS BIGINT) AS share_milli,
+      |  1000 * count(DISTINCT doc_id) >= 10 * (SELECT count(*) FROM documents) AS cap_flag
+      |FROM curl GROUP BY etld1 ORDER BY etld1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_compression_screen" -> (hCompressionScreen _),
+    "h_domain_rollup" -> (hDomainRollup _),
     "h_topic_coherence" -> (hTopicCoherence _),
     "h_ctfidf_topics" -> (hCtfidfTopics _),
     "h_zipf_audit" -> (hZipfAudit _),
@@ -2045,6 +2347,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_compression_screen" -> hCompressionScreenSql,
+    "h_domain_rollup" -> hDomainRollupSql,
     "h_topic_coherence" -> hTopicCoherenceSql,
     "h_ctfidf_topics" -> hCtfidfTopicsSql,
     "h_zipf_audit" -> hZipfAuditSql,

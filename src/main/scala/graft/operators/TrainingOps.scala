@@ -309,6 +309,73 @@ object TrainingOps {
       |sizes AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY label)
       |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ==================================================== survivor provenance
+
+  /** CROSS-SNAPSHOT SURVIVOR PROVENANCE — the lineage column a dataset
+    * card cites next to [[hDedupSurvivors]]' keeper counts: for each
+    * surviving document, WHICH CORPUS GENERATION its content first
+    * entered at. A keeper's own snapshot date is the wrong provenance
+    * whenever an earlier crawl already contained a near-duplicate of it —
+    * the content is older than the kept copy, and licensing/freshness/
+    * contamination audits need the EARLIEST sighting, not the keeper's.
+    * Generations are derived deterministically from the replay corpus the
+    * whole dedup family runs on: originals carry snapshot `doc_id % 3`
+    * (three crawl waves standing in for the snapshot column the testdata
+    * lacks), replayed re-crawl copies (ids ≥ 1e6) are the newest wave
+    * (gen 3) — so a keeper that happens to be a re-crawl id, or an
+    * original from a later wave than a clustered sibling, gets BACKDATED
+    * to the cluster's minimum generation. Reported per (lang,
+    * first_gen): survivor count and how many of those survivors are
+    * backdated (own gen > cluster min) — the fraction of the dataset
+    * card's "new in this snapshot" claim that is actually old content.
+    *
+    * Scale shape: reads the SHARED component-label table (built once per
+    * session, also serving the other three dedup-action queries); the
+    * generation map is a projection of it, the first-sighting table is
+    * one label-keyed min (cluster-count-sized), and the survivor join is
+    * id-equi against the label table plus one broadcast-sized docs probe
+    * — nothing beyond the label table's own size crosses an exchange. */
+  def hSurvivorProvenance(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    componentLabels(s, dir).createOrReplaceTempView("cc_prov")
+    s.sql(
+      """WITH gens AS (
+        |  SELECT n, label,
+        |    CASE WHEN n < 1000000 THEN n % 3 ELSE 3 END AS gen
+        |  FROM cc_prov),
+        |firstg AS (SELECT label, min(gen) AS first_gen FROM gens GROUP BY label)
+        |SELECT d.lang, CAST(f.first_gen AS BIGINT) AS first_gen,
+        |  count(*) AS n_survivors,
+        |  CAST(sum(CASE WHEN g.gen > f.first_gen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_backdated
+        |FROM gens g
+        |JOIN firstg f ON g.label = f.label
+        |JOIN documents d ON d.doc_id = g.n % 1000000
+        |WHERE g.n = g.label
+        |GROUP BY d.lang, f.first_gen
+        |ORDER BY d.lang, first_gen""".stripMargin)
+  }
+
+  /** DuckDB twin: the shared label-oracle prefix plus identical
+    * generation algebra. */
+  val hSurvivorProvenanceSql: String =
+    s"""WITH $componentLabelsOracle,""".stripMargin +
+    """
+      |gens AS (
+      |  SELECT n, label, CASE WHEN n < 1000000 THEN n % 3 ELSE 3 END AS gen
+      |  FROM labels),
+      |firstg AS (SELECT label, min(gen) AS first_gen FROM gens GROUP BY label)
+      |SELECT d.lang, CAST(f.first_gen AS BIGINT) AS first_gen,
+      |  count(*) AS n_survivors,
+      |  CAST(sum(CASE WHEN g.gen > f.first_gen THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_backdated
+      |FROM gens g
+      |JOIN firstg f ON g.label = f.label
+      |JOIN documents d ON d.doc_id = g.n % 1000000
+      |WHERE g.n = g.label
+      |GROUP BY d.lang, f.first_gen
+      |ORDER BY d.lang, first_gen""".stripMargin
+
   /** The CAPSTONE composition — the curation funnel a pretraining run
     * actually executes, end to end, as ONE query: start from the train
     * split (benchmark docs held out), then stage by stage
@@ -2603,6 +2670,7 @@ object TrainingOps {
     "h_domain_cap" -> (hDomainCap _),
     "h_domain_mix" -> (hDomainMix _),
     "h_dedup_survivors" -> (hDedupSurvivors _),
+    "h_survivor_provenance" -> (hSurvivorProvenance _),
     "h_pq_codes" -> (hPqCodes _),
     "h_curation_funnel" -> (hCurationFunnel _),
     "h_dup_ngrams" -> (hDupNgrams _),
@@ -2636,6 +2704,7 @@ object TrainingOps {
     "h_domain_cap" -> hDomainCapSql,
     "h_domain_mix" -> hDomainMixSql,
     "h_dedup_survivors" -> hDedupSurvivorsSql,
+    "h_survivor_provenance" -> hSurvivorProvenanceSql,
     "h_pq_codes" -> hPqCodesSql,
     "h_curation_funnel" -> hCurationFunnelSql,
     "h_dup_ngrams" -> hDupNgramsSql,

@@ -99,7 +99,19 @@ object ScaleStressBench {
     // rows in one scan; index_compression is the index-build shuffle
     // itself ((lang, term)-keyed postings window) — all expected linear.
     "h_batch_bucketing", "h_dup_chao", "h_topic_coherence",
-    "h_dp_release", "h_index_compression")
+    "h_dp_release", "h_index_compression",
+    // round 19: all three documents-only. Compression screen is one char
+    // explode into the alphabet-bounded per-doc histogram (token-linear);
+    // domain rollup is scan-local string algebra into one etld1 aggregate
+    // (hosts derive from (source, lang), which replication preserves, so
+    // the domain table stays source-shaped while per-domain counts grow
+    // xK — exactly how real growth over a fixed crawl frontier looks);
+    // survivor provenance reads the SHARED
+    // label table plus label-keyed aggregates (the dedup-action shape).
+    // (h_hnsw_audit is deliberately NOT stress-listed: its graph build is
+    // the h_knn_graph fixed-16-seed cell join, whose within-cell pairs
+    // grow xK^2 under a fixed nlist — the same documented exclusion.)
+    "h_domain_rollup", "h_compression_screen", "h_survivor_provenance")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts

@@ -187,4 +187,49 @@ class CorpusOpsSpec extends SparkSuite {
       assert(r.getLong(6) == 1000L * top.head._2 / tot, s"$lang head share")
     }
   }
+
+  test("h_compression_screen: probe docs fire both flag paths, bands exact") {
+    val rows = CorpusOps.hCompressionScreen(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val langs = rows.map(_._1).distinct
+    langs.foreach { l =>
+      val rep = rows.filter(r => r._1 == l && r._2 == "repetitive")
+      val noi = rows.filter(r => r._1 == l && r._2 == "suspect_noise")
+      // the planted probes score EXACTLY: 'aa 'x80 -> 166 permille,
+      // 64-distinct-char string -> 875 permille
+      assert(rep.exists(r => r._4 == 166 && r._5 == 166), s"$l repetitive probe")
+      assert(noi.exists(r => r._4 == 875 && r._5 == 875), s"$l noise probe")
+      rows.filter(r => r._1 == l && r._2 == "clean").foreach { r =>
+        assert(r._4 > 300 && r._5 < 700, s"$l clean band outside (300,700)")
+        assert(r._6 >= r._4 && r._6 <= r._5, s"$l avg outside min/max")
+      }
+    }
+    // every doc plus exactly 2 probes per lang is banded
+    val nDocs = spark.read.parquet(s"${graft.SparkSpec.sf0001}/documents.parquet").count()
+    assert(rows.map(_._3).sum == nDocs + 2 * langs.length)
+  }
+
+  test("h_domain_rollup: canonicalization collapses the re-crawl variants exactly") {
+    val rows = CorpusOps.hDomainRollup(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"${graft.SparkSpec.sf0001}/documents.parquet").count()
+    val psl = Seq(".com", ".org", ".net", ".co.uk", ".com.au", ".github.io")
+    rows.foreach { case (etld1, nd, nraw, ncanon, nhosts, share, flag) =>
+      // the collapse invariant: every doc contributes 2 raw URLs (crawl +
+      // re-crawl variant) that canonicalize to ONE URL on one host
+      assert(nraw == 2 * nd, s"$etld1 raw != 2x docs")
+      assert(ncanon == nd, s"$etld1 canonical URLs != docs (variant failed to collapse)")
+      assert(nhosts == 1, s"$etld1 spans $nhosts hosts")
+      assert(psl.exists(etld1.endsWith), s"$etld1 not under a known public suffix")
+      // eTLD+1 means exactly ONE label left of the public suffix
+      val label = psl.collectFirst { case sfx if etld1.endsWith(sfx) => etld1.dropRight(sfx.length) }.get
+      assert(!label.contains('.'), s"$etld1 carries more than one label")
+      assert(share == 1000L * nd / nDocs, s"$etld1 share")
+      assert(flag == (1000L * nd >= 10L * nDocs), s"$etld1 cap flag")
+    }
+    assert(rows.map(_._2).sum == nDocs, "every doc rolls up to exactly one domain")
+  }
 }

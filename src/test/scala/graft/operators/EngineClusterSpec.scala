@@ -85,4 +85,73 @@ class EngineClusterSpec extends AnyFunSuite {
       assert(local(name).nonEmpty, s"$name returned no rows")
     }
   }
+
+  /** The ten heaviest declared shapes (by the round-18 sf0.1 bench) under
+    * the RELIABLE materialization discipline on multi-process executors —
+    * the 100 TB deployment posture (round-18 verdict item 1). `local` mode
+    * pins executor-local, unreplicated blocks that a lost executor makes
+    * unrecoverable; `reliable` checkpoints to shared storage, so this test
+    * proves every heavy pipeline (iterative label propagation, 8-superstep
+    * rank loops, shared label/vocab tables, LSH shingle checkpoints)
+    * produces identical results when its materialization points are
+    * reliable files read back across executor JVMs. The full sf0.01
+    * ten-heaviest DuckDB-oracle run on local-cluster[2,8,6144] is recorded
+    * in BASELINE.md (round 19); this in-suite twin keeps the posture
+    * regression-gated at sf0.001. */
+  test("ten heaviest shapes: reliable checkpoints on local-cluster match local results") {
+    assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
+    sys.props("spark.test.home") = "/opt/spark"
+    val heavies = Seq(
+      "h_simjoin_prefix", "h_rank_convergence", "h_doc_repetition",
+      "h_minhash_calibration", "h_dup_ngrams", "h_pq_recall",
+      "h_split_leakage", "a_column_stats", "h_ivfpq_search", "h_dedup_spans")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val classesDir = new File("target/scala-2.13/classes").getAbsolutePath
+
+    def run(master: String, mode: Option[String]): Map[String, Seq[String]] = {
+      val spark = SparkSession.builder()
+        .master(master)
+        .appName(s"graft-heavy-$master")
+        .config("spark.executor.memory", "768m")
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      Checkpoints.modeOverride = mode
+      try {
+        spark.sparkContext.setLogLevel("WARN")
+        heavies.map { name =>
+          val rows =
+            try graft.SparkEntry.queries(name)(spark, graft.SparkSpec.sf0001)
+              .collect().map(_.toString).toSeq
+            finally Checkpoints.releaseAll()
+          name -> rows
+        }.toMap
+      } finally {
+        Checkpoints.modeOverride = None
+        Checkpoints.releaseShared()
+        spark.stop()
+      }
+    }
+
+    val clustered = run("local-cluster[2,1,1024]", Some("reliable"))
+    val local = run("local[4]", None)
+    heavies.foreach { name =>
+      assert(clustered(name) == local(name),
+        s"$name diverged between reliable-checkpoint cluster execution and local threads")
+      assert(local(name).nonEmpty, s"$name returned no rows")
+    }
+  }
 }

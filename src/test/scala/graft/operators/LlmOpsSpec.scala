@@ -284,4 +284,26 @@ class LlmOpsSpec extends SparkSuite {
         s"$lang: OOV curve increased with vocab size: $curve")
     }
   }
+
+  test("h_hnsw_audit: beam search lands inside the exact ranking at bounded cost") {
+    val rows = LlmOps.hHnswAudit(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 20, s"20-query panel, got ${rows.length}")
+    val n = spark.read.parquet(s"${graft.SparkSpec.sf0001}/embeddings.parquet").count()
+    rows.foreach { case (q, entry, found, truth, hit, rank, expanded) =>
+      assert(q >= 100 && q < 120)
+      assert(entry >= 0 && entry < 16, s"q$q entry $entry is not a seed")
+      assert(entry != q && found != q && truth != q, s"q$q self-retrieval")
+      assert(rank >= 1 && rank <= n - 1, s"q$q rank $rank")
+      assert(hit == (found == truth), s"q$q top1_match inconsistent")
+      if (hit) assert(rank == 1, s"q$q matched top-1 but rank $rank")
+      // the audit's point: beam cost is a small fraction of brute N-1
+      assert(expanded >= 1 && expanded < n / 2, s"q$q expanded $expanded of $n")
+    }
+    // the graph must be navigable enough to be worth serving: median
+    // found-rank within the exact top-2% of the corpus
+    val med = rows.map(_._6).sorted.apply(rows.length / 2)
+    assert(med <= n / 50, s"median found_rank $med vs n=$n - graph not navigable")
+  }
 }

@@ -279,4 +279,25 @@ class TrainingOpsSpec extends SparkSuite {
     // cheapest, the narrowest most complete
     assert(cand.head == cand.min && hits.last == hits.max)
   }
+
+  test("h_survivor_provenance: generation algebra consistent with the survivor report") {
+    val prov = TrainingOps.hSurvivorProvenance(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prov.nonEmpty)
+    prov.foreach { case (lang, gen, ns, nb) =>
+      assert(gen >= 0 && gen <= 3, s"$lang gen $gen outside the 4 snapshots")
+      assert(nb >= 0 && nb <= ns, s"$lang gen $gen backdated > survivors")
+      // a cluster whose earliest sighting is the NEWEST wave cannot have a
+      // keeper from an even newer one
+      if (gen == 3) assert(nb == 0, s"$lang: gen-3 clusters cannot backdate")
+    }
+    // the per-generation split partitions EXACTLY the survivor totals the
+    // dedup-action report publishes
+    val surv = TrainingOps.hDedupSurvivors(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    prov.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == surv(lang),
+        s"$lang: provenance rows do not partition the survivor count")
+    }
+  }
 }
