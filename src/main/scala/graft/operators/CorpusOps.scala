@@ -2165,7 +2165,11 @@ object CorpusOps {
     * map-side partials; the corpus-total is a 1-row scalar subquery
     * (broadcast). Nothing but the domain-cardinality table crosses an
     * exchange — linear at any K. */
-  def hDomainRollup(s: SparkSession, dir: String): DataFrame = {
+  /** The synthesized crawl log: (doc_id, url) — every document's stored
+    * URL plus its re-crawl variant (see [[hDomainRollup]]'s doc). Shared
+    * with [[graft.streaming.StreamingDomainRollup]]'s twin spec, which
+    * streams exactly these rows through the ingest-time rollup. */
+  private[graft] def domainRawUrls(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
       """WITH seed AS (
@@ -2192,56 +2196,62 @@ object CorpusOps {
         |         WHEN d6 % 3 = 1 THEN concat('?id=', CAST(doc_id AS STRING), '&utm_campaign=x')
         |         ELSE '' END AS q,
         |    concat('/p/', CAST(doc_id AS STRING)) AS pth
-        |  FROM dig),
-        |raw AS (
-        |  SELECT doc_id, concat(scheme, '://',
-        |    CASE WHEN d3 % 4 = 0
-        |      THEN upper(concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase))
-        |      ELSE concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase) END,
-        |    CASE WHEN d5 % 4 = 0 THEN CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END
-        |         WHEN d5 % 4 = 1 THEN ':8080' ELSE '' END,
-        |    pth, q, CASE WHEN d1 % 3 = 0 THEN '#sec1' ELSE '' END) AS url
-        |  FROM parts
-        |  UNION ALL
-        |  SELECT doc_id, concat(scheme, '://WWW.', upper(hostbase),
-        |    CASE WHEN d5 % 4 = 1 THEN ':8080'
-        |         ELSE CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END END,
-        |    pth,
-        |    CASE WHEN q = '' THEN '?utm_medium=rss' ELSE concat(q, '&utm_medium=rss') END,
-        |    '#top') AS url
-        |  FROM parts),
-        |canon AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(url,
-        |      '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') AS u1
-        |  FROM raw),
-        |cparts AS (
-        |  SELECT doc_id,
-        |    regexp_extract(u1, '^(https?)://', 1) AS sch,
-        |    regexp_replace(lower(regexp_extract(u1, '^https?://([^/:?#]+)', 1)), '^www\\.', '') AS host,
-        |    regexp_extract(u1, '^https?://[^/:?#]+:([0-9]+)', 1) AS port,
-        |    regexp_extract(u1, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
-        |    regexp_extract(u1, '\\?(.*)$', 1) AS qq
-        |  FROM canon),
-        |curl AS (
-        |  SELECT doc_id, host,
-        |    concat(sch, '://', host,
-        |      CASE WHEN port = '' OR (sch = 'https' AND port = '443')
-        |                OR (sch = 'http' AND port = '80')
-        |           THEN '' ELSE concat(':', port) END,
-        |      pth, CASE WHEN qq = '' THEN '' ELSE concat('?', qq) END) AS canon_url,
-        |    CASE WHEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1) <> ''
-        |         THEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1)
-        |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS etld1
-        |  FROM cparts)
-        |SELECT etld1,
+        |  FROM dig)
+        |SELECT doc_id, concat(scheme, '://',
+        |  CASE WHEN d3 % 4 = 0
+        |    THEN upper(concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase))
+        |    ELSE concat(CASE WHEN d2 % 2 = 0 THEN 'www.' ELSE '' END, hostbase) END,
+        |  CASE WHEN d5 % 4 = 0 THEN CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END
+        |       WHEN d5 % 4 = 1 THEN ':8080' ELSE '' END,
+        |  pth, q, CASE WHEN d1 % 3 = 0 THEN '#sec1' ELSE '' END) AS url
+        |FROM parts
+        |UNION ALL
+        |SELECT doc_id, concat(scheme, '://WWW.', upper(hostbase),
+        |  CASE WHEN d5 % 4 = 1 THEN ':8080'
+        |       ELSE CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END END,
+        |  pth,
+        |  CASE WHEN q = '' THEN '?utm_medium=rss' ELSE concat(q, '&utm_medium=rss') END,
+        |  '#top') AS url
+        |FROM parts""".stripMargin)
+  }
+
+  /** The canonicalization spec as a reusable projection over (doc_id, url)
+    * — works on batch AND streaming frames (plain selectExpr chain, no
+    * window/aggregate), so the ingest-time twin applies the IDENTICAL
+    * rule: strip fragment → drop utm_* params → lowercase host → strip
+    * one leading `www.` → drop scheme-default ports → eTLD+1 by longest
+    * public-suffix match. Output: doc_id, url, host, canon_url, etld1. */
+  private[graft] def canonicalizeUrls(df: DataFrame): DataFrame =
+    df.selectExpr("doc_id", "url",
+        """regexp_replace(regexp_replace(regexp_replace(url,
+          |  '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') AS u1""".stripMargin)
+      .selectExpr("doc_id", "url",
+        "regexp_extract(u1, '^(https?)://', 1) AS sch",
+        """regexp_replace(lower(regexp_extract(u1, '^https?://([^/:?#]+)', 1)), '^www\\.', '') AS host""",
+        "regexp_extract(u1, '^https?://[^/:?#]+:([0-9]+)', 1) AS port",
+        "regexp_extract(u1, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth",
+        """regexp_extract(u1, '\\?(.*)$', 1) AS qq""")
+      .selectExpr("doc_id", "url", "host",
+        """concat(sch, '://', host,
+          |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+          |            OR (sch = 'http' AND port = '80')
+          |       THEN '' ELSE concat(':', port) END,
+          |  pth, CASE WHEN qq = '' THEN '' ELSE concat('?', qq) END) AS canon_url""".stripMargin,
+        """CASE WHEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1) <> ''
+          |     THEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1)
+          |     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS etld1""".stripMargin)
+
+  def hDomainRollup(s: SparkSession, dir: String): DataFrame = {
+    canonicalizeUrls(domainRawUrls(s, dir)).createOrReplaceTempView("domain_curl")
+    s.sql(
+      """SELECT etld1,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_raw_urls,
         |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canon_urls,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(1000 * count(DISTINCT doc_id) DIV (SELECT count(*) FROM documents) AS BIGINT) AS share_milli,
         |  1000 * count(DISTINCT doc_id) >= 10 * (SELECT count(*) FROM documents) AS cap_flag
-        |FROM curl GROUP BY etld1 ORDER BY etld1""".stripMargin)
+        |FROM domain_curl GROUP BY etld1 ORDER BY etld1""".stripMargin)
   }
 
   /** DuckDB twin: identical synthesis draws, canonicalization regexes
