@@ -2023,6 +2023,81 @@ object CorpusOps {
       |FROM agg a JOIN terms t ON a.source = t.source
       |ORDER BY a.source""".stripMargin
 
+  // ==================================================== boilerplate strip
+
+  /** BOILERPLATE EXTRACTION audit — the crawl step between fetch and every
+    * text operator in this suite: raw HTML must be reduced to its content
+    * block (the trafilatura/readability job), and the extraction
+    * heuristic's failure rate is a per-source number a crawl review reads
+    * before trusting downstream quality stats. The testdata has no HTML,
+    * so each document's fetched page is SYNTHESIZED deterministically —
+    * per-source nav boilerplate, a cookie banner on every third doc, the
+    * content in `<p>…</p>`, and a fixed ~140-char legal-disclaimer footer
+    * — and the extractor is the fully-specified text-density rule
+    * readability-style tools reduce to: of all inter-tag text blocks
+    * (`>([^<>]+)<`), keep the LONGEST (ties by block text). The footer is
+    * the PLANTED adversary: any document whose content is shorter than
+    * the disclaimer extracts boilerplate instead — so the audit's
+    * exact-match rate per source (720–920‰ measured at sf0.01) is the
+    * heuristic's real failure surface, not a vacuous 100 %. Reported per
+    * source: docs, exact extractions, the exact-rate in ‰, and the
+    * content-to-HTML ratio (the fetch-bandwidth tax boilerplate levies —
+    * ~55 % here, the number a crawl's storage budget multiplies by).
+    *
+    * Scale shape: scan-local synthesis + one block explode (bounded: ≤ 4
+    * blocks per doc) into a per-doc top-1 window on doc_id, then ONE
+    * source-keyed aggregate — token-linear, one exchange pair. */
+  def hBoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH wrapped AS (
+        |  SELECT doc_id, source, text,
+        |    concat('<html><body><nav>home | about | ', source, ' topics</nav>',
+        |      CASE WHEN doc_id % 3 = 0 THEN '<div>we use cookies accept decline</div>' ELSE '' END,
+        |      '<p>', text, '</p>',
+        |      '<footer>', repeat('all rights reserved ', 7), source, ' terms</footer>',
+        |      '</body></html>') AS html
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, source, text, html, b
+        |  FROM wrapped LATERAL VIEW explode(regexp_extract_all(html, '>([^<>]+)<', 1)) t AS b),
+        |best AS (
+        |  SELECT doc_id, source, text, html, b AS extracted FROM (
+        |    SELECT doc_id, source, text, html, b,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY length(b) DESC, b) AS rn
+        |    FROM blocks) WHERE rn = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(1000 * sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS exact_milli,
+        |  CAST(1000 * sum(length(text)) DIV sum(length(html)) AS BIGINT) AS content_milli
+        |FROM best GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** DuckDB twin: identical synthesis, block regex, tie-break and rates. */
+  val hBoilerplateStripSql: String =
+    """WITH wrapped AS (
+      |  SELECT doc_id, source, text,
+      |    '<html><body><nav>home | about | ' || source || ' topics</nav>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<div>we use cookies accept decline</div>' ELSE '' END ||
+      |    '<p>' || text || '</p>' ||
+      |    '<footer>' || repeat('all rights reserved ', 7) || source || ' terms</footer>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, source, text, html,
+      |    unnest(regexp_extract_all(html, '>([^<>]+)<', 1)) AS b
+      |  FROM wrapped),
+      |best AS (
+      |  SELECT doc_id, source, text, html, b AS extracted FROM (
+      |    SELECT doc_id, source, text, html, b,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY length(b) DESC, b) AS rn
+      |    FROM blocks) WHERE rn = 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(1000 * sum(CASE WHEN extracted = text THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS exact_milli,
+      |  CAST(1000 * sum(length(text)) // sum(length(html)) AS BIGINT) AS content_milli
+      |FROM best GROUP BY source ORDER BY source""".stripMargin
+
   // ==================================================== compression screen
 
   /** COMPRESSION-RATIO GIBBERISH SCREEN — the Gopher/Dolma filter-family
@@ -2334,6 +2409,7 @@ object CorpusOps {
       |FROM curl GROUP BY etld1 ORDER BY etld1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_boilerplate_strip" -> (hBoilerplateStrip _),
     "h_compression_screen" -> (hCompressionScreen _),
     "h_domain_rollup" -> (hDomainRollup _),
     "h_topic_coherence" -> (hTopicCoherence _),
@@ -2357,6 +2433,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_boilerplate_strip" -> hBoilerplateStripSql,
     "h_compression_screen" -> hCompressionScreenSql,
     "h_domain_rollup" -> hDomainRollupSql,
     "h_topic_coherence" -> hTopicCoherenceSql,

@@ -111,7 +111,11 @@ object ScaleStressBench {
     // (h_hnsw_audit is deliberately NOT stress-listed: its graph build is
     // the h_knn_graph fixed-16-seed cell join, whose within-cell pairs
     // grow xK^2 under a fixed nlist — the same documented exclusion.)
-    "h_domain_rollup", "h_compression_screen", "h_survivor_provenance")
+    "h_domain_rollup", "h_compression_screen", "h_survivor_provenance",
+    // round 19 second wave: boilerplate strip is one bounded block explode
+    // (<= 4 blocks/doc) into a per-doc top-1 window + one source aggregate
+    // -- expected linear.
+    "h_boilerplate_strip")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts

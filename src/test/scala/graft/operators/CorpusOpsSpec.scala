@@ -232,4 +232,34 @@ class CorpusOpsSpec extends SparkSuite {
     }
     assert(rows.map(_._2).sum == nDocs, "every doc rolls up to exactly one domain")
   }
+
+  test("h_boilerplate_strip: extraction rule replayed exactly, planted adversary fires") {
+    val rows = CorpusOps.hBoilerplateStrip(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = spark.read.parquet(s"${graft.SparkSpec.sf0001}/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // referee: the longest-block rule in plain Scala over the same synthesis
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val exact = ds.count { case (id, source, text) =>
+        val blocks = Seq(
+          s"home | about | $source topics",
+          text,
+          ("all rights reserved " * 7) + source + " terms") ++
+          (if (id % 3 == 0) Seq("we use cookies accept decline") else Nil)
+        blocks.sortBy(b => (-b.length, b)).head == text
+      }
+      src -> exact.toLong
+    }
+    rows.foreach { case (src, nDocs, nExact, exactMilli, contentMilli) =>
+      assert(nExact == expected(src), s"$src: referee disagrees on exact extractions")
+      assert(exactMilli == 1000L * nExact / nDocs, s"$src exact_milli")
+      assert(contentMilli > 0 && contentMilli < 1000, s"$src content ratio out of band")
+    }
+    assert(rows.map(_._2).sum == docs.length)
+    // the planted disclaimer must defeat the heuristic somewhere, or the
+    // audit is vacuous
+    assert(rows.map(_._3).sum < docs.length, "no extraction failures: adversary never fired")
+    assert(rows.map(_._3).sum > 0, "extractor never succeeded")
+  }
 }
