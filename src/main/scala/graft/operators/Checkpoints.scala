@@ -44,15 +44,16 @@ object Checkpoints {
     *    re-reads instead of failing; lineage truncation semantics are
     *    identical to localCheckpoint. Costs one write+read of the
     *    intermediate; measured vs `local` at sf0.1 in BASELINE.md
-    *    (round 19). Checkpoint FILES live until JVM exit (releaseAll
-    *    only unpins memory); a long-lived service would enable
-    *    `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    *    (rounds 19–20: full-suite reliable/local = 1.008). Checkpoint
+    *    FILES are deleted by [[release]]/[[releaseAll]]/[[releaseShared]]
+    *    along with the memory blocks (round 20 — ReliableCheckpointCleanupSpec),
+    *    so a long-lived service leaks nothing.
     *
     * Both modes return a lineage-truncated, LogicalRDD-backed frame, so
     * [[release]]/[[releaseAll]] work uniformly. Sites that need
     * post-action release still wrap the result in [[track]]. */
   /** Test hook: overrides SPARK_GRAFT_MATERIALIZE within a JVM (specs
-    * can't set env vars; HeavyQueriesClusterSpec flips modes per phase). */
+    * can't set env vars; EngineClusterSpec flips modes per phase). */
   @volatile var modeOverride: Option[String] = None
 
   def mat(df: DataFrame): DataFrame =
@@ -81,7 +82,42 @@ object Checkpoints {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
     if (rdds.isEmpty) df.unpersist(blocking = false)
-    else rdds.foreach(_.unpersist(blocking = false))
+    else rdds.foreach { r =>
+      r.unpersist(blocking = false)
+      // reliable mode: the checkpoint FILES are the payload — delete them
+      // at release, the exact moment the engine already declares the frame
+      // dead (round-19 verdict item 6: they otherwise live until JVM exit,
+      // an unbounded disk leak for a long-lived service). Deterministic,
+      // unlike spark.cleaner.referenceTracking.cleanCheckpoints, which is
+      // GC-driven and must be set before SparkContext creation anyway.
+      deleteReliableFiles(r)
+    }
+  }
+
+  /** Reliable-checkpoint directories (as `file:` URIs or plain paths)
+    * backing an analyzed plan — LogicalRDD leaves plus a short narrow
+    * ancestry walk, since the checkpointed RDD may sit one map below the
+    * leaf depending on how Dataset.checkpoint wrapped it. */
+  private[graft] def reliableFiles(df: DataFrame): Seq[String] = {
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Seq[String] =
+      r.getCheckpointFile.toSeq ++
+        (if (depth < 4) r.dependencies.flatMap(d => walk(d.rdd, depth + 1)) else Nil)
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(walk(_, 0)).distinct
+  }
+
+  private def deleteReliableFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit = {
+      r.getCheckpointFile.foreach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(r.sparkContext.hadoopConfiguration).delete(path, true)
+        } catch { case _: Throwable => () } // best-effort on a stopped session
+      }
+      if (depth < 4) r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+    }
+    walk(rdd, 0)
   }
 
   /** Unpersist every tracked checkpoint (idempotent, non-blocking).

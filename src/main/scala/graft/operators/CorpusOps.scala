@@ -1515,8 +1515,10 @@ object CorpusOps {
     * bucket-count table — is localCheckpointed: its two consumers (the
     * normalizer fold and the scoring join) would otherwise re-inline the
     * training explode twice (plan-pinned: ≤ 2 corpus explodes). */
-  def hQualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
+  /** Register the classifier's checkpointed 512-row weight table as
+    * `qc_weights` — shared by [[hQualityClassifier]] and
+    * [[hQualityCalibration]] (one training pass, two consumers). */
+  private def registerQcWeights(s: SparkSession): Unit =
     Checkpoints.track(s.sql(
       """SELECT CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk,
         |  coalesce(CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
@@ -1527,30 +1529,42 @@ object CorpusOps {
         |WHERE doc_id % 3 = 0
         |GROUP BY CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512""".stripMargin)
       .graftCheckpoint()).createOrReplaceTempView("qc_weights")
-    s.sql(
-      """WITH b AS (
-        |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
-        |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
-        |    CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk
-        |  FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk),
-        |w AS (SELECT * FROM qc_weights),
-        |k AS (
-        |  SELECT CAST(length(bin(sum(p) + 512)) - length(bin(sum(q) + 512)) AS BIGINT) AS k
-        |  FROM w),
-        |pr AS (
-        |  SELECT CAST(length(bin(count(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
-        |           THEN 1 END) + 1))
-        |       - length(bin(count(CASE WHEN NOT source IN ('src1', 'src2', 'src3', 'src4')
-        |           THEN 1 END) + 1)) AS BIGINT) AS prior
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |ds AS (
-        |  SELECT t.doc_id, t.lang, max(CASE WHEN t.pos THEN 1 ELSE 0 END) AS actual,
-        |    count(*) AS n_tok,
-        |    CAST(sum(coalesce(length(bin(w.p + 1)) - length(bin(w.q + 1)), 0))
-        |      AS BIGINT) AS swgt
-        |  FROM b t LEFT JOIN w ON t.bk = w.bk
-        |  WHERE NOT t.is_train
-        |  GROUP BY t.doc_id, t.lang),
+
+  /** The classifier's score chain (WITH b…ds over the registered
+    * `qc_weights` view) — shared VERBATIM by [[hQualityClassifier]] (the
+    * decision at threshold 0) and [[hQualityCalibration]] (the threshold
+    * sweep), so the shipped rule and its calibration curve can never
+    * diverge. */
+  private val qcScoreCtes: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
+      |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
+      |    CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk
+      |  FROM documents LATERAL VIEW explode(split(text, ' ')) e AS tk),
+      |w AS (SELECT * FROM qc_weights),
+      |k AS (
+      |  SELECT CAST(length(bin(sum(p) + 512)) - length(bin(sum(q) + 512)) AS BIGINT) AS k
+      |  FROM w),
+      |pr AS (
+      |  SELECT CAST(length(bin(count(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+      |           THEN 1 END) + 1))
+      |       - length(bin(count(CASE WHEN NOT source IN ('src1', 'src2', 'src3', 'src4')
+      |           THEN 1 END) + 1)) AS BIGINT) AS prior
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ds AS (
+      |  SELECT t.doc_id, t.lang, max(CASE WHEN t.pos THEN 1 ELSE 0 END) AS actual,
+      |    count(*) AS n_tok,
+      |    CAST(sum(coalesce(length(bin(w.p + 1)) - length(bin(w.q + 1)), 0))
+      |      AS BIGINT) AS swgt
+      |  FROM b t LEFT JOIN w ON t.bk = w.bk
+      |  WHERE NOT t.is_train
+      |  GROUP BY t.doc_id, t.lang)""".stripMargin
+
+  def hQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    registerQcWeights(s)
+    s.sql(qcScoreCtes +
+      """,
         |pred AS (
         |  SELECT lang, actual,
         |    CASE WHEN pr.prior + ds.swgt - ds.n_tok * k.k > 0 THEN 1 ELSE 0 END AS p
@@ -1573,9 +1587,65 @@ object CorpusOps {
         |ORDER BY lang""".stripMargin)
   }
 
-  /** DuckDB twin: unnest explode, concat-0x hex cast, `//` floor — the
-    * divisions run on non-negative counts, so floor ≡ truncation. */
-  val hQualityClassifierSql: String =
+  /** Quality-classifier CALIBRATION CURVE — the go/no-go table a filter
+    * threshold ships with (round-19 verdict item 4d): the shipped
+    * [[hQualityClassifier]] decides at log-odds > 0, but a production gate
+    * picks its operating point off a precision/recall/F1-vs-threshold
+    * sweep. The sweep rides the classifier's OWN score chain
+    * ([[qcScoreCtes]], verbatim) and thresholds the per-TOKEN milli
+    * log-odds on a fixed 17-point grid (−500…1500 ‰bits/token, step 125 —
+    * brackets both saturation ends with 8 points across the measured
+    * transition band): `predict positive ⟺ 1000·score > thr·n_tok`, a
+    * pure integer cross-multiplication, so no engine ever divides a
+    * NEGATIVE number (Spark DIV truncates toward zero, DuckDB // floors —
+    * the one place the engines disagree). The thr=0 row reproduces the
+    * shipped classifier's confusion matrix exactly (spec-pinned).
+    *
+    * Scale shape: one corpus explode into the checkpointed weight join
+    * (the classifier's own plan), then the doc-count-sized score table
+    * crosses a BROADCAST 17-row grid straight into a 17-group aggregate
+    * with map-side partials — the sweep adds one domain-bounded exchange
+    * to the classifier, never a second corpus pass. */
+  def hQualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    registerQcWeights(s)
+    s.sql(qcScoreCtes +
+      """,
+        |scored AS (
+        |  SELECT ds.actual, ds.n_tok,
+        |    pr.prior + ds.swgt - ds.n_tok * k.k AS score
+        |  FROM ds CROSS JOIN k CROSS JOIN pr),
+        |thr AS (
+        |  SELECT CAST(i * 125 AS BIGINT) AS thr
+        |  FROM (SELECT explode(sequence(-4, 12)) AS i)),
+        |cm AS (
+        |  SELECT t.thr,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN 1000 * score > t.thr * n_tok AND actual = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN 1000 * score > t.thr * n_tok AND actual = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN 1000 * score <= t.thr * n_tok AND actual = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN 1000 * score <= t.thr * n_tok AND actual = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored CROSS JOIN thr t GROUP BY t.thr)
+        |SELECT thr AS thr_milli, n_test, tp, fp, fn, tn,
+        |  CAST(CASE WHEN tp + fp > 0 THEN 1000 * tp DIV (tp + fp)
+        |    ELSE -1 END AS BIGINT) AS precision_milli,
+        |  CAST(CASE WHEN tp + fn > 0 THEN 1000 * tp DIV (tp + fn)
+        |    ELSE -1 END AS BIGINT) AS recall_milli,
+        |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN 2000 * tp DIV (2 * tp + fp + fn)
+        |    ELSE -1 END AS BIGINT) AS f1_milli
+        |FROM cm ORDER BY thr_milli""".stripMargin)
+  }
+
+  /** The DuckDB replica of [[qcScoreCtes]] (b…ds, with `w` inlined as a
+    * CTE since the oracle has no temp view) — shared by the classifier
+    * and calibration twins. Unnest explode, concat-0x hex cast, `//`
+    * floor: the divisions run on non-negative counts, so floor ≡
+    * truncation. */
+  private val qcScoreDuckCtes: String =
     """WITH b AS (
       |  SELECT doc_id, lang, (doc_id % 3 = 0) AS is_train,
       |    source IN ('src1', 'src2', 'src3', 'src4') AS pos,
@@ -1605,7 +1675,10 @@ object CorpusOps {
       |      AS BIGINT) AS swgt
       |  FROM b t LEFT JOIN w ON t.bk = w.bk
       |  WHERE NOT t.is_train
-      |  GROUP BY t.doc_id, t.lang),
+      |  GROUP BY t.doc_id, t.lang)""".stripMargin
+
+  val hQualityClassifierSql: String = qcScoreDuckCtes +
+    """,
       |pred AS (
       |  SELECT lang, actual,
       |    CASE WHEN pr.prior + ds.swgt - ds.n_tok * k.k > 0 THEN 1 ELSE 0 END AS p
@@ -1626,6 +1699,38 @@ object CorpusOps {
       |    AS BIGINT) AS accuracy_milli
       |FROM pred GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of the calibration sweep — rides [[qcScoreDuckCtes]];
+    * the threshold compare is the same integer cross-multiplication, so
+    * the Spark-DIV-vs-DuckDB-// negative-division divergence never
+    * arises; the milli ratios divide non-negative counts only. */
+  val hQualityCalibrationSql: String = qcScoreDuckCtes +
+    """,
+      |scored AS (
+      |  SELECT ds.actual, ds.n_tok,
+      |    pr.prior + ds.swgt - ds.n_tok * k.k AS score
+      |  FROM ds CROSS JOIN k CROSS JOIN pr),
+      |thr AS (SELECT CAST(i * 125 AS BIGINT) AS thr FROM range(-4, 13) t(i)),
+      |cm AS (
+      |  SELECT t.thr,
+      |    CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN 1000 * score > t.thr * n_tok AND actual = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN 1000 * score > t.thr * n_tok AND actual = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN 1000 * score <= t.thr * n_tok AND actual = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN 1000 * score <= t.thr * n_tok AND actual = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM scored CROSS JOIN thr t GROUP BY t.thr)
+      |SELECT thr AS thr_milli, n_test, tp, fp, fn, tn,
+      |  CAST(CASE WHEN tp + fp > 0 THEN 1000 * tp // (tp + fp)
+      |    ELSE -1 END AS BIGINT) AS precision_milli,
+      |  CAST(CASE WHEN tp + fn > 0 THEN 1000 * tp // (tp + fn)
+      |    ELSE -1 END AS BIGINT) AS recall_milli,
+      |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN 2000 * tp // (2 * tp + fp + fn)
+      |    ELSE -1 END AS BIGINT) AS f1_milli
+      |FROM cm ORDER BY thr_milli""".stripMargin
 
   // ================================================ percentile normalize
 
@@ -2295,11 +2400,18 @@ object CorpusOps {
     * window/aggregate), so the ingest-time twin applies the IDENTICAL
     * rule: strip fragment → drop utm_* params → lowercase host → strip
     * one leading `www.` → drop scheme-default ports → eTLD+1 by longest
-    * public-suffix match. Output: doc_id, url, host, canon_url, etld1. */
+    * public-suffix match. Output: doc_id, url, host, canon_url, etld1.
+    *
+    * The utm strip anchors on a param BOUNDARY (round-19 advice: the old
+    * unanchored `utm_[^&#]*&` also matched inside a longer param name,
+    * corrupting e.g. `?a=1&myutm_x=2` to `?a=1&my`): `&utm_…` params drop
+    * with their `&`; a leading `?utm_…&` collapses to `?`; a lone
+    * `?utm_…$` drops whole. RE2 has no lookbehind, so the three-pass form
+    * is the cross-engine-safe anchoring. */
   private[graft] def canonicalizeUrls(df: DataFrame): DataFrame =
     df.selectExpr("doc_id", "url",
-        """regexp_replace(regexp_replace(regexp_replace(url,
-          |  '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') AS u1""".stripMargin)
+        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+          |  '#.*$', ''), '&utm_[^&#]*', ''), '[?]utm_[^&#]*&', '?'), '[?]utm_[^&#]*$', '') AS u1""".stripMargin)
       .selectExpr("doc_id", "url",
         "regexp_extract(u1, '^(https?)://', 1) AS sch",
         """regexp_replace(lower(regexp_extract(u1, '^https?://([^/:?#]+)', 1)), '^www\\.', '') AS host""",
@@ -2332,7 +2444,12 @@ object CorpusOps {
   /** DuckDB twin: identical synthesis draws, canonicalization regexes
     * (g-flagged where DuckDB defaults to first-match) and suffix-list
     * matching. */
-  val hDomainRollupSql: String =
+  /** The DuckDB replica of [[domainRawUrls]] + [[canonicalizeUrls]] (the
+    * WITH chain through `curl(doc_id, host, canon_url, etld1)`) — shared
+    * by every twin that reaches documents through the canonicalized
+    * domain (h_domain_rollup, h_license_compliance), so the oracle-side
+    * canonicalization can never drift between them. */
+  private val domainCanonDuckCtes: String =
     """WITH seed AS (
       |  SELECT doc_id, lang, source,
       |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
@@ -2377,8 +2494,8 @@ object CorpusOps {
       |  FROM parts),
       |canon AS (
       |  SELECT doc_id,
-      |    regexp_replace(regexp_replace(regexp_replace(url,
-      |      '#.*$', ''), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*$', '') AS u1
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+      |      '#.*$', ''), '&utm_[^&#]*', '', 'g'), '[?]utm_[^&#]*&', '?'), '[?]utm_[^&#]*$', '') AS u1
       |  FROM raw),
       |cparts AS (
       |  SELECT doc_id,
@@ -2398,7 +2515,10 @@ object CorpusOps {
       |    CASE WHEN regexp_extract(host, '([^.]+\.(co\.uk|com\.au|github\.io))$', 1) <> ''
       |         THEN regexp_extract(host, '([^.]+\.(co\.uk|com\.au|github\.io))$', 1)
       |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS etld1
-      |  FROM cparts)
+      |  FROM cparts)""".stripMargin
+
+  val hDomainRollupSql: String = domainCanonDuckCtes +
+    """
       |SELECT etld1,
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  CAST(count(*) AS BIGINT) AS n_raw_urls,
@@ -2408,15 +2528,108 @@ object CorpusOps {
       |  1000 * count(DISTINCT doc_id) >= 10 * (SELECT count(*) FROM documents) AS cap_flag
       |FROM curl GROUP BY etld1 ORDER BY etld1""".stripMargin
 
+  // ==================================================== license compliance
+
+  /** License / opt-out compliance accounting — the dataset-card column
+    * next to [[TrainingOps.hSurvivorProvenance]] (round-19 verdict item
+    * 4b): every crawl-sourced corpus ships a per-source ledger of how much
+    * token mass sits under each usage policy, because the allow/exclude
+    * decision is made per REGISTRABLE DOMAIN (robots/ai.txt, licensing
+    * deals, opt-out registries), not per document. The policy table is
+    * synthesized per eTLD+1 from an md5 draw (allow 60 % / nc 20 % /
+    * nd 10 % / optout 10 %) and every doc reaches its domain through
+    * [[canonicalizeUrls]] — the SAME parse h_domain_rollup audits, so a
+    * canonicalization bug would break this ledger's conservation
+    * invariant (`ambiguous_docs` > 0, or n_docs not summing to the
+    * corpus) before it silently mis-binned token mass. Per (source,
+    * policy): docs, whitespace-token mass, the source's milli share, and
+    * the excluded flag (nd/optout — what a compliant train run must
+    * drop).
+    *
+    * Scale shape: the fetch-log canonicalization is scan-local string
+    * algebra; the doc→domain collapse is ONE doc_id-keyed aggregate whose
+    * output joins documents on the same doc_id key; the policy table is
+    * domain-count-sized (hosts derive from (source, lang) — bounded) and
+    * BROADCASTs onto the stream; the ledger is a (source, policy)
+    * aggregate (≤ sources×4 rows) with a window over that tiny result.
+    * No corpus² anywhere; the one data-sized exchange is keyed on
+    * doc_id. */
+  def hLicenseCompliance(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    canonicalizeUrls(domainRawUrls(s, dir)).createOrReplaceTempView("lic_curl")
+    s.sql(
+      """WITH dd AS (
+        |  SELECT doc_id, min(etld1) AS etld1,
+        |    CAST(count(DISTINCT etld1) AS BIGINT) AS n_dom
+        |  FROM lic_curl GROUP BY doc_id),
+        |pol AS (
+        |  SELECT etld1,
+        |    CASE WHEN h % 10 <= 5 THEN 'allow'
+        |         WHEN h % 10 <= 7 THEN 'nc'
+        |         WHEN h % 10 = 8 THEN 'nd'
+        |         ELSE 'optout' END AS policy
+        |  FROM (SELECT etld1,
+        |          CAST(conv(substr(md5(concat('lic', etld1)), 1, 15), 16, 10)
+        |            AS BIGINT) AS h
+        |        FROM (SELECT DISTINCT etld1 FROM lic_curl))),
+        |j AS (
+        |  SELECT d.source, p.policy, dd.n_dom,
+        |    CAST(size(split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents d JOIN dd ON d.doc_id = dd.doc_id
+        |  JOIN pol p ON dd.etld1 = p.etld1)
+        |SELECT source, policy,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_mass,
+        |  CAST(1000 * sum(n_tok) DIV (sum(sum(n_tok)) OVER (PARTITION BY source))
+        |    AS BIGINT) AS share_milli,
+        |  policy IN ('nd', 'optout') AS excluded,
+        |  CAST(sum(CASE WHEN n_dom > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ambiguous_docs
+        |FROM j GROUP BY source, policy ORDER BY source, policy""".stripMargin)
+  }
+
+  /** DuckDB twin rides [[domainCanonDuckCtes]] — the identical synthesis
+    * and canonicalization text the domain-rollup twin replays. */
+  val hLicenseComplianceSql: String = domainCanonDuckCtes +
+    """,
+      |dd AS (
+      |  SELECT doc_id, min(etld1) AS etld1,
+      |    CAST(count(DISTINCT etld1) AS BIGINT) AS n_dom
+      |  FROM curl GROUP BY doc_id),
+      |pol AS (
+      |  SELECT etld1,
+      |    CASE WHEN h % 10 <= 5 THEN 'allow'
+      |         WHEN h % 10 <= 7 THEN 'nc'
+      |         WHEN h % 10 = 8 THEN 'nd'
+      |         ELSE 'optout' END AS policy
+      |  FROM (SELECT etld1,
+      |          CAST(concat('0x', substr(md5(concat('lic', etld1)), 1, 15))
+      |            AS BIGINT) AS h
+      |        FROM (SELECT DISTINCT etld1 FROM curl))),
+      |j AS (
+      |  SELECT d.source, p.policy, dd.n_dom,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents d JOIN dd ON d.doc_id = dd.doc_id
+      |  JOIN pol p ON dd.etld1 = p.etld1)
+      |SELECT source, policy,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS tok_mass,
+      |  CAST(1000 * sum(n_tok) // (sum(sum(n_tok)) OVER (PARTITION BY source))
+      |    AS BIGINT) AS share_milli,
+      |  policy IN ('nd', 'optout') AS excluded,
+      |  CAST(sum(CASE WHEN n_dom > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ambiguous_docs
+      |FROM j GROUP BY source, policy ORDER BY source, policy""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_boilerplate_strip" -> (hBoilerplateStrip _),
     "h_compression_screen" -> (hCompressionScreen _),
     "h_domain_rollup" -> (hDomainRollup _),
+    "h_license_compliance" -> (hLicenseCompliance _),
     "h_topic_coherence" -> (hTopicCoherence _),
     "h_ctfidf_topics" -> (hCtfidfTopics _),
     "h_zipf_audit" -> (hZipfAudit _),
     "h_percentile_norm" -> (hPercentileNorm _),
     "h_quality_classifier" -> (hQualityClassifier _),
+    "h_quality_calibration" -> (hQualityCalibration _),
     "h_rrf_fusion" -> (hRrfFusion _),
     "h_mmr_diversify" -> (hMmrDiversify _),
     "h_rag_context_pack" -> (hRagContextPack _),
@@ -2436,11 +2649,13 @@ object CorpusOps {
     "h_boilerplate_strip" -> hBoilerplateStripSql,
     "h_compression_screen" -> hCompressionScreenSql,
     "h_domain_rollup" -> hDomainRollupSql,
+    "h_license_compliance" -> hLicenseComplianceSql,
     "h_topic_coherence" -> hTopicCoherenceSql,
     "h_ctfidf_topics" -> hCtfidfTopicsSql,
     "h_zipf_audit" -> hZipfAuditSql,
     "h_percentile_norm" -> hPercentileNormSql,
     "h_quality_classifier" -> hQualityClassifierSql,
+    "h_quality_calibration" -> hQualityCalibrationSql,
     "h_rrf_fusion" -> hRrfFusionSql,
     "h_mmr_diversify" -> hMmrDiversifySql,
     "h_rag_context_pack" -> hRagContextPackSql,

@@ -196,19 +196,186 @@ object GovernanceOps {
     draw = "CAST(concat('0x', substring(md5(concat(metric, '|', lang)), 1, 6)) AS BIGINT)",
     ntoks = "len(string_split(text, ' '))")
 
+  // =========================================================== PII census
+
+  /** PII pattern census + scrub VERIFICATION — the detection side the
+    * governance family lacked (round-19 verdict item 4a):
+    * [[LlmOps.hScrubRedact]] accounts for a replacement pass but never
+    * proves what it caught. Since the synthetic corpus plants no true PII
+    * (TESTDATA.md), the audit deterministically plants email/phone/ID-shaped
+    * spans from an md5(doc_id) draw (~1/5 of docs get an email, ~1/7 a
+    * phone, ~1/11 an ID) PLUS, on ~1/3 of docs, a DECOY suffix
+    * (`u@ mail`, `555-012345678`, `ID-12-Q`) sharing each pattern's
+    * surface shape but deliberately outside it — an over-greedy detector
+    * catches decoys and fails `detect_exact`; an under-greedy one misses
+    * planted spans and fails it from the other side. The scrub pass
+    * replaces each pattern with its tag and the detectors re-run on the
+    * scrubbed text: `n_resid` must be 0. Per (lang, pattern): doc counts,
+    * hit counts, planted counts, both verification flags, hit density ‰
+    * and total matched span chars — the census a privacy review reads
+    * before shipping a corpus. Regexes are RE2-safe (no lookaround), so
+    * both engines run the identical patterns.
+    *
+    * Scale shape: planting, the three detectors, the scrub and the
+    * residual re-detection are ALL scan-local; per-doc counts unpivot
+    * through a bounded 3-element explode and collapse in ONE
+    * (lang, pattern)-keyed aggregate with map-side partials — one
+    * exchange at any corpus size. */
+  def hPiiCensus(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH p AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(conv(substr(md5(concat('pii', CAST(doc_id AS STRING))), 1, 15), 16, 10)
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, lang,
+        |    concat(text,
+        |      CASE WHEN h % 5 = 0 THEN concat(' contact u', CAST(h % 97 AS STRING),
+        |        '@mail', CAST(h % 7 AS STRING), '.example.com now') ELSE '' END,
+        |      CASE WHEN h % 7 = 0 THEN concat(' call 555-01',
+        |        lpad(CAST(h % 100 AS STRING), 2, '0'), ' today') ELSE '' END,
+        |      CASE WHEN h % 11 = 0 THEN concat(' ref ID-',
+        |        lpad(CAST((h DIV 11) % 10000 AS STRING), 4, '0'), '-Q end') ELSE '' END,
+        |      CASE WHEN h % 3 = 0 THEN ' decoy u@ mail 555-012345678 ID-12-Q' ELSE '' END
+        |    ) AS text,
+        |    CAST(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_email,
+        |    CAST(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_phone,
+        |    CAST(CASE WHEN h % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_id
+        |  FROM p),
+        |d AS (
+        |  SELECT lang, e_email, e_phone, e_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>'),
+        |      '\\b555-01[0-9][0-9]\\b', '<PHONE>'),
+        |      '\\bID-[0-9]{4}-[A-Z]\\b', '<ID>') AS scrubbed,
+        |    CAST(size(regexp_extract_all(text,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT) AS n_email,
+        |    CAST(size(regexp_extract_all(text,
+        |      '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT) AS n_phone,
+        |    CAST(size(regexp_extract_all(text,
+        |      '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT) AS n_id
+        |  FROM pl),
+        |u AS (
+        |  SELECT lang, pat.p AS pattern, pat.n AS n, pat.e AS e,
+        |    pat.sp AS span_chars, pat.r AS resid
+        |  FROM d LATERAL VIEW explode(array(
+        |    named_struct('p', 'email', 'n', n_email, 'e', e_email,
+        |      'sp', CAST(length(text) - length(regexp_replace(text,
+        |        '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '')) AS BIGINT),
+        |      'r', CAST(size(regexp_extract_all(scrubbed,
+        |        '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT)),
+        |    named_struct('p', 'phone', 'n', n_phone, 'e', e_phone,
+        |      'sp', CAST(length(text) - length(regexp_replace(text,
+        |        '\\b555-01[0-9][0-9]\\b', '')) AS BIGINT),
+        |      'r', CAST(size(regexp_extract_all(scrubbed,
+        |        '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT)),
+        |    named_struct('p', 'id', 'n', n_id, 'e', e_id,
+        |      'sp', CAST(length(text) - length(regexp_replace(text,
+        |        '\\bID-[0-9]{4}-[A-Z]\\b', '')) AS BIGINT),
+        |      'r', CAST(size(regexp_extract_all(scrubbed,
+        |        '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT)))) t AS pat)
+        |SELECT lang, pattern,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+        |  CAST(sum(n) AS BIGINT) AS n_hits,
+        |  CAST(sum(e) AS BIGINT) AS n_planted,
+        |  sum(n) = sum(e) AS detect_exact,
+        |  CAST(1000 * sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) DIV count(*)
+        |    AS BIGINT) AS density_milli,
+        |  CAST(sum(span_chars) AS BIGINT) AS span_chars,
+        |  CAST(sum(resid) AS BIGINT) AS n_resid,
+        |  sum(resid) = 0 AS scrub_clean
+        |FROM u GROUP BY lang, pattern ORDER BY lang, pattern""".stripMargin)
+  }
+
+  /** DuckDB twin: 0x-concat hex cast, `len`/`unnest`-of-struct-list
+    * unpivot, g-flagged replaces (DuckDB defaults to first-match),
+    * single-backslash regex literals (no escape processing). */
+  val hPiiCensusSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(concat('0x', substr(md5(concat('pii', CAST(doc_id AS VARCHAR))), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |pl AS (
+      |  SELECT doc_id, lang,
+      |    concat(text,
+      |      CASE WHEN h % 5 = 0 THEN concat(' contact u', CAST(h % 97 AS VARCHAR),
+      |        '@mail', CAST(h % 7 AS VARCHAR), '.example.com now') ELSE '' END,
+      |      CASE WHEN h % 7 = 0 THEN concat(' call 555-01',
+      |        lpad(CAST(h % 100 AS VARCHAR), 2, '0'), ' today') ELSE '' END,
+      |      CASE WHEN h % 11 = 0 THEN concat(' ref ID-',
+      |        lpad(CAST((h // 11) % 10000 AS VARCHAR), 4, '0'), '-Q end') ELSE '' END,
+      |      CASE WHEN h % 3 = 0 THEN ' decoy u@ mail 555-012345678 ID-12-Q' ELSE '' END
+      |    ) AS text,
+      |    CAST(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_email,
+      |    CAST(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_phone,
+      |    CAST(CASE WHEN h % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_id
+      |  FROM p),
+      |d AS (
+      |  SELECT lang, e_email, e_phone, e_id, text,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+      |      '\b555-01[0-9][0-9]\b', '<PHONE>', 'g'),
+      |      '\bID-[0-9]{4}-[A-Z]\b', '<ID>', 'g') AS scrubbed,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\b555-01[0-9][0-9]\b')) AS BIGINT) AS n_phone,
+      |    CAST(len(regexp_extract_all(text,
+      |      '\bID-[0-9]{4}-[A-Z]\b')) AS BIGINT) AS n_id
+      |  FROM pl),
+      |u AS (
+      |  SELECT lang, pat.p AS pattern, pat.n AS n, pat.e AS e,
+      |    pat.sp AS span_chars, pat.r AS resid
+      |  FROM (
+      |    SELECT lang, unnest([
+      |      {'p': 'email', 'n': n_email, 'e': e_email,
+      |       'sp': CAST(length(text) - length(regexp_replace(text,
+      |         '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+', '', 'g')) AS BIGINT),
+      |       'r': CAST(len(regexp_extract_all(scrubbed,
+      |         '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT)},
+      |      {'p': 'phone', 'n': n_phone, 'e': e_phone,
+      |       'sp': CAST(length(text) - length(regexp_replace(text,
+      |         '\b555-01[0-9][0-9]\b', '', 'g')) AS BIGINT),
+      |       'r': CAST(len(regexp_extract_all(scrubbed,
+      |         '\b555-01[0-9][0-9]\b')) AS BIGINT)},
+      |      {'p': 'id', 'n': n_id, 'e': e_id,
+      |       'sp': CAST(length(text) - length(regexp_replace(text,
+      |         '\bID-[0-9]{4}-[A-Z]\b', '', 'g')) AS BIGINT),
+      |       'r': CAST(len(regexp_extract_all(scrubbed,
+      |         '\bID-[0-9]{4}-[A-Z]\b')) AS BIGINT)}]) AS pat
+      |    FROM d))
+      |SELECT lang, pattern,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+      |  CAST(sum(n) AS BIGINT) AS n_hits,
+      |  CAST(sum(e) AS BIGINT) AS n_planted,
+      |  sum(n) = sum(e) AS detect_exact,
+      |  CAST(1000 * sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS density_milli,
+      |  CAST(sum(span_chars) AS BIGINT) AS span_chars,
+      |  CAST(sum(resid) AS BIGINT) AS n_resid,
+      |  sum(resid) = 0 AS scrub_clean
+      |FROM u GROUP BY lang, pattern ORDER BY lang, pattern""".stripMargin
+
   // ================================================================ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_k_anonymity" -> (hKAnonymity _),
     "h_dist_drift" -> (hDistDrift _),
     "h_fuzzy_match" -> (hFuzzyMatch _),
-    "h_dp_release" -> (hDpRelease _)
+    "h_dp_release" -> (hDpRelease _),
+    "h_pii_census" -> (hPiiCensus _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "h_k_anonymity" -> hKAnonymitySql,
     "h_dist_drift" -> hDistDriftSql,
     "h_fuzzy_match" -> hFuzzyMatchSql,
-    "h_dp_release" -> hDpReleaseSql
+    "h_dp_release" -> hDpReleaseSql,
+    "h_pii_census" -> hPiiCensusSql
   )
 }

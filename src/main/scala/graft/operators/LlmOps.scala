@@ -1663,7 +1663,12 @@ object LlmOps {
   /** The staleness-audit CTE chain (everything up to `rep`) — shared by
     * [[hIvfStaleness]] (the report) and [[hIvfRetrain]] (the action), so
     * the alarm and the retrain it drives can never drift. */
-  private def ivfStalenessCtes: String =
+  /** The fixed-centroid ASSIGNMENT chain (base…assigned: every vector
+    * scan-locally assigned to its nearest shipped centroid, tagged
+    * old/new by vec_id parity) — shared by [[hIvfStaleness]] /
+    * [[hIvfRetrain]] (per-dim drift math on top) and [[hIvfInsert]] (list
+    * balance only, no per-dim work at all). */
+  private def ivfAssignCtes: String =
     s"""WITH base AS (
        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -1677,7 +1682,10 @@ object LlmOps {
        |  SELECT vec_id, v, vec_id % 2 = 1 AS is_new,
        |    array_sort(transform(cs, c -> named_struct(
        |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
-       |  FROM normed CROSS JOIN cents),
+       |  FROM normed CROSS JOIN cents)""".stripMargin
+
+  private def ivfStalenessCtes: String = ivfAssignCtes +
+    s""",
        |qv AS (
        |  SELECT c_id, is_new,
        |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
@@ -1781,10 +1789,53 @@ object LlmOps {
         |FROM rep ORDER BY c_id""".stripMargin)
   }
 
-  /** DuckDB replays the shipped centroid chain, the assignment, and the
-    * exact-integer centroid-shift arithmetic — the whole audit, not just
-    * the counts. */
-  val hIvfStalenessSql: String =
+  /** Incremental IVF index MAINTENANCE — the insert-batch sibling of
+    * [[hIvfRetrain]] (round-19 verdict item 4c): the nightly operational
+    * path assigns an ingest batch (vec_id parity = the
+    * [[ProfileOps.hEmbeddingDrift]] arrival convention) into the STANDING
+    * lists with NO recompute — no per-dim sums, no centroid refresh, just
+    * the broadcast-centroid scan — and reports what the index operator
+    * watches between retrains: per-list before/after membership, milli
+    * share drift, and the overfull flag (list > 2× the mean) that
+    * triggers [[hIvfStaleness]]'s deeper audit. h_dedup_incremental
+    * models the same batch-vs-index operational shape for text; this is
+    * the ANN side.
+    *
+    * Scale shape: ONE embeddings scan assigned scan-locally against the
+    * collected 16-centroid array (the h_ann_ivf plan — the centroid build
+    * reads only the vec_id < 256 training slice), then a 16-group
+    * aggregate with map-side partials; the shares/flags fold as a window
+    * over the 16-row result (a 1-row-total CTE consumed next to its
+    * source re-inlined the whole assignment chain — 12 exchanges vs this
+    * form's 7). At 10⁹ vectors: one pass, KB-sized state, zero joins on
+    * the data path. */
+  def hIvfInsert(s: SparkSession, dir: String): DataFrame = {
+    embeds(s, dir)
+    s.sql(ivfAssignCtes +
+      """,
+        |counts AS (
+        |  SELECT c_id,
+        |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_insert
+        |  FROM assigned GROUP BY c_id),
+        |shares AS (
+        |  SELECT c_id, n_before, n_insert,
+        |    CAST(sum(n_before) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_before + n_insert) OVER () AS BIGINT) AS ta
+        |  FROM counts)
+        |SELECT c_id, n_before, n_insert,
+        |  CAST(1000 * n_before DIV tb AS BIGINT) AS share_before_milli,
+        |  CAST(1000 * (n_before + n_insert) DIV ta AS BIGINT) AS share_after_milli,
+        |  CAST(1000 * (n_before + n_insert) DIV ta - 1000 * n_before DIV tb
+        |    AS BIGINT) AS drift_milli,
+        |  16 * (n_before + n_insert) > 2 * ta AS overfull
+        |FROM shares ORDER BY c_id""".stripMargin)
+  }
+
+  /** DuckDB replica of [[ivfAssignCtes]] (base…assigned) — shared by the
+    * staleness twin (and, via its string surgery, the retrain twin) and
+    * [[hIvfInsertSql]], so the oracle-side assignment cannot drift. */
+  private val ivfAssignDuckCtes: String =
     """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       |seed AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id < 16),
@@ -1812,7 +1863,13 @@ object LlmOps {
       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
       |        list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS rn
       |    FROM normed n CROSS JOIN cent c)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replays the shipped centroid chain, the assignment, and the
+    * exact-integer centroid-shift arithmetic — the whole audit, not just
+    * the counts. */
+  val hIvfStalenessSql: String = ivfAssignDuckCtes +
+    """,
       |qv AS (
       |  SELECT c_id, is_new,
       |    list_transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS q
@@ -1887,6 +1944,29 @@ object LlmOps {
       |            (sqrt(cnn) * sqrt(CAST(rnn1 AS DOUBLE)))) END
       |    AS BIGINT) AS drift_milli
       |FROM rep ORDER BY c_id""".stripMargin
+
+  /** DuckDB twin of the insert-batch balance report — rides
+    * [[ivfAssignDuckCtes]]; all divided counts non-negative, so `//`
+    * matches Spark's DIV. */
+  val hIvfInsertSql: String = ivfAssignDuckCtes +
+    """,
+      |counts AS (
+      |  SELECT c_id,
+      |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+      |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_insert
+      |  FROM assigned GROUP BY c_id),
+      |shares AS (
+      |  SELECT c_id, n_before, n_insert,
+      |    CAST(sum(n_before) OVER () AS BIGINT) AS tb,
+      |    CAST(sum(n_before + n_insert) OVER () AS BIGINT) AS ta
+      |  FROM counts)
+      |SELECT c_id, n_before, n_insert,
+      |  CAST(1000 * n_before // tb AS BIGINT) AS share_before_milli,
+      |  CAST(1000 * (n_before + n_insert) // ta AS BIGINT) AS share_after_milli,
+      |  CAST(1000 * (n_before + n_insert) // ta - 1000 * n_before // tb
+      |    AS BIGINT) AS drift_milli,
+      |  16 * (n_before + n_insert) > 2 * ta AS overfull
+      |FROM shares ORDER BY c_id""".stripMargin
 
   /** DuckDB replays the whole query path relationally: the shared
     * seeded-Lloyd centroid chain, residual codes for every db vector,
@@ -3801,6 +3881,7 @@ object LlmOps {
     "h_pq_recall" -> (hPqRecall _),
     "h_ivf_staleness" -> (hIvfStaleness _),
     "h_ivf_retrain" -> (hIvfRetrain _),
+    "h_ivf_insert" -> (hIvfInsert _),
     "h_semdedup" -> (hSemDedup _),
     "h_lm_quality" -> (hLmQuality _),
     "h_tfidf" -> (hTfidf _),
@@ -3848,6 +3929,7 @@ object LlmOps {
     "h_pq_recall" -> hPqRecallSql,
     "h_ivf_staleness" -> hIvfStalenessSql,
     "h_ivf_retrain" -> hIvfRetrainSql,
+    "h_ivf_insert" -> hIvfInsertSql,
     "h_semdedup" -> hSemDedupSql,
     "h_lm_quality" -> hLmQualitySql,
     "h_tfidf" -> hTfidfSql,

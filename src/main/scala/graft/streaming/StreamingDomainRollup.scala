@@ -75,21 +75,26 @@ object StreamingDomainRollup {
         timerValues: TimerValues): Iterator[DomainStat] = {
       var mm = if (m.exists()) m.get() else Moments(0L, 0L, 0L, 0L)
       rows.foreach { r =>
+        // each ledger counts on ITS OWN first sighting (round-19 advice):
+        // gating doc/canon/host behind raw-URL idempotence silently dropped
+        // a re-fetch of a seen URL under a NEW doc id — a shape real crawls
+        // produce. Replayed identical rows still move nothing (every ledger
+        // has seen every field), so at-least-once idempotence is preserved.
         if (!rawSeen.containsKey(r.url)) {
           rawSeen.updateValue(r.url, true)
           mm = mm.copy(nRaw = mm.nRaw + 1)
-          if (!canonSeen.containsKey(r.canonUrl)) {
-            canonSeen.updateValue(r.canonUrl, true)
-            mm = mm.copy(nCanon = mm.nCanon + 1)
-          }
-          if (!hostSeen.containsKey(r.host)) {
-            hostSeen.updateValue(r.host, true)
-            mm = mm.copy(nHosts = mm.nHosts + 1)
-          }
-          if (!docSeen.containsKey(r.docId)) {
-            docSeen.updateValue(r.docId, true)
-            mm = mm.copy(nDocs = mm.nDocs + 1)
-          }
+        }
+        if (!canonSeen.containsKey(r.canonUrl)) {
+          canonSeen.updateValue(r.canonUrl, true)
+          mm = mm.copy(nCanon = mm.nCanon + 1)
+        }
+        if (!hostSeen.containsKey(r.host)) {
+          hostSeen.updateValue(r.host, true)
+          mm = mm.copy(nHosts = mm.nHosts + 1)
+        }
+        if (!docSeen.containsKey(r.docId)) {
+          docSeen.updateValue(r.docId, true)
+          mm = mm.copy(nDocs = mm.nDocs + 1)
         }
       }
       m.update(mm)

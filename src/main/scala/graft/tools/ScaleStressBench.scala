@@ -108,14 +108,29 @@ object ScaleStressBench {
     // xK — exactly how real growth over a fixed crawl frontier looks);
     // survivor provenance reads the SHARED
     // label table plus label-keyed aggregates (the dedup-action shape).
-    // (h_hnsw_audit is deliberately NOT stress-listed: its graph build is
-    // the h_knn_graph fixed-16-seed cell join, whose within-cell pairs
-    // grow xK^2 under a fixed nlist — the same documented exclusion.)
     "h_domain_rollup", "h_compression_screen", "h_survivor_provenance",
     // round 19 second wave: boilerplate strip is one bounded block explode
     // (<= 4 blocks/doc) into a per-doc top-1 window + one source aggregate
     // -- expected linear.
-    "h_boilerplate_strip")
+    "h_boilerplate_strip",
+    // round 20 (verdict item 2): h_hnsw_audit enters the stress set
+    // MEASURED rather than argued. Its graph build shares h_knn_graph's
+    // fixed-16-seed cell join, whose within-cell pairs grow xK^2 under a
+    // fixed nlist (real HNSW grows layers ~ log N) — so the expected
+    // K-curve is super-linear BY DESIGN and the row documents how fast
+    // the fixed-size graph build saturates, next to the panel-bounded
+    // search hops that stay flat.
+    "h_hnsw_audit",
+    // round 20: pii census is scan-local regexes into one bounded-explode
+    // (lang, pattern) aggregate — expected linear. License compliance is
+    // the domain-rollup parse plus one doc_id-keyed join against the
+    // fixed (source, lang)-derived domain table — the h_domain_rollup
+    // growth shape. IVF insert is one assignment scan into a 16-group
+    // aggregate (the staleness shape minus the per-dim sums). Quality
+    // calibration rides the classifier's own score chain plus one
+    // 17-group broadcast-grid aggregate — the h_quality_classifier shape.
+    "h_pii_census", "h_license_compliance", "h_ivf_insert",
+    "h_quality_calibration")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts

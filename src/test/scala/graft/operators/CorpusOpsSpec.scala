@@ -262,4 +262,65 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows.map(_._3).sum < docs.length, "no extraction failures: adversary never fired")
     assert(rows.map(_._3).sum > 0, "extractor never succeeded")
   }
+
+  test("h_license_compliance: every doc lands under exactly one policy, shares close per source") {
+    val rows = CorpusOps.hLicenseCompliance(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"${graft.SparkSpec.sf0001}/documents.parquet").count()
+    assert(rows.map(_._3).sum == nDocs,
+      "policy partition must conserve the corpus (one domain, one policy per doc)")
+    assert(rows.forall(_._7 == 0L),
+      "a doc canonicalized onto more than one registrable domain")
+    val policies = Set("allow", "nc", "nd", "optout")
+    rows.foreach { case (src, pol, nd, tok, share, excluded, _) =>
+      assert(policies.contains(pol), s"$src: unknown policy $pol")
+      assert(excluded == (pol == "nd" || pol == "optout"), s"$src/$pol excluded flag")
+      assert(nd > 0 && tok > 0 && share >= 0 && share <= 1000, s"$src/$pol bounds")
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val s = rs.map(_._5).sum
+      // per-source milli shares floor-round: sum in (1000 - |policies|, 1000]
+      assert(s > 1000 - 4 && s <= 1000, s"$src: share_milli sums to $s")
+    }
+    // the synthesized policy table must actually exclude something somewhere,
+    // or the compliance gate is vacuous
+    assert(rows.exists(r => r._6), "no source carries any excluded token mass")
+  }
+
+  test("h_quality_calibration: thr=0 row equals the classifier's summed confusion matrix; curve is monotone") {
+    val rows = CorpusOps.hQualityCalibration(spark, graft.SparkSpec.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (thr, nTest, tp, fp, fn, tn, prec, rec, f1) =>
+      assert(tp + fp + fn + tn == nTest, s"thr=$thr cells must sum to the test set")
+      if (tp + fp > 0) assert(prec == 1000L * tp / (tp + fp), s"thr=$thr precision")
+      else assert(prec == -1L)
+      if (tp + fn > 0) assert(rec == 1000L * tp / (tp + fn), s"thr=$thr recall")
+      else assert(rec == -1L)
+      if (2 * tp + fp + fn > 0) assert(f1 == 2000L * tp / (2 * tp + fp + fn), s"thr=$thr f1")
+      else assert(f1 == -1L)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach {
+      case Array((t1, _, tp1, fp1, _, _, _, _, _), (t2, _, tp2, fp2, _, _, _, _, _)) =>
+        assert(t1 < t2 && tp2 <= tp1 && fp2 <= fp1,
+          s"thr $t1 -> $t2: predicted positives grew (tp $tp1->$tp2, fp $fp1->$fp2)")
+      case _ => ()
+    }
+    // the grid must cross the operating point: both saturations visible
+    assert(rows.head._3 + rows.head._4 > rows.last._3 + rows.last._4,
+      "threshold sweep never moved the predicted-positive count")
+    // cross-pin: the thr=0 row IS h_quality_classifier's decision rule
+    val cls = CorpusOps.hQualityClassifier(spark, graft.SparkSpec.sf0001).collect()
+    val (ctp, cfp, cfn, ctn) = cls.foldLeft((0L, 0L, 0L, 0L)) { (a, r) =>
+      (a._1 + r.getLong(3), a._2 + r.getLong(4), a._3 + r.getLong(5), a._4 + r.getLong(6))
+    }
+    val z = rows.find(_._1 == 0L).get
+    assert((z._3, z._4, z._5, z._6) == (ctp, cfp, cfn, ctn),
+      "thr=0 calibration row diverged from the shipped classifier's confusion matrix")
+  }
 }

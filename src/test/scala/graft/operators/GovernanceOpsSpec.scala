@@ -92,4 +92,45 @@ class GovernanceOpsSpec extends SparkSuite {
       assert(eps === 1L && tot === 2L, "epsilon ledger: 1 unit per release, 2 per lang")
     }
   }
+
+  test("h_pii_census: detection equals the planting exactly, decoys never fire, scrub residual is zero") {
+    val rows = GovernanceOps.hPiiCensus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getBoolean(10)))
+    assert(rows.nonEmpty)
+    // Scala referee for the planting draw: md5("pii" + doc_id) first 15 hex
+    // chars as a non-negative Long — the same draw both engines replay
+    def draw(docId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pii$docId".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val langCount = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected: Map[(String, String), Long] = docs.flatMap { case (id, lang) =>
+      val h = draw(id)
+      Seq(if (h % 5 == 0) Some((lang, "email")) else None,
+        if (h % 7 == 0) Some((lang, "phone")) else None,
+        if (h % 11 == 0) Some((lang, "id")) else None).flatten
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (lang, pat, nDocs, nDocsHit, nHits, nPlanted,
+        detectExact, densityMilli, spanChars, nResid, scrubClean) =>
+      assert(nDocs == langCount(lang), s"$lang/$pat n_docs")
+      assert(nPlanted == expected.getOrElse((lang, pat), 0L),
+        s"$lang/$pat: planted count disagrees with the Scala referee")
+      assert(nHits == nPlanted && detectExact,
+        s"$lang/$pat: detector caught $nHits of $nPlanted planted spans " +
+          "(an over-greedy regex catches decoys, an under-greedy one misses plants)")
+      assert(nDocsHit == nPlanted, s"$lang/$pat: one planted span per selected doc")
+      assert(densityMilli == 1000L * nDocsHit / nDocs, s"$lang/$pat density")
+      assert(spanChars >= nHits * 7, s"$lang/$pat: spans implausibly short")
+      assert(nResid == 0 && scrubClean, s"$lang/$pat: scrub left $nResid residual hits")
+    }
+    // all three patterns appear for every language
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      langCount.keySet.flatMap(l => Set((l, "email"), (l, "phone"), (l, "id"))))
+  }
 }

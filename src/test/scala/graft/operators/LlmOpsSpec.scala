@@ -306,4 +306,30 @@ class LlmOpsSpec extends SparkSuite {
     val med = rows.map(_._6).sorted.apply(rows.length / 2)
     assert(med <= n / 50, s"median found_rank $med vs n=$n - graph not navigable")
   }
+
+  test("h_ivf_insert: list balance conserves both waves and cross-pins the staleness audit's membership") {
+    val sf = graft.SparkSpec.sf0001
+    val rows = LlmOps.hIvfInsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 16L), "one row per standing list")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nEven = emb.filter("vec_id % 2 = 0").count()
+    val nOdd = emb.filter("vec_id % 2 = 1").count()
+    assert(rows.map(_._2).sum == nEven, "standing members must conserve the even wave")
+    assert(rows.map(_._3).sum == nOdd, "inserted members must conserve the odd wave")
+    val tb = rows.map(_._2).sum; val ta = tb + rows.map(_._3).sum
+    rows.foreach { case (c, nb, ni, sb, sa, drift, overfull) =>
+      assert(sb == 1000L * nb / tb && sa == 1000L * (nb + ni) / ta, s"list $c shares")
+      assert(drift == sa - sb, s"list $c drift")
+      assert(overfull == (16L * (nb + ni) > 2L * ta), s"list $c overfull flag")
+    }
+    // cross-pin: the no-recompute insert sees the SAME membership the
+    // staleness audit reports (same shipped centroids, same assignment rule)
+    val audit = LlmOps.hIvfStaleness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == audit.toSeq,
+      "insert-path membership diverged from the staleness audit")
+  }
 }

@@ -114,4 +114,65 @@ class StreamingDomainRollupSpec extends SparkSuite {
         "streaming rollup diverged from h_domain_rollup's domain table")
     } finally q2.stop()
   }
+
+  test("re-fetch of a seen raw URL under a NEW doc_id still counts the doc (round-19 advice)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // a real crawl can re-fetch one URL under a new doc id — the doc/canon/
+    // host ledgers must count independently of raw-URL idempotence (only
+    // n_raw dedups on the raw URL, mirroring the at-least-once replay guard)
+    val base = CorpusOps.domainRawUrls(spark, SparkSpec.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(20).toSeq
+    val refetch = base.map { case (id, u) => (id + 5000000L, u) }
+
+    def referee(rows: Seq[(Long, String)]): Map[String, (Long, Long, Long, Long)] = {
+      val canon = CorpusOps.canonicalizeUrls(rows.toDF("doc_id", "url")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+      canon.groupBy(_._5).map { case (etld1, rs) =>
+        etld1 -> (rs.map(_._1).distinct.length.toLong,
+          rs.map(_._2).distinct.length.toLong,
+          rs.map(_._4).distinct.length.toLong,
+          rs.map(_._3).distinct.length.toLong)
+      }
+    }
+    // the re-fetch wave doubles n_docs but must move NO other ledger
+    val exp = referee(base ++ refetch)
+    assert(exp.values.map(_._1).sum == 2L * base.map(_._1).distinct.length,
+      "referee sanity: re-fetch wave must double the distinct-doc count")
+    assert(exp == referee(base).map { case (d, (nd, nr, nc, nh)) => d -> (2 * nd, nr, nc, nh) },
+      "referee sanity: raw/canon/host ledgers must be unmoved by the re-fetch wave")
+
+    val captured = new ConcurrentHashMap[Long, Array[StreamingDomainRollup.DomainStat]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("domroll-refetch-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDomainRollup(input.toDF().toDF("doc_id", "url")).writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(200L))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingDomainRollup.DomainStat], id: Long) =>
+        captured.put(id, df.collect())
+        ()
+      }
+      .start()
+    try {
+      def latest: Map[String, (Long, Long, Long, Long)] =
+        captured.asScala.toSeq.sortBy(_._1).flatMap(_._2.toSeq)
+          .groupBy(_.etld1).map { case (d, es) =>
+            val e = es.last
+            d -> (e.nDocs, e.nRawUrls, e.nCanonUrls, e.nHosts)
+          }
+      input.addData(base)
+      val d1 = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < d1 && latest != referee(base)) Thread.sleep(250)
+      assert(latest == referee(base), "base wave diverged from the referee")
+
+      input.addData(refetch)
+      val d2 = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < d2 && latest != exp) Thread.sleep(250)
+      assert(latest == exp,
+        "re-fetched URLs under new doc ids were not counted as new docs")
+    } finally q.stop()
+  }
 }
