@@ -221,61 +221,74 @@ object GovernanceOps {
     * through a bounded 3-element explode and collapse in ONE
     * (lang, pattern)-keyed aggregate with map-side partials — one
     * exchange at any corpus size. */
-  def hPiiCensus(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic PII planting (synthesis side): docs → planted text
+    * + per-pattern expectation flags. Batch-only — the twin consumes the
+    * planted crawl stream the way StreamingDomainRollup consumes the
+    * fetch log. */
+  private[graft] def piiPlanted(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
       """WITH p AS (
         |  SELECT doc_id, lang, text,
         |    CAST(conv(substr(md5(concat('pii', CAST(doc_id AS STRING))), 1, 15), 16, 10)
         |      AS BIGINT) AS h
-        |  FROM documents),
-        |pl AS (
-        |  SELECT doc_id, lang,
-        |    concat(text,
-        |      CASE WHEN h % 5 = 0 THEN concat(' contact u', CAST(h % 97 AS STRING),
-        |        '@mail', CAST(h % 7 AS STRING), '.example.com now') ELSE '' END,
-        |      CASE WHEN h % 7 = 0 THEN concat(' call 555-01',
-        |        lpad(CAST(h % 100 AS STRING), 2, '0'), ' today') ELSE '' END,
-        |      CASE WHEN h % 11 = 0 THEN concat(' ref ID-',
-        |        lpad(CAST((h DIV 11) % 10000 AS STRING), 4, '0'), '-Q end') ELSE '' END,
-        |      CASE WHEN h % 3 = 0 THEN ' decoy u@ mail 555-012345678 ID-12-Q' ELSE '' END
-        |    ) AS text,
-        |    CAST(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_email,
-        |    CAST(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_phone,
-        |    CAST(CASE WHEN h % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_id
-        |  FROM p),
-        |d AS (
-        |  SELECT lang, e_email, e_phone, e_id, text,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>'),
-        |      '\\b555-01[0-9][0-9]\\b', '<PHONE>'),
-        |      '\\bID-[0-9]{4}-[A-Z]\\b', '<ID>') AS scrubbed,
-        |    CAST(size(regexp_extract_all(text,
-        |      '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT) AS n_email,
-        |    CAST(size(regexp_extract_all(text,
-        |      '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT) AS n_phone,
-        |    CAST(size(regexp_extract_all(text,
-        |      '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT) AS n_id
-        |  FROM pl),
-        |u AS (
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  concat(text,
+        |    CASE WHEN h % 5 = 0 THEN concat(' contact u', CAST(h % 97 AS STRING),
+        |      '@mail', CAST(h % 7 AS STRING), '.example.com now') ELSE '' END,
+        |    CASE WHEN h % 7 = 0 THEN concat(' call 555-01',
+        |      lpad(CAST(h % 100 AS STRING), 2, '0'), ' today') ELSE '' END,
+        |    CASE WHEN h % 11 = 0 THEN concat(' ref ID-',
+        |      lpad(CAST((h DIV 11) % 10000 AS STRING), 4, '0'), '-Q end') ELSE '' END,
+        |    CASE WHEN h % 3 = 0 THEN ' decoy u@ mail 555-012345678 ID-12-Q' ELSE '' END
+        |  ) AS text,
+        |  CAST(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_email,
+        |  CAST(CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_phone,
+        |  CAST(CASE WHEN h % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_id
+        |FROM p""".stripMargin)
+  }
+
+  /** The three detectors + scrub + residual re-detection as a reusable
+    * scan-local projection over any frame carrying (lang, text) — works
+    * on batch AND streaming frames (plain selectExpr, no
+    * window/aggregate), so [[graft.streaming.StreamingPiiCensus]] applies
+    * the IDENTICAL rule (the [[graft.operators.CorpusOps
+    * .canonicalizeUrls]] sharing discipline). Adds per-pattern hit
+    * counts, matched-span chars, and post-scrub residual counts. */
+  private[graft] def piiDetect(df: DataFrame): DataFrame =
+    df.selectExpr("*",
+        """regexp_replace(regexp_replace(regexp_replace(text,
+          |  '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>'),
+          |  '\\b555-01[0-9][0-9]\\b', '<PHONE>'),
+          |  '\\bID-[0-9]{4}-[A-Z]\\b', '<ID>') AS scrubbed""".stripMargin)
+      .selectExpr("*",
+        """CAST(size(regexp_extract_all(text,
+          |  '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT) AS n_email""".stripMargin,
+        """CAST(size(regexp_extract_all(text, '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT) AS n_phone""",
+        """CAST(size(regexp_extract_all(text, '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT) AS n_id""",
+        """CAST(length(text) - length(regexp_replace(text,
+          |  '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '')) AS BIGINT) AS sp_email""".stripMargin,
+        """CAST(length(text) - length(regexp_replace(text,
+          |  '\\b555-01[0-9][0-9]\\b', '')) AS BIGINT) AS sp_phone""".stripMargin,
+        """CAST(length(text) - length(regexp_replace(text,
+          |  '\\bID-[0-9]{4}-[A-Z]\\b', '')) AS BIGINT) AS sp_id""".stripMargin)
+      .selectExpr("*",
+        """CAST(size(regexp_extract_all(scrubbed,
+          |  '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT) AS r_email""".stripMargin,
+        """CAST(size(regexp_extract_all(scrubbed, '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT) AS r_phone""",
+        """CAST(size(regexp_extract_all(scrubbed, '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT) AS r_id""")
+
+  def hPiiCensus(s: SparkSession, dir: String): DataFrame = {
+    piiDetect(piiPlanted(s, dir)).createOrReplaceTempView("pii_det")
+    s.sql(
+      """WITH u AS (
         |  SELECT lang, pat.p AS pattern, pat.n AS n, pat.e AS e,
         |    pat.sp AS span_chars, pat.r AS resid
-        |  FROM d LATERAL VIEW explode(array(
-        |    named_struct('p', 'email', 'n', n_email, 'e', e_email,
-        |      'sp', CAST(length(text) - length(regexp_replace(text,
-        |        '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', '')) AS BIGINT),
-        |      'r', CAST(size(regexp_extract_all(scrubbed,
-        |        '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+', 0)) AS BIGINT)),
-        |    named_struct('p', 'phone', 'n', n_phone, 'e', e_phone,
-        |      'sp', CAST(length(text) - length(regexp_replace(text,
-        |        '\\b555-01[0-9][0-9]\\b', '')) AS BIGINT),
-        |      'r', CAST(size(regexp_extract_all(scrubbed,
-        |        '\\b555-01[0-9][0-9]\\b', 0)) AS BIGINT)),
-        |    named_struct('p', 'id', 'n', n_id, 'e', e_id,
-        |      'sp', CAST(length(text) - length(regexp_replace(text,
-        |        '\\bID-[0-9]{4}-[A-Z]\\b', '')) AS BIGINT),
-        |      'r', CAST(size(regexp_extract_all(scrubbed,
-        |        '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT)))) t AS pat)
+        |  FROM pii_det LATERAL VIEW explode(array(
+        |    named_struct('p', 'email', 'n', n_email, 'e', e_email, 'sp', sp_email, 'r', r_email),
+        |    named_struct('p', 'phone', 'n', n_phone, 'e', e_phone, 'sp', sp_phone, 'r', r_phone),
+        |    named_struct('p', 'id', 'n', n_id, 'e', e_id, 'sp', sp_id, 'r', r_id))) t AS pat)
         |SELECT lang, pattern,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
