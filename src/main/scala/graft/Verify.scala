@@ -16,30 +16,7 @@ object Verify {
     // SPARK_GRAFT_MATERIALIZE=reliable this is the 100 TB deployment shape;
     // results feed the identical DuckDB hash-compare (BASELINE.md r19).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder0 = SparkSession.builder()
-      .master(master)
-    // standalone/local-cluster executors default to 1 GiB and launch in
-    // FRESH JVMs that know nothing of sbt's classpath or the JDK-17
-    // add-opens — size and wire them (memory must stay <= the worker
-    // memory in the master string). Same recipe EngineClusterSpec uses.
-    val builder =
-      if (master.startsWith("local-cluster")) {
-        val addOpens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar",
-        ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-        builder0
-          .config("spark.executor.memory",
-            sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
-          .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
-          .config("spark.executor.extraJavaOptions", addOpens)
-      } else builder0
-    val spark = builder
+    val spark = ClusterLaunch.wire(SparkSession.builder().master(master), master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet's physical ts encoding has drifted across data

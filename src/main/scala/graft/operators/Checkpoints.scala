@@ -95,30 +95,29 @@ object Checkpoints {
   }
 
   /** Reliable-checkpoint directories (as `file:` URIs or plain paths)
-    * backing an analyzed plan — LogicalRDD leaves plus a short narrow
-    * ancestry walk, since the checkpointed RDD may sit one map below the
-    * leaf depending on how Dataset.checkpoint wrapped it. */
-  private[graft] def reliableFiles(df: DataFrame): Seq[String] = {
-    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Seq[String] =
-      r.getCheckpointFile.toSeq ++
-        (if (depth < 4) r.dependencies.flatMap(d => walk(d.rdd, depth + 1)) else Nil)
+    * reachable from an RDD — itself plus a short narrow-ancestry walk,
+    * since the checkpointed RDD may sit a map below the plan leaf
+    * depending on how Dataset.checkpoint wrapped it. ONE walk shared by
+    * the release path and [[reliableFiles]], so the deletion set and the
+    * test-visible set can never drift. */
+  private def reliableDirs(rdd: org.apache.spark.rdd.RDD[_], depth: Int = 0): Seq[String] =
+    rdd.getCheckpointFile.toSeq ++
+      (if (depth < 4) rdd.dependencies.flatMap(d => reliableDirs(d.rdd, depth + 1)) else Nil)
+
+  /** The reliable-checkpoint directories backing an analyzed plan's
+    * LogicalRDD leaves (empty in local mode). */
+  private[graft] def reliableFiles(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.flatMap(walk(_, 0)).distinct
-  }
+    }.flatMap(reliableDirs(_)).distinct
 
-  private def deleteReliableFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
-    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit = {
-      r.getCheckpointFile.foreach { p =>
-        try {
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(r.sparkContext.hadoopConfiguration).delete(path, true)
-        } catch { case _: Throwable => () } // best-effort on a stopped session
-      }
-      if (depth < 4) r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+  private def deleteReliableFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    reliableDirs(rdd).foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(path, true)
+      } catch { case _: Throwable => () } // best-effort on a stopped session
     }
-    walk(rdd, 0)
-  }
 
   /** Unpersist every tracked checkpoint (idempotent, non-blocking).
     * [[sharedTable]] entries deliberately survive — see below. */

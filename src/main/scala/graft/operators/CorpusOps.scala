@@ -1512,14 +1512,22 @@ object CorpusOps {
     * explode-free documents scan, and the confusion matrix is a final
     * lang-keyed aggregate over doc-count rows. Nothing is pairwise; no
     * model state touches the driver. The trained MODEL — the 512-row
-    * bucket-count table — is localCheckpointed: its two consumers (the
-    * normalizer fold and the scoring join) would otherwise re-inline the
-    * training explode twice (plan-pinned: ≤ 2 corpus explodes). */
+    * bucket-count table — is checkpointed and shared: its two in-query
+    * consumers (the normalizer fold and the scoring join) would
+    * otherwise re-inline the training explode twice (plan-pinned: ≤ 2
+    * corpus explodes), and since round 20 the calibration sweep reads
+    * the same sharedTable entry instead of retraining. (This note
+    * documents [[hQualityClassifier]] below; the helpers that follow are
+    * its factored pieces.) */
   /** Register the classifier's checkpointed 512-row weight table as
-    * `qc_weights` — shared by [[hQualityClassifier]] and
-    * [[hQualityCalibration]] (one training pass, two consumers). */
-  private def registerQcWeights(s: SparkSession): Unit =
-    Checkpoints.track(s.sql(
+    * `qc_weights` — ONE training pass shared by [[hQualityClassifier]]
+    * and [[hQualityCalibration]] via [[Checkpoints.sharedTable]] (the
+    * componentLabels precedent: at cluster scale the trained model is a
+    * written-once table every consumer reads, so rebuilding the corpus
+    * explode per consumer is both a bench tax and the wrong shape).
+    * Released by releaseShared, not per-query releaseAll. */
+  private def registerQcWeights(s: SparkSession, dir: String): Unit =
+    Checkpoints.sharedTable(s, s"qc_weights:$dir")(s.sql(
       """SELECT CAST(conv(substr(md5(tk), 1, 15), 16, 10) AS BIGINT) % 512 AS bk,
         |  coalesce(CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
         |    THEN 1 END) AS BIGINT), 0L) AS p,
@@ -1562,7 +1570,7 @@ object CorpusOps {
 
   def hQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    registerQcWeights(s)
+    registerQcWeights(s, dir)
     s.sql(qcScoreCtes +
       """,
         |pred AS (
@@ -1608,7 +1616,7 @@ object CorpusOps {
     * to the classifier, never a second corpus pass. */
   def hQualityCalibration(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    registerQcWeights(s)
+    registerQcWeights(s, dir)
     s.sql(qcScoreCtes +
       """,
         |scored AS (
@@ -2495,7 +2503,7 @@ object CorpusOps {
       |canon AS (
       |  SELECT doc_id,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
-      |      '#.*$', ''), '&utm_[^&#]*', '', 'g'), '[?]utm_[^&#]*&', '?'), '[?]utm_[^&#]*$', '') AS u1
+      |      '#.*$', ''), '&utm_[^&#]*', '', 'g'), '[?]utm_[^&#]*&', '?', 'g'), '[?]utm_[^&#]*$', '') AS u1
       |  FROM raw),
       |cparts AS (
       |  SELECT doc_id,

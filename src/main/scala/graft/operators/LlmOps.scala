@@ -1659,10 +1659,9 @@ object LlmOps {
     * sums ride ONE posexplode exchange carrying clusters×dims partial
     * rows; everything downstream is domain-bounded. At 10⁹ vectors this
     * is one pass + a KB-sized aggregate — exactly what a nightly
-    * staleness check must cost. */
-  /** The staleness-audit CTE chain (everything up to `rep`) — shared by
-    * [[hIvfStaleness]] (the report) and [[hIvfRetrain]] (the action), so
-    * the alarm and the retrain it drives can never drift. */
+    * staleness check must cost. (That scale-shape note documents
+    * [[hIvfStaleness]] below; the two vals that follow are its factored
+    * chain.) */
   /** The fixed-centroid ASSIGNMENT chain (base…assigned: every vector
     * scan-locally assigned to its nearest shipped centroid, tagged
     * old/new by vec_id parity) — shared by [[hIvfStaleness]] /
@@ -1684,6 +1683,10 @@ object LlmOps {
        |      'neg', -dot_product(v, c.cv) / (nrm * c.cnrm), 'c_id', c.c_id)))[0].c_id AS c_id
        |  FROM normed CROSS JOIN cents)""".stripMargin
 
+  /** The staleness-audit CTE chain ([[ivfAssignCtes]] + the per-dim
+    * sums/drift math, everything up to `rep`) — shared by
+    * [[hIvfStaleness]] (the report) and [[hIvfRetrain]] (the action), so
+    * the alarm and the retrain it drives can never drift. */
   private def ivfStalenessCtes: String = ivfAssignCtes +
     s""",
        |qv AS (
@@ -1807,8 +1810,8 @@ object LlmOps {
     * aggregate with map-side partials; the shares/flags fold as a window
     * over the 16-row result (a 1-row-total CTE consumed next to its
     * source re-inlined the whole assignment chain — 12 exchanges vs this
-    * form's 7). At 10⁹ vectors: one pass, KB-sized state, zero joins on
-    * the data path. */
+    * form's censused 6). At 10⁹ vectors: one pass, KB-sized state, zero
+    * joins on the data path. */
   def hIvfInsert(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     s.sql(ivfAssignCtes +

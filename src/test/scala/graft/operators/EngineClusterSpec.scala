@@ -41,15 +41,7 @@ class EngineClusterSpec extends AnyFunSuite {
   test("declared queries return identical results under multi-process execution") {
     assume(new File("/opt/spark/jars").isDirectory, "needs a Spark distribution")
     sys.props("spark.test.home") = "/opt/spark"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val addOpens = graft.ClusterLaunch.addOpens
     val classesDir = new File("target/scala-2.13/classes").getAbsolutePath
 
     def run(master: String): Map[String, Seq[String]] = {
@@ -105,15 +97,7 @@ class EngineClusterSpec extends AnyFunSuite {
       "h_simjoin_prefix", "h_rank_convergence", "h_doc_repetition",
       "h_minhash_calibration", "h_dup_ngrams", "h_pq_recall",
       "h_split_leakage", "a_column_stats", "h_ivfpq_search", "h_dedup_spans")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val addOpens = graft.ClusterLaunch.addOpens
     val classesDir = new File("target/scala-2.13/classes").getAbsolutePath
 
     def run(master: String, mode: Option[String]): Map[String, Seq[String]] = {

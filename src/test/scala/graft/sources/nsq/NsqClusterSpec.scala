@@ -50,15 +50,7 @@ class NsqClusterSpec extends AnyFunSuite {
 
     // the in-JVM standalone Worker resolves sparkHome for executor launch
     sys.props("spark.test.home") = "/opt/spark"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val addOpens = graft.ClusterLaunch.addOpens
     val classesDir = new File("target/scala-2.13/classes").getAbsolutePath
     val spark = SparkSession.builder()
       .master("local-cluster[2,1,1024]")
