@@ -2627,9 +2627,125 @@ object CorpusOps {
       |  CAST(sum(CASE WHEN n_dom > 1 THEN 1 ELSE 0 END) AS BIGINT) AS ambiguous_docs
       |FROM j GROUP BY source, policy ORDER BY source, policy""".stripMargin
 
+  // ====================================================== encoding audit
+
+  /** ENCODING-HEALTH census — the byte-sanity gate a crawl runs between
+    * fetch and every text operator here: real corpora arrive with
+    * UTF-8-decoded-as-Latin-1 mojibake ("Ã©" where "é" was meant),
+    * U+FFFD replacement characters (a lossy transcode already happened),
+    * stray C0 control bytes, and CRLF line endings — each a distinct
+    * upstream failure with a distinct fix (re-fetch, re-transcode, strip,
+    * normalize). The synthetic corpus is clean (TESTDATA.md), so the
+    * audit plants each artifact deterministically from an md5(doc_id)
+    * draw (~1/17 mojibake, ~1/23 replacement char, ~1/29 a BEL byte,
+    * ~1/31 a CRLF) PLUS, on ~1/3 of docs, two DECOYS a sloppy detector
+    * miscounts: a bare '©' (legitimate symbol — only the 'Ã'-prefixed
+    * pair is mojibake) and a TAB (a C0 byte that is VALID whitespace —
+    * the control-char class must exclude \t \n \r). Detection: exact
+    * substring probes for the two fixed artifacts, the RE2-safe class
+    * [\x00-\x08\x0B\x0C\x0E-\x1F] for controls, a CR probe for CRLF; per
+    * (lang, source) the census reports doc counts per artifact, the
+    * planted expectation, a per-artifact `*_exact` verification flag
+    * (fails if the detector over- or under-counts, e.g. flags the TAB
+    * decoy), and the unhealthy-docs rate in ‰ — the number that decides
+    * whether a source needs re-fetching before it enters the mix.
+    *
+    * Scale shape: planting and all four detectors are scan-local string
+    * probes; everything collapses in ONE (lang, source)-keyed aggregate
+    * with map-side partials — one exchange pair at any corpus size. */
+  def hEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH p AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(conv(substr(md5(concat('enc', CAST(doc_id AS STRING))), 1, 15), 16, 10)
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, source,
+        |    concat(text,
+        |      CASE WHEN h % 17 = 0 THEN ' cafÃ© menu' ELSE '' END,
+        |      CASE WHEN h % 23 = 0 THEN ' bad�byte' ELSE '' END,
+        |      CASE WHEN h % 29 = 0 THEN concat(' x', chr(7), 'y') ELSE '' END,
+        |      CASE WHEN h % 31 = 0 THEN concat(' dos', chr(13), chr(10), 'line') ELSE '' END,
+        |      CASE WHEN h % 3 = 0 THEN concat(' tab', chr(9), 'stop © mark') ELSE '' END
+        |    ) AS t2,
+        |    CAST(CASE WHEN h % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_moji,
+        |    CAST(CASE WHEN h % 23 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_repl,
+        |    CAST(CASE WHEN h % 29 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_ctrl,
+        |    CAST(CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_crlf
+        |  FROM p),
+        |d AS (
+        |  SELECT lang, source, e_moji, e_repl, e_ctrl, e_crlf,
+        |    CASE WHEN position('Ã©' IN t2) > 0 THEN 1 ELSE 0 END AS m_moji,
+        |    CASE WHEN position('�' IN t2) > 0 THEN 1 ELSE 0 END AS m_repl,
+        |    CASE WHEN t2 RLIKE '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]' THEN 1 ELSE 0 END AS m_ctrl,
+        |    CASE WHEN position(chr(13) IN t2) > 0 THEN 1 ELSE 0 END AS m_crlf
+        |  FROM c)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(m_moji) AS BIGINT) AS n_moji,
+        |  CAST(sum(m_repl) AS BIGINT) AS n_repl,
+        |  CAST(sum(m_ctrl) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(m_crlf) AS BIGINT) AS n_crlf,
+        |  sum(m_moji) = sum(e_moji) AS moji_exact,
+        |  sum(m_repl) = sum(e_repl) AS repl_exact,
+        |  sum(m_ctrl) = sum(e_ctrl) AS ctrl_exact,
+        |  sum(m_crlf) = sum(e_crlf) AS crlf_exact,
+        |  CAST(1000 * sum(CASE WHEN m_moji + m_repl + m_ctrl + m_crlf > 0
+        |    THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS unhealthy_milli
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+  }
+
+  /** DuckDB twin: 0x-concat hex cast, single-backslash regex class (no
+    * escape processing in standard strings), regexp_matches for RLIKE,
+    * // division; the planted literals are byte-identical. */
+  val hEncodingAuditSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, lang, source, text,
+      |    CAST(concat('0x', substr(md5(concat('enc', CAST(doc_id AS VARCHAR))), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, source,
+      |    concat(text,
+      |      CASE WHEN h % 17 = 0 THEN ' cafÃ© menu' ELSE '' END,
+      |      CASE WHEN h % 23 = 0 THEN ' bad�byte' ELSE '' END,
+      |      CASE WHEN h % 29 = 0 THEN concat(' x', chr(7), 'y') ELSE '' END,
+      |      CASE WHEN h % 31 = 0 THEN concat(' dos', chr(13), chr(10), 'line') ELSE '' END,
+      |      CASE WHEN h % 3 = 0 THEN concat(' tab', chr(9), 'stop © mark') ELSE '' END
+      |    ) AS t2,
+      |    CAST(CASE WHEN h % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_moji,
+      |    CAST(CASE WHEN h % 23 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_repl,
+      |    CAST(CASE WHEN h % 29 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_ctrl,
+      |    CAST(CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_crlf
+      |  FROM p),
+      |d AS (
+      |  SELECT lang, source, e_moji, e_repl, e_ctrl, e_crlf,
+      |    CASE WHEN position('Ã©' IN t2) > 0 THEN 1 ELSE 0 END AS m_moji,
+      |    CASE WHEN position('�' IN t2) > 0 THEN 1 ELSE 0 END AS m_repl,
+      |    CASE WHEN regexp_matches(t2, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+      |      THEN 1 ELSE 0 END AS m_ctrl,
+      |    CASE WHEN position(chr(13) IN t2) > 0 THEN 1 ELSE 0 END AS m_crlf
+      |  FROM c)
+      |SELECT lang, source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(m_moji) AS BIGINT) AS n_moji,
+      |  CAST(sum(m_repl) AS BIGINT) AS n_repl,
+      |  CAST(sum(m_ctrl) AS BIGINT) AS n_ctrl,
+      |  CAST(sum(m_crlf) AS BIGINT) AS n_crlf,
+      |  sum(m_moji) = sum(e_moji) AS moji_exact,
+      |  sum(m_repl) = sum(e_repl) AS repl_exact,
+      |  sum(m_ctrl) = sum(e_ctrl) AS ctrl_exact,
+      |  sum(m_crlf) = sum(e_crlf) AS crlf_exact,
+      |  CAST(1000 * sum(CASE WHEN m_moji + m_repl + m_ctrl + m_crlf > 0
+      |    THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS unhealthy_milli
+      |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_boilerplate_strip" -> (hBoilerplateStrip _),
     "h_compression_screen" -> (hCompressionScreen _),
+    "h_encoding_audit" -> (hEncodingAudit _),
     "h_domain_rollup" -> (hDomainRollup _),
     "h_license_compliance" -> (hLicenseCompliance _),
     "h_topic_coherence" -> (hTopicCoherence _),
@@ -2656,6 +2772,7 @@ object CorpusOps {
   def oracle: Map[String, String] = Map(
     "h_boilerplate_strip" -> hBoilerplateStripSql,
     "h_compression_screen" -> hCompressionScreenSql,
+    "h_encoding_audit" -> hEncodingAuditSql,
     "h_domain_rollup" -> hDomainRollupSql,
     "h_license_compliance" -> hLicenseComplianceSql,
     "h_topic_coherence" -> hTopicCoherenceSql,

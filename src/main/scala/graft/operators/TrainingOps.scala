@@ -2647,7 +2647,79 @@ object TrainingOps {
     s"WITH $sigSql,\n" + bandDesignBody("sigt", idiv = "//").drop("WITH ".length)
   }
 
+  // ============================================= epoch shuffle / resume
+
+  /** DETERMINISTIC EPOCH SHUFFLE + resume-window blame — the
+    * reproducibility half of training-data prep nothing else in the
+    * suite covers: a multi-epoch run must (a) reshuffle the corpus with a
+    * DIFFERENT but REPRODUCIBLE order each epoch, and (b) answer, after a
+    * loss spike or a checkpoint resume at global step S, exactly which
+    * data fed steps [S, S+k) — without replaying the run. Both reduce to
+    * one pure function: each doc's epoch-e batch shard is an
+    * md5('ord', e, doc_id) draw into 1024 fixed shards (hash-sharding,
+    * the distributed form of a seeded shuffle — no global sort, no
+    * single-partition window), and global step = e·1024 + shard. The
+    * audit reports the composition of the 128-step resume window
+    * [960, 1088) — chosen to SPAN the epoch-0→1 boundary, the resume
+    * case that actually bites — per (epoch, source): docs, shards
+    * touched, min/max shard fill (the hash-balance number that bounds
+    * batch-size variance), and the token mass (n_chars/4 proxy) the
+    * blamed steps consumed.
+    *
+    * Scale shape: the 3-epoch explode is a bounded generator on the scan;
+    * the window predicate filters scan-locally; two aggregates follow —
+    * (epoch, source, shard) then (epoch, source) — the second input is
+    * shard-table-sized, never corpus-sized. At 10⁹ docs: one pass, two
+    * bounded exchanges, zero joins, zero sorts over data. */
+  def hEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    s.sql(
+      """WITH assigned AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, e.ep,
+        |    e.ep * 1024 + CAST(conv(substr(md5(concat('ord', CAST(e.ep AS STRING),
+        |      ':', CAST(d.doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1024 AS step
+        |  FROM documents d
+        |  CROSS JOIN (SELECT explode(sequence(0, 2)) AS ep) e),
+        |win AS (
+        |  SELECT * FROM assigned WHERE step >= 960 AND step < 1088),
+        |fills AS (
+        |  SELECT ep, source, step, count(*) AS n,
+        |    CAST(sum(n_chars DIV 4) AS BIGINT) AS tok
+        |  FROM win GROUP BY ep, source, step)
+        |SELECT CAST(ep AS BIGINT) AS epoch, source,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(min(n) AS BIGINT) AS min_fill,
+        |  CAST(max(n) AS BIGINT) AS max_fill,
+        |  CAST(sum(tok) AS BIGINT) AS tok_mass
+        |FROM fills GROUP BY ep, source ORDER BY epoch, source""".stripMargin)
+  }
+
+  /** DuckDB twin: 0x-concat hex cast, generate_series for the epoch
+    * generator, // division. */
+  val hEpochShuffleSql: String =
+    """WITH assigned AS (
+      |  SELECT d.doc_id, d.source, d.n_chars, e.ep,
+      |    e.ep * 1024 + CAST(concat('0x', substr(md5(concat('ord', CAST(e.ep AS VARCHAR),
+      |      ':', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS step
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ep) e),
+      |win AS (
+      |  SELECT * FROM assigned WHERE step >= 960 AND step < 1088),
+      |fills AS (
+      |  SELECT ep, source, step, count(*) AS n,
+      |    CAST(sum(n_chars // 4) AS BIGINT) AS tok
+      |  FROM win GROUP BY ep, source, step)
+      |SELECT CAST(ep AS BIGINT) AS epoch, source,
+      |  CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_shards,
+      |  CAST(min(n) AS BIGINT) AS min_fill,
+      |  CAST(max(n) AS BIGINT) AS max_fill,
+      |  CAST(sum(tok) AS BIGINT) AS tok_mass
+      |FROM fills GROUP BY ep, source ORDER BY epoch, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_epoch_shuffle" -> (hEpochShuffle _),
     "h_batch_bucketing" -> (hBatchBucketing _),
     "h_minhash_band_design" -> (hMinhashBandDesign _),
     "h_prefix_cache" -> (hPrefixCache _),
@@ -2682,6 +2754,7 @@ object TrainingOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "h_epoch_shuffle" -> hEpochShuffleSql,
     "h_batch_bucketing" -> hBatchBucketingSql,
     "h_minhash_band_design" -> hMinhashBandDesignSql,
     "h_prefix_cache" -> hPrefixCacheSql,

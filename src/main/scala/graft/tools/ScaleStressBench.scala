@@ -130,7 +130,13 @@ object ScaleStressBench {
     // calibration rides the classifier's own score chain plus one
     // 17-group broadcast-grid aggregate — the h_quality_classifier shape.
     "h_pii_census", "h_license_compliance", "h_ivf_insert",
-    "h_quality_calibration")
+    "h_quality_calibration",
+    // round 20 late wave: encoding audit is scan-local string probes into
+    // one (lang, source) aggregate — the purest linear shape in the
+    // suite; epoch shuffle is a bounded 3-epoch generator + scan-local
+    // window filter into two bounded aggregates (the shard table is
+    // 128-steps-sized, never corpus-sized) — expected linear.
+    "h_encoding_audit", "h_epoch_shuffle")
   /** TPC-H 22 (round 15): the composite shapes a warehouse actually runs
     * at 100 TB, now with measured K-curves instead of plan pins alone.
     * The v3 replicator gives them exactly the 100 TB growth shape: facts

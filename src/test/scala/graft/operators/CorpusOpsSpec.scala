@@ -323,4 +323,47 @@ class CorpusOpsSpec extends SparkSuite {
     assert((z._3, z._4, z._5, z._6) == (ctp, cfp, cfn, ctn),
       "thr=0 calibration row diverged from the shipped classifier's confusion matrix")
   }
+
+  test("h_encoding_audit: detection equals the Scala-replayed planting; decoys never fire") {
+    val rows = CorpusOps.hEncodingAudit(spark, SparkSpec.sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+         r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10),
+         r.getLong(11)))).toMap
+    assert(rows.nonEmpty)
+    // Scala referee: replay the md5("enc" + doc_id) draw and count plants
+    def draw(docId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"enc$docId".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"${SparkSpec.sf0001}/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    var decoyDocs = 0L
+    val exp = scala.collection.mutable.Map[(String, String), Array[Long]]()
+    docs.foreach { case (id, key) =>
+      val h = draw(id)
+      val a = exp.getOrElseUpdate(key, Array.fill(6)(0L))
+      a(0) += 1
+      if (h % 17 == 0) a(1) += 1
+      if (h % 23 == 0) a(2) += 1
+      if (h % 29 == 0) a(3) += 1
+      if (h % 31 == 0) a(4) += 1
+      if (h % 17 == 0 || h % 23 == 0 || h % 29 == 0 || h % 31 == 0) a(5) += 1
+      if (h % 3 == 0) decoyDocs += 1
+    }
+    // decoys (TAB + bare ©) are planted on ~1/3 of docs — the exclusion
+    // below is only meaningful if they actually exist in volume
+    assert(decoyDocs > docs.length / 4, s"decoy volume too small: $decoyDocs")
+    assert(rows.keySet == exp.keySet)
+    rows.foreach { case (key, (n, moji, repl, ctrl, crlf, allExact, milli)) =>
+      val a = exp(key)
+      assert(n == a(0), s"$key: doc count")
+      assert((moji, repl, ctrl, crlf) == ((a(1), a(2), a(3), a(4))),
+        s"$key: a detector drifted from the planting (decoy fired?)")
+      assert(allExact, s"$key: an *_exact flag is false")
+      assert(milli == 1000L * a(5) / a(0), s"$key: unhealthy rate")
+    }
+  }
 }

@@ -300,4 +300,35 @@ class TrainingOpsSpec extends SparkSuite {
         s"$lang: provenance rows do not partition the survivor count")
     }
   }
+
+  test("h_epoch_shuffle: the resume window equals a full Scala replay of the shard draw") {
+    val rows = TrainingOps.hEpochShuffle(spark, SparkSpec.sf0001).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.nonEmpty)
+    // replay md5("ord" + ep + ":" + doc_id) % 1024 for every (doc, epoch)
+    def shard(ep: Long, docId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ord$ep:$docId".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % 1024
+    }
+    val docs = spark.read.parquet(s"${SparkSpec.sf0001}/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fills = scala.collection.mutable.Map[(Long, String, Long), (Long, Long)]()
+    for ((id, src, nc) <- docs; ep <- 0L to 2L) {
+      val step = ep * 1024 + shard(ep, id)
+      if (step >= 960 && step < 1088)
+        fills.updateWith((ep, src, step)) {
+          case Some((n, t)) => Some((n + 1, t + nc / 4)); case None => Some((1L, nc / 4))
+        }
+    }
+    val exp = fills.groupBy { case ((ep, src, _), _) => (ep, src) }.map { case (k, m) =>
+      val ns = m.values.map(_._1)
+      k -> ((ns.sum, m.size.toLong, ns.min, ns.max, m.values.map(_._2).sum))
+    }
+    // determinism + boundary: the window must span the epoch-0 -> 1 seam
+    assert(exp.keys.map(_._1).toSet == Set(0L, 1L), "window does not span the epoch boundary")
+    assert(rows == exp, "query output diverged from the Scala shard-draw replay")
+  }
 }
