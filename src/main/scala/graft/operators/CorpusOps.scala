@@ -2652,37 +2652,53 @@ object CorpusOps {
     *
     * Scale shape: planting and all four detectors are scan-local string
     * probes; everything collapses in ONE (lang, source)-keyed aggregate
-    * with map-side partials — one exchange pair at any corpus size. */
-  def hEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    * with map-side partials — one exchange pair at any corpus size.
+    * (This note documents [[hEncodingAudit]] below; the two helpers that
+    * follow are its factored synthesis and detection halves.) */
+  /** The deterministic artifact PLANTING (synthesis side): docs → the
+    * corrupted fetch text + per-artifact expectation flags. Batch-only —
+    * the streaming twin consumes the corrupted crawl the way
+    * [[graft.streaming.StreamingPiiCensus]] consumes the planted one. */
+  private[graft] def encPlanted(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
       """WITH p AS (
         |  SELECT doc_id, lang, source, text,
         |    CAST(conv(substr(md5(concat('enc', CAST(doc_id AS STRING))), 1, 15), 16, 10)
         |      AS BIGINT) AS h
-        |  FROM documents),
-        |c AS (
-        |  SELECT lang, source,
-        |    concat(text,
-        |      CASE WHEN h % 17 = 0 THEN ' cafÃ© menu' ELSE '' END,
-        |      CASE WHEN h % 23 = 0 THEN ' bad�byte' ELSE '' END,
-        |      CASE WHEN h % 29 = 0 THEN concat(' x', chr(7), 'y') ELSE '' END,
-        |      CASE WHEN h % 31 = 0 THEN concat(' dos', chr(13), chr(10), 'line') ELSE '' END,
-        |      CASE WHEN h % 3 = 0 THEN concat(' tab', chr(9), 'stop © mark') ELSE '' END
-        |    ) AS t2,
-        |    CAST(CASE WHEN h % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_moji,
-        |    CAST(CASE WHEN h % 23 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_repl,
-        |    CAST(CASE WHEN h % 29 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_ctrl,
-        |    CAST(CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_crlf
-        |  FROM p),
-        |d AS (
-        |  SELECT lang, source, e_moji, e_repl, e_ctrl, e_crlf,
-        |    CASE WHEN position('Ã©' IN t2) > 0 THEN 1 ELSE 0 END AS m_moji,
-        |    CASE WHEN position('�' IN t2) > 0 THEN 1 ELSE 0 END AS m_repl,
-        |    CASE WHEN t2 RLIKE '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]' THEN 1 ELSE 0 END AS m_ctrl,
-        |    CASE WHEN position(chr(13) IN t2) > 0 THEN 1 ELSE 0 END AS m_crlf
-        |  FROM c)
-        |SELECT lang, source,
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  concat(text,
+        |    CASE WHEN h % 17 = 0 THEN ' cafÃ© menu' ELSE '' END,
+        |    CASE WHEN h % 23 = 0 THEN ' bad�byte' ELSE '' END,
+        |    CASE WHEN h % 29 = 0 THEN concat(' x', chr(7), 'y') ELSE '' END,
+        |    CASE WHEN h % 31 = 0 THEN concat(' dos', chr(13), chr(10), 'line') ELSE '' END,
+        |    CASE WHEN h % 3 = 0 THEN concat(' tab', chr(9), 'stop © mark') ELSE '' END
+        |  ) AS text,
+        |  CAST(CASE WHEN h % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_moji,
+        |  CAST(CASE WHEN h % 23 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_repl,
+        |  CAST(CASE WHEN h % 29 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_ctrl,
+        |  CAST(CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END AS BIGINT) AS e_crlf
+        |FROM p""".stripMargin)
+  }
+
+  /** The four detectors as a reusable scan-local projection over any
+    * frame carrying `text` — works on batch AND streaming frames (plain
+    * selectExpr, no window/aggregate), so
+    * [[graft.streaming.StreamingEncodingAudit]] applies the IDENTICAL
+    * rule (the [[GovernanceOps.piiDetect]] sharing discipline). */
+  private[graft] def encDetect(df: DataFrame): DataFrame =
+    df.selectExpr("*",
+      "CAST(CASE WHEN position('Ã©' IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS m_moji",
+      "CAST(CASE WHEN position('�' IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS m_repl",
+      """CAST(CASE WHEN text RLIKE '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'
+        |  THEN 1 ELSE 0 END AS BIGINT) AS m_ctrl""".stripMargin,
+      "CAST(CASE WHEN position(chr(13) IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS m_crlf")
+
+  def hEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    encDetect(encPlanted(s, dir)).createOrReplaceTempView("enc_det")
+    s.sql(
+      """SELECT lang, source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(m_moji) AS BIGINT) AS n_moji,
         |  CAST(sum(m_repl) AS BIGINT) AS n_repl,
@@ -2694,7 +2710,7 @@ object CorpusOps {
         |  sum(m_crlf) = sum(e_crlf) AS crlf_exact,
         |  CAST(1000 * sum(CASE WHEN m_moji + m_repl + m_ctrl + m_crlf > 0
         |    THEN 1 ELSE 0 END) DIV count(*) AS BIGINT) AS unhealthy_milli
-        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM enc_det GROUP BY lang, source ORDER BY lang, source""".stripMargin)
   }
 
   /** DuckDB twin: 0x-concat hex cast, single-backslash regex class (no
