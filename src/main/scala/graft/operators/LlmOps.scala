@@ -1313,11 +1313,17 @@ object LlmOps {
     * branches read the checkpoint. Round-9 bench: halves the physical
     * plan and cuts the intermittent cold-session codegen spike. */
   /** Checkpoint the 16-row refined centroid table and register it as
-    * `ivfpq_centn` — shared by [[hIvfPqCodes]] and [[hIvfPqSearch]] so
-    * the seeded-Lloyd chain is planned and executed exactly once per
-    * invocation (O(1) storage at any corpus size). */
+    * `ivfpq_centn` — shared by [[hIvfPqCodes]], [[hIvfPqSearch]] and
+    * [[hPqRecall]] so the seeded-Lloyd chain is planned and executed
+    * exactly once per SESSION (O(1) storage at any corpus size).
+    * Round 20: promoted from a per-query [[Checkpoints.track]] to the
+    * [[Checkpoints.sharedTable]] lifecycle — the three consumers each
+    * rebuilt the identical table per invocation, and at cluster scale
+    * this is the written-once trained-index artifact every ANN query
+    * loads, exactly the componentLabels/qc_weights precedent. */
   private def registerIvfPqCentroids(s: SparkSession, dir: String): Unit =
-    Checkpoints.track(ivfCentroids(s, dir, refined = true).graftCheckpoint())
+    Checkpoints.sharedTable(s, s"ivfpq_centn:$dir")(
+      ivfCentroids(s, dir, refined = true).graftCheckpoint())
       .createOrReplaceTempView("ivfpq_centn")
 
   def hIvfPqCodes(s: SparkSession, dir: String): DataFrame = {
@@ -1444,8 +1450,8 @@ object LlmOps {
     * cluster — the refinement is the standard k-means training step and
     * would win; the seeded form is what the DATA here selects. Shared by
     * [[hIvfPqSearch]] and [[hPqRecall]]. */
-  private def registerIvfPqCodebook(s: SparkSession): Unit =
-    Checkpoints.track(s.sql(
+  private def registerIvfPqCodebook(s: SparkSession, dir: String): Unit =
+    Checkpoints.sharedTable(s, s"ivfpq_cb:$dir")(s.sql(
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id < 16),
@@ -1481,9 +1487,14 @@ object LlmOps {
     * distance inside the SAME broadcast candidate join instead of its own
     * corpus join (the index-build posture at cluster scale: write the
     * code table once, query it many times). Thin rows — 8 codes + one
-    * 64-dim vector. Requires `ivfpq_centn` + `ivfpq_cb` registered. */
-  private def registerIvfPqDb(s: SparkSession): Unit =
-    Checkpoints.track(s.sql(
+    * 64-dim vector. Requires `ivfpq_centn` + `ivfpq_cb` registered.
+    * Round 20: [[Checkpoints.sharedTable]] per (session, dir) — search
+    * and recall each rebuilt the identical code table per invocation; a
+    * production IVF-PQ index is encoded once and served to every query,
+    * so the shared lifecycle IS the deployment shape (the
+    * componentLabels precedent). */
+  private def registerIvfPqDb(s: SparkSession, dir: String): Unit =
+    Checkpoints.sharedTable(s, s"ivfpq_db:$dir")(s.sql(
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |normed AS (
@@ -1566,8 +1577,8 @@ object LlmOps {
   def hIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     registerIvfPqCentroids(s, dir)
-    registerIvfPqCodebook(s)
-    registerIvfPqDb(s)
+    registerIvfPqCodebook(s, dir)
+    registerIvfPqDb(s, dir)
     s.sql(ivfPqScoredCtes +
       """
         |SELECT q_id, n_id, adc_x1e6, CAST(rnk AS BIGINT) AS rnk FROM (
@@ -1606,8 +1617,8 @@ object LlmOps {
   def hPqRecall(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
     registerIvfPqCentroids(s, dir)
-    registerIvfPqCodebook(s)
-    registerIvfPqDb(s)
+    registerIvfPqCodebook(s, dir)
+    registerIvfPqDb(s, dir)
     s.sql(ivfPqScoredCtes +
       """,
         |adc3 AS (

@@ -1840,20 +1840,30 @@ object TrainingOps {
     * data). Output: per-lang corpus size, selected count, exact selected
     * vs overall score sums, and the selection cutoff.
     *
-    * Scale shape: the corpus is scanned twice, each time through the
-    * SAME scan-local bigram explode (the [[hDecontaminate]] codegen
-    * form): once folding straight into the 1024-row bucket statistics
-    * table (map-side partials collapse to ≤1024 rows before the
-    * exchange — both target and raw counts in ONE aggregate via a CASE
-    * mask, the [[LlmOps.hIvfStaleness]] fold), once into the per-(doc,
-    * bucket) counts that join the broadcast-sized weight table and fold
-    * to one score row per doc. No corpus-sized intermediate is
-    * materialized and the per-lang quota rank windows over score-sized
-    * rows (one row per doc, not per gram). Measured K=40 replication:
-    * 40× docs → ~2.4× wall. */
+    * Scale shape (round 20): the corpus is scanned ONCE through the
+    * scan-local bigram explode (the [[hDecontaminate]] codegen form)
+    * into the per-(doc, bucket) count table — a NARROW materialized
+    * intermediate (three longs, a lang, a bool per row; the tracked
+    * checkpoint rule for multi-consumer intermediates whose rows are
+    * cheaper to store than to recompute, unlike the 8-word-string gram
+    * tables [[hDedupSpans]] deliberately re-derives). Both downstream
+    * stats fold from it: the 1024-row bucket statistics aggregate
+    * (`sum(CASE WHEN tgt THEN c END)` ≡ the gram-level CASE-mask count,
+    * since tgt is constant per doc — both target and raw counts in ONE
+    * aggregate, the [[LlmOps.hIvfStaleness]] fold), and the per-doc
+    * score join against that broadcast-sized weight table. Through
+    * round 19 the two stats each re-inlined the bigram explode — two
+    * full corpus md5 passes; the fold is plan-only (identical output,
+    * oracle SQL unchanged). Measured at sf0.1: 1.68 → 1.57 s quiesced —
+    * modest locally, where the page-cached second scan was nearly free,
+    * but at 100 TB the removed term is a full corpus re-read + re-hash
+    * (the narrow checkpoint is ~15× smaller than the text it replaces),
+    * which is the dominant cost the two-pass form paid twice. The
+    * per-lang quota rank windows over score-sized rows (one row per
+    * doc, not per gram). */
   def hImportanceSample(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    s.sql(
+    Checkpoints.track(s.sql(
       """WITH tok AS (
         |  SELECT doc_id, lang, source IN ('src1', 'src2', 'src3', 'src4') AS tgt,
         |    split(text, ' ') AS t
@@ -1863,18 +1873,20 @@ object TrainingOps {
         |    CAST(conv(substr(md5(concat_ws('|', element_at(t, i), element_at(t, i + 1))),
         |      1, 15), 16, 10) AS BIGINT) % 1024 AS b
         |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 1)) x AS i
-        |  WHERE size(t) >= 2),
-        |bs AS (
+        |  WHERE size(t) >= 2)
+        |SELECT doc_id, lang, tgt, b, count(*) AS c
+        |FROM gr GROUP BY doc_id, lang, tgt, b""".stripMargin)
+      .graftCheckpoint()).createOrReplaceTempView("dsir_db")
+    s.sql(
+      """WITH bs AS (
         |  SELECT b,
-        |    (length(bin(coalesce(CAST(sum(CASE WHEN tgt THEN 1 END) AS BIGINT), CAST(0 AS BIGINT)) + 1)) - 1)
-        |      - (length(bin(count(*) + 1)) - 1) + 64 AS w
-        |  FROM gr GROUP BY b),
-        |db AS (
-        |  SELECT doc_id, lang, b, count(*) AS c FROM gr GROUP BY doc_id, lang, b),
+        |    (length(bin(coalesce(CAST(sum(CASE WHEN tgt THEN c END) AS BIGINT), CAST(0 AS BIGINT)) + 1)) - 1)
+        |      - (length(bin(sum(c) + 1)) - 1) + 64 AS w
+        |  FROM dsir_db GROUP BY b),
         |ds AS (
         |  SELECT d.doc_id, d.lang,
         |    1000 * sum(d.c * bs.w) DIV sum(d.c) - 64000 AS score_milli
-        |  FROM db d JOIN bs ON d.b = bs.b
+        |  FROM dsir_db d JOIN bs ON d.b = bs.b
         |  GROUP BY d.doc_id, d.lang),
         |rk AS (
         |  SELECT lang, doc_id, score_milli,

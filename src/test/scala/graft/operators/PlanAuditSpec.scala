@@ -1074,15 +1074,18 @@ class PlanAuditSpec extends SparkSuite {
       s"expected the two scan-local explodes only:\n$plan")
   }
 
-  test("h_importance_sample: two scans, 1024-row weight table broadcasts, no corpus-wide sort-merge") {
+  test("h_importance_sample: one corpus pass, 1024-row weight table broadcasts, no corpus-wide sort-merge") {
     val plan = TrainingOps.hImportanceSample(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
-    // two passes over documents, each through its own scan-local explode:
-    // one folds to the <=1024-row bucket-stats table, one to per-doc counts
-    assert(plan.split("documents.parquet").length - 1 == 2,
-      s"expected exactly two documents scans:\n$plan")
-    assert(plan.split("Generate").length - 1 <= 2,
-      s"expected the two scan-local explodes only:\n$plan")
+    // round 20: the bigram explode folds ONCE into the checkpointed
+    // per-(doc, bucket) count table; both the bucket-stats aggregate and
+    // the per-doc score join read that narrow table — the returned plan
+    // must contain NO documents scan and NO explode (a scan or Generate
+    // here means the two-pass re-inlining came back)
+    assert(plan.split("documents.parquet").length - 1 == 0,
+      s"expected zero documents scans in the returned plan:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the explode belongs in the checkpointed build, not the returned plan:\n$plan")
     // the weight table joins the per-doc counts as a broadcast — a
     // sort-merge here would shuffle the corpus-sized count table on a
     // 1024-value key
