@@ -260,8 +260,13 @@ object LlmOps {
     * by writing the shingle/signature table once and joining against it.
     * The checkpoint is registered with [[Checkpoints]] so the harness can
     * unpersist it once the consuming query's action completes. */
-  private[operators] def shingleTable(s: SparkSession): Unit =
-    Checkpoints.track(s.sql(
+  /** Round 20: shared per (session, dir) — the table is built identically
+    * by [[hNeardupMinhash]] and by the componentLabels chain (via
+    * neardupPairs), which previously each materialized their own copy.
+    * At cluster scale this is the persisted per-doc signature table every
+    * similarity-join system writes once (the hSimjoinPrefix posture). */
+  private[operators] def shingleTable(s: SparkSession, dir: String): Unit =
+    Checkpoints.sharedTable(s, s"shingleTable:$dir")(s.sql(
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -279,7 +284,7 @@ object LlmOps {
     * LSH result equals the oracle's brute-force pairs. */
   def hNeardupMinhash(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    shingleTable(s)
+    shingleTable(s, dir)
     s.sql(
       """WITH sig AS (
         |  SELECT doc_id, shingles,

@@ -103,8 +103,8 @@ object TrainingOps {
   /** Shared with [[LlmOps.hNeardupMinhash]]: the replay-doubled corpus
     * (original + first-word-dropped mutation) and its word-3-gram LSH
     * candidate pairs at Jaccard ≥ 0.6. Returns (a_id, b_id) edges. */
-  private def neardupPairs(s: SparkSession): DataFrame = {
-    LlmOps.shingleTable(s) // materialized once (see its doc); registered as `sh`
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    LlmOps.shingleTable(s, dir) // shared per (session, dir); registered as `sh`
     s.sql(
       """WITH sig AS (
         |  SELECT doc_id, shingles,
@@ -156,10 +156,10 @@ object TrainingOps {
     * verdict's h_curation_funnel item). Released via
     * [[Checkpoints.releaseShared]], not the per-query releaseAll. */
   private def componentLabels(s: SparkSession, dir: String): DataFrame =
-    Checkpoints.sharedTable(s, s"componentLabels:$dir")(buildComponentLabels(s))
+    Checkpoints.sharedTable(s, s"componentLabels:$dir")(buildComponentLabels(s, dir))
 
-  private def buildComponentLabels(s: SparkSession): DataFrame = {
-    val pairs = neardupPairs(s)
+  private def buildComponentLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupPairs(s, dir)
     val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
       .union(pairs.select(col("b_id").as("a"), col("a_id").as("b")))
       .repartition(col("b"))
