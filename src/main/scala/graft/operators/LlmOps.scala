@@ -720,8 +720,13 @@ object LlmOps {
     * 256×64 values and a 16-row join. Probes (20 rows) broadcast to the
     * candidate join, so the remaining exchanges are the tiny centroid
     * collects and the final per-query top-k window on q_id. */
-  def hAnnIvf(s: SparkSession, dir: String): DataFrame =
-    hAnnIvfWith(s, dir, refined = true)
+  def hAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    // round 20: the declared query probes the SHARED checkpointed
+    // centroid table (identical derivation) instead of re-planning the
+    // seeded-Lloyd chain inline per invocation
+    registerIvfPqCentroids(s, dir)
+    hAnnIvfFromView(s, dir, "ivfpq_centn")
+  }
 
   /** `refined = false` keeps the raw-seed quantizer — the baseline
     * AnnRecallSpec measures the Lloyd refinement against. `queryPred`
@@ -850,13 +855,14 @@ object LlmOps {
   def ivfRetrainedCentroids(s: SparkSession, dir: String,
                             flagged: Seq[Long]): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     val flaggedList = if (flagged.isEmpty) "-1" else flagged.mkString(", ")
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |normed AS (
          |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
+         |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
          |  FROM centn),
@@ -961,13 +967,14 @@ object LlmOps {
     * the query cheaper, never broader. */
   def hAnnFiltered(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
          |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |normed AS (
          |  SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
+         |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
          |  FROM centn),
@@ -1078,13 +1085,14 @@ object LlmOps {
     * different index. */
   def hAnnRecall(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |normed AS (
          |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
+         |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
          |  FROM centn),
@@ -1219,6 +1227,7 @@ object LlmOps {
     * windows over the ≤ clusters×labels row table. */
   def hClusterPurity(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
@@ -1226,7 +1235,7 @@ object LlmOps {
          |  FROM embeddings),
          |normed AS (
          |  SELECT vec_id, lbl, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-         |${ivfCentSql(refined = true)},
+         |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
          |  FROM centn),
@@ -1689,7 +1698,7 @@ object LlmOps {
        |  FROM embeddings),
        |normed AS (
        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
-       |${ivfCentSql(refined = true)},
+       |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
        |cents AS (
        |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
        |  FROM centn),
@@ -1739,6 +1748,7 @@ object LlmOps {
 
   def hIvfStaleness(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(ivfStalenessCtes +
       """
         |SELECT c_id, n_old, n_new, growth_milli, shift_cos_milli,
@@ -1773,6 +1783,7 @@ object LlmOps {
     * to the quantization, and both engines replay it identically. */
   def hIvfRetrain(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(ivfStalenessCtes.replace(
       // splice the stale-centroid per-dim join into the audit chain: the
       // dots aggregate also folds the retrain dot products
@@ -1830,6 +1841,7 @@ object LlmOps {
     * joins on the data path. */
   def hIvfInsert(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(ivfAssignCtes +
       """,
         |counts AS (
@@ -2135,6 +2147,7 @@ object LlmOps {
     * never corpus². */
   def hSemDedup(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH orig AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2145,7 +2158,7 @@ object LlmOps {
          |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0
          |      THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END)
          |  FROM orig WHERE vec_id < 10),
-         |${ivfCentSql(refined = true)},
+         |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
          |cents AS (
          |  SELECT collect_list(named_struct('c_id', c_id, 'cv', cv, 'cnrm', cnrm)) AS cs
          |  FROM centn),
