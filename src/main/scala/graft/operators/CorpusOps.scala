@@ -2436,8 +2436,19 @@ object CorpusOps {
           |     THEN regexp_extract(host, '([^.]+\\.(co\\.uk|com\\.au|github\\.io))$', 1)
           |     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS etld1""".stripMargin)
 
+  /** Round 20: the synthesized-and-canonicalized crawl log — scan-local
+    * but regex-HEAVY string algebra — is consumed by [[hDomainRollup]]
+    * and (twice, via CTE re-inlining) by [[hLicenseCompliance]]. One
+    * [[Checkpoints.sharedTable]] materialization per (session, dir); at
+    * cluster scale this is the canonical-URL column a crawl frontier
+    * writes once and every domain-keyed job reads. */
+  private def domainCurl(s: SparkSession, dir: String): DataFrame =
+    Checkpoints.sharedTable(s, s"domainCurl:$dir")(
+      canonicalizeUrls(domainRawUrls(s, dir)).graftCheckpoint())
+
   def hDomainRollup(s: SparkSession, dir: String): DataFrame = {
-    canonicalizeUrls(domainRawUrls(s, dir)).createOrReplaceTempView("domain_curl")
+    docs(s, dir)
+    domainCurl(s, dir).createOrReplaceTempView("domain_curl")
     s.sql(
       """SELECT etld1,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -2564,7 +2575,7 @@ object CorpusOps {
     * doc_id. */
   def hLicenseCompliance(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    canonicalizeUrls(domainRawUrls(s, dir)).createOrReplaceTempView("lic_curl")
+    domainCurl(s, dir).createOrReplaceTempView("lic_curl")
     s.sql(
       """WITH dd AS (
         |  SELECT doc_id, min(etld1) AS etld1,
