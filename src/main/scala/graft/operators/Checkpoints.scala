@@ -135,7 +135,6 @@ object Checkpoints {
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def graftCheckpoint(): DataFrame = mat(df)
   }
-
   // ------------------------------------------------------------- shared
 
   /** Write-once index tables cached per (session, key). Plain strong map

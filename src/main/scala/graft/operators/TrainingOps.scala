@@ -2316,6 +2316,12 @@ object TrainingOps {
         |      i -> CAST(conv(substr(md5(concat(element_at(t, i), '|', element_at(t, i + 1), '|', element_at(t, i + 2))), 1, 15), 16, 10) AS BIGINT))) AS shingles
         |  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents)
         |  WHERE size(t) >= 3)""".stripMargin)
+      // round 20, measured and REJECTED: width-repartitioning this
+      // checkpoint (the cal_sh idiom) read 2.9 -> 5.2 s at sf0.1 — the
+      // single-task cg map sides pre-collapse this corpus's duplicate
+      // grams in one global partial-agg hash table before the exchange,
+      // which beats 32-way parallelism at sf-scale volumes. A cluster
+      // corpus scans wide on its own; nothing to fix here.
       .graftCheckpoint()).createOrReplaceTempView("pfx_sh")
     s.sql(
       """WITH cg AS (
