@@ -28,12 +28,25 @@ object ClusterLaunch {
     * (`SPARK_GRAFT_EXECUTOR_MEM`, default 4g — keep it ≤ the worker
     * memory in the master string), the launching JVM's full classpath,
     * and [[addOpens]]. A non-cluster master passes through untouched. */
-  def wire(builder: SparkSession.Builder, master: String): SparkSession.Builder =
-    if (master.startsWith("local-cluster"))
-      builder
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
-        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
-        .config("spark.executor.extraJavaOptions", addOpens)
-    else builder
+  def wire(builder: SparkSession.Builder, master: String): SparkSession.Builder = {
+    val b =
+      if (master.startsWith("local-cluster"))
+        builder
+          .config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
+          .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+          .config("spark.executor.extraJavaOptions", addOpens)
+      else builder
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — generic session-conf pass-through so
+    // deployment-dependent settings (shuffle codec, join-strategy
+    // preferences, AQE sizing) stay parameterised per environment instead
+    // of hard-coded for local[32]; also how conf A/Bs are driven without
+    // code edits (round 20). Applied last, so it can override defaults.
+    sys.env.get("SPARK_GRAFT_CONF").fold(b) { kvs =>
+      kvs.split(';').filter(_.contains('=')).foldLeft(b) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k.trim, v.trim)
+      }
+    }
+  }
 }

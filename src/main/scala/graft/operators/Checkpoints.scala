@@ -135,6 +135,28 @@ object Checkpoints {
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def graftCheckpoint(): DataFrame = mat(df)
   }
+  /** Widen a NARROW local scan before a CPU-heavy, DOC-LOCAL projection
+    * (guide §2.5: "input skew — one huge unsplittable file: repartition
+    * immediately after the read"). The sf-scale corpora are single
+    * parquet files below the 128 MB split size, so a tokenize/md5
+    * explode runs as ONE task while 31 cores idle. Conditional, so it is
+    * scale-correct: when the plan already scans at least half the
+    * session's parallelism wide (any real cluster corpus) this is an
+    * identity — no exchange added, nothing shuffled.
+    *
+    * USE ONLY where the first aggregate above the projection is keyed by
+    * doc_id (or finer): round-robin keeps a doc's rows in one task, so
+    * map-side partials collapse exactly as before and the exchange
+    * carries the same rows. Where the first aggregate collapses CROSS-doc
+    * duplicates (gram-frequency tables: h_dup_ngrams, h_simjoin_prefix),
+    * widening was measured 1.5–1.8× SLOWER at sf0.1 — the single global
+    * partial-agg hash table pre-deduplicates this corpus's repeated grams
+    * better than 32 partial tables, and the exchange inflates. */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   // ------------------------------------------------------------- shared
 
   /** Write-once index tables cached per (session, key). Plain strong map

@@ -42,6 +42,19 @@ object LlmOps {
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
   }
 
+  /** Register `embeddings_w` — the conditionally widened scan
+    * ([[Checkpoints.widen]]) for per-vector CPU-heavy chains (dot
+    * products, PQ encodes, plane hashes) whose first aggregate keys on
+    * vec_id or a bounded domain (c_id / (j, code) / (c_id, dim) / cell):
+    * the sf-scale parquet is one split, so these chains otherwise run
+    * their entire vector math on ONE core. Bounded keys cap the partial
+    * -agg inflation at groups x tasks rows — noise. NOT used where the
+    * first aggregate collapses a high-cardinality cross-vector key. */
+  private def embedsWide(s: SparkSession, dir: String): Unit = {
+    embeds(s, dir)
+    Checkpoints.widen(s.table("embeddings")).createOrReplaceTempView("embeddings_w")
+  }
+
   // ================================================================ dedup
 
   /** Exact dedup: replay-doubled corpus, grouped on the FNV-64a text
@@ -790,10 +803,10 @@ object LlmOps {
     * view), so both searches run the identical plan. */
   private def ivfSearch(s: SparkSession, dir: String, centn: String,
                         queryPred: String, nprobe: Int): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     s.sql(
       s"""WITH base AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings_w),
          |normed AS (
          |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
          |$centn,
@@ -966,12 +979,12 @@ object LlmOps {
     * prunes candidates BEFORE the cosine, so higher selectivity makes
     * the query cheaper, never broader. */
   def hAnnFiltered(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings_w),
          |normed AS (
          |  SELECT vec_id, label, v, sqrt(dot_product(v, v)) AS nrm FROM base),
          |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
@@ -1084,12 +1097,12 @@ object LlmOps {
     * over the full corpus is the point; a sampled truth set would audit a
     * different index. */
   def hAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings_w),
          |normed AS (
          |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
          |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
@@ -1226,13 +1239,13 @@ object LlmOps {
     * corpus-sized exchange; the dominant-label rank and totals are
     * windows over the ≤ clusters×labels row table. */
   def hClusterPurity(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
          |    transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings_w),
          |normed AS (
          |  SELECT vec_id, lbl, v, sqrt(dot_product(v, v)) AS nrm FROM base),
          |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
@@ -1507,10 +1520,11 @@ object LlmOps {
     * production IVF-PQ index is encoded once and served to every query,
     * so the shared lifecycle IS the deployment shape (the
     * componentLabels precedent). */
-  private def registerIvfPqDb(s: SparkSession, dir: String): Unit =
+  private def registerIvfPqDb(s: SparkSession, dir: String): Unit = {
+    embedsWide(s, dir)
     Checkpoints.sharedTable(s, s"ivfpq_db:$dir")(s.sql(
       """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings_w),
         |normed AS (
         |  SELECT vec_id, transform(v, x -> x / nrm) AS vn
         |  FROM (SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base)),
@@ -1538,6 +1552,7 @@ object LlmOps {
         |      'code', e.code)))[0].code) AS codes
         |FROM resid CROSS JOIN cba""".stripMargin).graftCheckpoint())
       .createOrReplaceTempView("ivfpq_db")
+  }
 
   /** The shared compressed-domain query chain, WITH-prefix form ending at
     * `scored` (every probed candidate with its integer ADC sum AND the
@@ -1695,7 +1710,7 @@ object LlmOps {
   private def ivfAssignCtes: String =
     s"""WITH base AS (
        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings_w),
        |normed AS (
        |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM base),
        |centn AS (SELECT c_id, cv, cnrm FROM ivfpq_centn),
@@ -1747,7 +1762,7 @@ object LlmOps {
        |  FROM dots d)""".stripMargin
 
   def hIvfStaleness(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(ivfStalenessCtes +
       """
@@ -1782,7 +1797,7 @@ object LlmOps {
     * 1/1024-quantized space — cosine at milli precision is insensitive
     * to the quantization, and both engines replay it identically. */
   def hIvfRetrain(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(ivfStalenessCtes.replace(
       // splice the stale-centroid per-dim join into the audit chain: the
@@ -1840,7 +1855,7 @@ object LlmOps {
     * form's censused 6). At 10⁹ vectors: one pass, KB-sized state, zero
     * joins on the data path. */
   def hIvfInsert(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(ivfAssignCtes +
       """,
@@ -2146,11 +2161,11 @@ object LlmOps {
     * self-join, whose pair volume is Σ|cluster|² — bounded by k's growth,
     * never corpus². */
   def hSemDedup(s: SparkSession, dir: String): DataFrame = {
-    embeds(s, dir)
+    embedsWide(s, dir)
     registerIvfPqCentroids(s, dir)
     s.sql(
       s"""WITH orig AS (
-         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings_w),
          |base AS (
          |  SELECT vec_id, v FROM orig
          |  UNION ALL

@@ -1145,11 +1145,16 @@ object TrainingOps {
     * replication: 40× docs → ~3.5× wall. */
   def hDocRepetition(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
+    // round 20: the (n, position) md5 explode is the suite's heaviest
+    // scan-local CPU and the first aggregate keys on doc_id — widening
+    // the single-split local scan spreads the hash work across cores
+    // without inflating the exchange (see Checkpoints.widen's contract)
+    Checkpoints.widen(s.table("documents")).createOrReplaceTempView("documents_w")
     s.sql(
       """WITH tok AS (
         |  SELECT doc_id, lang, split(text, ' ') AS t,
         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
-        |  FROM documents),
+        |  FROM documents_w),
         |pos AS (
         |  SELECT doc_id, lang, total_chars, n,
         |    CAST(conv(substr(md5(concat_ws('|', slice(t, i, n))), 1, 15), 16, 10) AS BIGINT) AS g,
