@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.operators.Checkpoints
 
 /** Data-governance operators for the curation pipeline (round 10, second
   * half): the release-gate checks a training-data platform runs BEFORE a
@@ -280,7 +281,9 @@ object GovernanceOps {
         """CAST(size(regexp_extract_all(scrubbed, '\\bID-[0-9]{4}-[A-Z]\\b', 0)) AS BIGINT) AS r_id""")
 
   def hPiiCensus(s: SparkSession, dir: String): DataFrame = {
-    piiDetect(piiPlanted(s, dir)).createOrReplaceTempView("pii_det")
+    // round 20: widen the planted stream before the regex detection
+    // projection (see Checkpoints.widen) — identity on a wide cluster scan
+    piiDetect(Checkpoints.widen(piiPlanted(s, dir))).createOrReplaceTempView("pii_det")
     s.sql(
       """WITH u AS (
         |  SELECT lang, pat.p AS pattern, pat.n AS n, pat.e AS e,

@@ -41,6 +41,15 @@ object TrainingOps {
     Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
   }
 
+  /** Register `documents_w` — the conditionally widened scan
+    * ([[Checkpoints.widen]]) for CPU-heavy doc-local projections whose
+    * first aggregate keys on doc_id or a bounded domain; see the widen
+    * scaladoc for the contract (NOT for gram-frequency chains). */
+  private def docsWide(s: SparkSession, dir: String): Unit = {
+    docs(s, dir)
+    Checkpoints.widen(s.table("documents")).createOrReplaceTempView("documents_w")
+  }
+
   // ==================================================== decontamination
 
   /** Benchmark decontamination: flag training documents sharing any word
@@ -2168,7 +2177,9 @@ object TrainingOps {
       // there; a smaller measured ~3.0 -> 2.7 s here, where the pair
       // join's exchanges already spread most of the work). A cluster
       // corpus scans wide already; repartition(defaultParallelism) never
-      // narrows it
+      // narrows it. (Round 20 also tried widening the INPUT instead —
+      // 2.12 -> 2.53 s: the narrow tokenize+shingle scan stage is cheaper
+      // than the extra text exchange at this volume.)
       .repartition(s.sparkContext.defaultParallelism)
       .graftCheckpoint()).createOrReplaceTempView("cal_sh")
     s.sql(
