@@ -587,7 +587,12 @@ object TrainingOps {
     * is a per-(lang, doc) count — the same one-join discipline as
     * [[hNgramNovelty]], so shuffle volume scales with distinct gram
     * volume, never candidate pairs². Both gram streams are explode
-    * projections inside whole-stage codegen. */
+    * projections inside whole-stage codegen. Round 20: the eval-census
+    * denominator (`evd`) counts DOCS, not grams — it now folds from the
+    * one-row-per-doc `tok` stream directly (same value: doc_id is
+    * unique, so count(DISTINCT doc_id) over the gram stream ≡ count(*)
+    * over gram-eligible docs), which removes the THIRD full
+    * tokenize+explode pass Catalyst's CTE re-inlining was paying. */
   def hSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -617,8 +622,8 @@ object TrainingOps {
         |  FROM ev JOIN tg ON ev.lang = tg.lang AND ev.gram = tg.gram
         |  GROUP BY ev.lang, ev.doc_id),
         |evd AS (
-        |  SELECT lang, count(DISTINCT doc_id) AS n_eval
-        |  FROM gr WHERE spl <> 'train' GROUP BY lang)
+        |  SELECT lang, count(*) AS n_eval
+        |  FROM tok WHERE spl <> 'train' AND size(t) >= 8 GROUP BY lang)
         |SELECT evd.lang, evd.n_eval AS n_eval_docs,
         |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaky_docs,
         |  CAST(coalesce(sum(leak.n_shared), 0L) AS BIGINT) AS n_shared_gram_hits,
