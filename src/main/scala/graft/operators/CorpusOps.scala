@@ -2235,9 +2235,11 @@ object CorpusOps {
     *
     * Scale shape: ONE char-level explode (≈ n_chars rows) collapsing
     * map-side into the per-doc ALPHABET-BOUNDED histogram (≤ ~100 rows
-    * per doc), one doc_id-keyed length join riding the same exchange
-    * shape, then a langs×3 aggregate — token-linear, nothing
-    * corpus-squared anywhere. */
+    * per doc), the doc length folded back as `sum(nc) OVER (PARTITION BY
+    * doc_id)` on that bounded table (round 20 — the earlier hist⋈lens
+    * self-join made Catalyst re-inline the whole explode chain TWICE),
+    * then a langs×3 aggregate — token-linear, nothing corpus-squared
+    * anywhere. */
   def hCompressionScreen(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     s.sql(
@@ -2259,12 +2261,15 @@ object CorpusOps {
         |  FROM corpus LATERAL VIEW explode(split(text, '')) t AS c),
         |hist AS (
         |  SELECT doc_id, lang, c, count(*) AS nc FROM chars GROUP BY 1, 2, 3),
-        |lens AS (SELECT doc_id, sum(nc) AS len FROM hist GROUP BY 1),
+        |withlen AS (
+        |  SELECT doc_id, lang, nc,
+        |    sum(nc) OVER (PARTITION BY doc_id) AS len
+        |  FROM hist),
         |bits AS (
-        |  SELECT h.doc_id, h.lang,
-        |    CAST(sum(h.nc * length(bin(l.len DIV h.nc))) AS BIGINT) AS est_bits,
-        |    max(l.len) AS len
-        |  FROM hist h JOIN lens l ON h.doc_id = l.doc_id GROUP BY 1, 2),
+        |  SELECT doc_id, lang,
+        |    CAST(sum(nc * length(bin(len DIV nc))) AS BIGINT) AS est_bits,
+        |    max(len) AS len
+        |  FROM withlen GROUP BY 1, 2),
         |ratio AS (
         |  SELECT doc_id, lang,
         |    CAST(1000 * est_bits DIV (8 * len) AS BIGINT) AS rm FROM bits),
