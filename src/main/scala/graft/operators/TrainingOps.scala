@@ -586,16 +586,22 @@ object TrainingOps {
     * gram stream equi-joins it on the aggregation key, and the verdict
     * is a per-(lang, doc) count — the same one-join discipline as
     * [[hNgramNovelty]], so shuffle volume scales with distinct gram
-    * volume, never candidate pairs². Both gram streams are explode
-    * projections inside whole-stage codegen. Round 20: the eval-census
-    * denominator (`evd`) counts DOCS, not grams — it now folds from the
-    * one-row-per-doc `tok` stream directly (same value: doc_id is
-    * unique, so count(DISTINCT doc_id) over the gram stream ≡ count(*)
-    * over gram-eligible docs), which removes the THIRD full
-    * tokenize+explode pass Catalyst's CTE re-inlining was paying. */
+    * volume, never candidate pairs². Round 20: the train index and the
+    * eval doc-gram set fold into ONE distinct aggregate over a SINGLE
+    * gram pass — `u = DISTINCT (lang, gram, k)` with `k = -1` for train
+    * rows (all train occurrences of a gram collapse to one row; corpus
+    * ids are ≥ 0 so the sentinel cannot collide) and `k = doc_id` for
+    * eval rows — checkpointed at its reduced size (∝ distinct gram
+    * volume, the documented shuffle scale) and self-joined. The eval
+    * census reads `count(DISTINCT k)` off the same table (equal to the
+    * gram-eligible eval doc count: `size(t) >= 8` ⇔ the doc emits ≥ 1
+    * gram, and doc_id is unique across the doubled corpus). Catalyst's
+    * CTE re-inlining was paying the tokenize+explode chain once per
+    * consumer — six documents scans and two full explodes for one
+    * audit; now one explode, two scans (the replay union's branches). */
   def hSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    s.sql(
+    Checkpoints.track(s.sql(
       """WITH corpus AS (
         |  SELECT doc_id, lang, text FROM documents
         |  UNION ALL
@@ -607,23 +613,25 @@ object TrainingOps {
         |         WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
         |         ELSE 'test' END AS spl
         |  FROM corpus),
-        |tok AS (SELECT doc_id, lang, spl, split(text, ' ') AS t FROM sp),
-        |gr AS (
-        |  SELECT doc_id, lang, spl,
-        |    concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
-        |      element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
-        |      element_at(t, i + 6), element_at(t, i + 7)) AS gram
-        |  FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
-        |  WHERE size(t) >= 8),
-        |tg AS (SELECT DISTINCT lang, gram FROM gr WHERE spl = 'train'),
-        |ev AS (SELECT DISTINCT doc_id, lang, gram FROM gr WHERE spl <> 'train'),
-        |leak AS (
-        |  SELECT ev.lang, ev.doc_id, count(*) AS n_shared
-        |  FROM ev JOIN tg ON ev.lang = tg.lang AND ev.gram = tg.gram
-        |  GROUP BY ev.lang, ev.doc_id),
+        |tok AS (SELECT doc_id, lang, spl, split(text, ' ') AS t FROM sp)
+        |SELECT DISTINCT lang,
+        |  concat_ws('|', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+        |    element_at(t, i + 3), element_at(t, i + 4), element_at(t, i + 5),
+        |    element_at(t, i + 6), element_at(t, i + 7)) AS gram,
+        |  CASE WHEN spl = 'train' THEN CAST(-1 AS BIGINT) ELSE doc_id END AS k
+        |FROM tok LATERAL VIEW explode(sequence(1, size(t) - 7)) x AS i
+        |WHERE size(t) >= 8""".stripMargin)
+      .graftCheckpoint()).createOrReplaceTempView("leak_u")
+    s.sql(
+      """WITH leak AS (
+        |  SELECT ev.lang, ev.k AS doc_id, count(*) AS n_shared
+        |  FROM (SELECT lang, gram, k FROM leak_u WHERE k <> -1) ev
+        |  JOIN (SELECT lang, gram FROM leak_u WHERE k = -1) tg
+        |    ON ev.lang = tg.lang AND ev.gram = tg.gram
+        |  GROUP BY ev.lang, ev.k),
         |evd AS (
-        |  SELECT lang, count(*) AS n_eval
-        |  FROM tok WHERE spl <> 'train' AND size(t) >= 8 GROUP BY lang)
+        |  SELECT lang, count(DISTINCT k) AS n_eval
+        |  FROM leak_u WHERE k <> -1 GROUP BY lang)
         |SELECT evd.lang, evd.n_eval AS n_eval_docs,
         |  CAST(count(leak.doc_id) AS BIGINT) AS n_leaky_docs,
         |  CAST(coalesce(sum(leak.n_shared), 0L) AS BIGINT) AS n_shared_gram_hits,
