@@ -175,21 +175,34 @@ object CorpusOps {
     * semantic arm is the hAnnBrute shape — panel broadcast onto one
     * corpus scan, scan-local cosine, per-query top-k as WindowGroupLimit
     * (map-side top-20 before the exchange); the fusion join runs on two
-    * ≤200-row rank tables. At 100 TB the semantic arm swaps to the IVF
-    * path ([[LlmOps.hAnnIvf]]) — the fusion algebra is rank-only and
-    * does not change. */
+    * ≤200-row rank tables. The paired corpus materializes ONCE as two
+    * checkpointed reductions (`rrf_dt` distinct postings, `rrf_nv`
+    * vector+norm — round 20; the CTE form re-inlined the pair join six
+    * times and the explode three). At 100 TB the semantic arm swaps to
+    * the IVF path ([[LlmOps.hAnnIvf]]) — the fusion algebra is rank-only
+    * and does not change. */
   def hRrfFusion(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.registerAll(s)
     Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
     Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    // Round 20: the paired-corpus projection `pc` had SIX consumers and
+    // Catalyst re-inlines CTEs — six documents⋈embeddings rebuilds and
+    // THREE full explodes per audit. The two reduced intermediates are
+    // checkpointed once instead: `rrf_dt` (distinct doc-term pairs — one
+    // explode, sized at the distinct posting volume) and `rrf_nv` (per-doc
+    // double vector + norm); every arm below derives from them.
+    Checkpoints.track(s.sql(
+      """SELECT DISTINCT d.doc_id, tk
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |LATERAL VIEW explode(split(d.text, ' ')) x AS tk""".stripMargin)
+      .graftCheckpoint()).createOrReplaceTempView("rrf_dt")
     s.sql(
-      """WITH pc AS (
-        |  SELECT d.doc_id, split(d.text, ' ') AS t,
-        |    transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-        |n AS (SELECT count(*) AS n FROM pc),
-        |dt AS (SELECT DISTINCT doc_id, tk
-        |  FROM pc LATERAL VIEW explode(t) e AS tk),
+      """WITH rrf_nv AS (
+        |  SELECT d.doc_id, v, sqrt(dot_product(v, v)) AS nrm FROM (
+        |    SELECT d.doc_id, transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) d),
+        |n AS (SELECT count(*) AS n FROM rrf_nv),
+        |dt AS (SELECT doc_id, tk FROM rrf_dt),
         |df AS (SELECT tk, count(*) AS df FROM dt GROUP BY tk),
         |qt AS (
         |  SELECT doc_id AS q_id, tk, df FROM (
@@ -213,7 +226,7 @@ object CorpusOps {
         |        ORDER BY lex_score DESC, d_id) AS rn
         |    FROM lex)
         |  WHERE rn <= 20),
-        |nv AS (SELECT doc_id, v, sqrt(dot_product(v, v)) AS nrm FROM pc),
+        |nv AS (SELECT doc_id, v, nrm FROM rrf_nv),
         |sem AS (
         |  SELECT /*+ BROADCAST(q) */ q.doc_id AS q_id, c.doc_id AS d_id,
         |    round(dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
