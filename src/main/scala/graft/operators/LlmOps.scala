@@ -542,6 +542,24 @@ object LlmOps {
     * AnnRecallSpec keeps the exact all-pairs join as the recall yardstick. */
   def hNeardupEmbedding(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    // Round 20: the banded key table is checkpointed once — the LSH
+    // projection is 32×12 hyperplane dot products PER VECTOR, and the
+    // band self-join's two sides each re-inlined that whole chain (the
+    // key table itself is narrow: (vec_id, band key) × 32). The vector
+    // table `normed` stays inline: its recompute (scan + cast + norm) is
+    // cheaper than materializing doubled vectors (the h_rrf_fusion
+    // measurement), and the verify joins shuffle it by vec_id either way.
+    Checkpoints.track(s.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    transform(v, (x, i) -> x * CASE WHEN (i + 1) % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END) AS v
+        |  FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT vec_id, bk
+        |FROM corpus LATERAL VIEW explode(hyperplane_bands(v, 32, 12)) t AS bk""".stripMargin)
+      .graftCheckpoint()).createOrReplaceTempView("ne_keyed")
     s.sql(
       """WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -552,9 +570,7 @@ object LlmOps {
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
         |normed AS (
         |  SELECT vec_id, v, sqrt(dot_product(v, v)) AS nrm FROM corpus),
-        |keyed AS (
-        |  SELECT vec_id, bk
-        |  FROM normed LATERAL VIEW explode(hyperplane_bands(v, 32, 12)) t AS bk),
+        |keyed AS (SELECT vec_id, bk FROM ne_keyed),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.vec_id < b.vec_id),
