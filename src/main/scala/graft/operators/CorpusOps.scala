@@ -1166,21 +1166,52 @@ object CorpusOps {
     * division never sees a negative numerator (Spark DIV truncates,
     * DuckDB // floors — they only agree on non-negatives).
     *
-    * Scale shape: the projection join is (vectors × planes × dims)
-    * exploded rows collapsed map-side into the (vec, plane)-keyed
-    * aggregate — and that whole pipeline runs ONCE into a localCheckpointed
-    * one-row-per-vector table (signature + quantized array + norm²;
-    * embeddings-table-sized, the same class as the checkpointed LSH band
-    * indexes) because the pair self-join consumes it twice and CTE
-    * re-inlining would otherwise re-run the projection per side (measured
-    * 2.6× slower). Pair generation is the (blk) equi-join — never
-    * all-pairs — and each pair's cosine is one scan-local `dot_product`
-    * over the stored arrays: integer-valued doubles, so every partial sum
-    * is exact and the result is order-independent. */
+    * Scale shape: the signature pipeline runs ONCE into a
+    * localCheckpointed one-row-per-vector table (signature + quantized
+    * array + norm²; embeddings-table-sized, the same class as the
+    * checkpointed LSH band indexes) because the pair self-join consumes
+    * it twice and CTE re-inlining would otherwise re-run the projection
+    * per side (measured 2.6× slower). Round 20: the 32×64 hyperplane
+    * sign matrix depends on NO input data — it is md5 of the (plane,
+    * dim) pair — so it folds to 32 constant `array<double>` literals
+    * computed driver-side (same md5, same `< '8'` nibble rule) and each
+    * projection becomes a scan-local codegen `dot_product` against a
+    * constant plane: the old (vectors × 64 dims) explode ⋈ 2048-row
+    * plane table → (vec, plane)-keyed aggregate (corpus × 2048
+    * intermediate rows through a hash-agg) and the sig ⋈ qarr re-join
+    * disappear entirely — the signature build is now a single
+    * narrow-dependency projection over the quantized vectors (solo
+    * sf0.1 best-of-3: 2.88–2.90 → 1.56–1.66 s; the censused returned
+    * plan was already the 2-exchange pair join, the removed stages
+    * lived in the checkpoint build). The
+    * quantized values are integer-valued doubles ≪ 2⁵³, so each
+    * constant-plane dot product is the SAME exact integer the BIGINT
+    * sum produced — sign bits land identically on both engines; the
+    * DuckDB twin keeps the declarative explode⋈planes form and the
+    * hash-compare pins the equivalence. Pair generation is the (blk)
+    * equi-join — never all-pairs — and each pair's cosine is one
+    * scan-local `dot_product` over the stored arrays: integer-valued
+    * doubles, so every partial sum is exact and the result is
+    * order-independent. */
   def hCosineCalibration(s: SparkSession, dir: String): DataFrame = {
     LlmOps.embeds(s, dir)
+    // 32 constant plane literals: sign(p, i) = +1 iff the first hex char of
+    // md5("p|i") is < '8' — exactly the SQL rule the DuckDB twin evaluates
+    // (hex char '0'..'7' ⇔ high nibble of byte 0 < 8, md5 hex is lowercase)
+    def planeLit(p: Int): String = (0 to 63).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) < 8) "1D" else "-1D"
+    }.mkString("array(", ",", ")")
+    // band key b = Σ_{j=0..3} 2^j · [dot(qv, plane_{4b+j}) > 0]; each plane
+    // literal appears exactly once so no expression is ever re-evaluated
+    val keyCols = (0 to 7).map { b =>
+      (0 to 3).map { j =>
+        s"(CASE WHEN dot_product(qv, ${planeLit(4 * b + j)}) > 0D THEN ${1L << j}L ELSE 0L END)"
+      }.mkString("    (", " +\n      ", s") AS k$b")
+    }.mkString(",\n")
     Checkpoints.track(s.sql(
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |pert AS (
@@ -1199,39 +1230,11 @@ object CorpusOps {
         |qarr AS (
         |  SELECT vec_id,
         |    transform(v, x -> CAST(CAST(round(x * 1024) AS BIGINT) AS DOUBLE)) AS qv
-        |  FROM corpus),
-        |quant AS (
-        |  SELECT vec_id, i, CAST(element_at(qv, i + 1) AS BIGINT) AS xi
-        |  FROM qarr LATERAL VIEW explode(sequence(0, size(qv) - 1)) t AS i),
-        |planes AS (
-        |  SELECT p, i,
-        |    CASE WHEN substring(md5(concat(CAST(p AS STRING), '|', CAST(i AS STRING))), 1, 1) < '8'
-        |         THEN 1L ELSE -1L END AS sgn
-        |  FROM (SELECT explode(sequence(0, 31)) AS p)
-        |  LATERAL VIEW explode(sequence(0, 63)) t AS i),
-        |proj AS (
-        |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
-        |  FROM quant q JOIN planes pl ON q.i = pl.i
-        |  GROUP BY q.vec_id, pl.p),
-        |bands AS (
-        |  SELECT vec_id, p DIV 4 AS b,
-        |    CAST(sum(CASE WHEN d > 0
-        |      THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0L END) AS BIGINT) AS key
-        |  FROM proj GROUP BY vec_id, p DIV 4),
-        |sig AS (
-        |  SELECT vec_id, vec_id % (SELECT m FROM m) AS blk,
-        |    max(CASE WHEN b = 0 THEN key END) AS k0,
-        |    max(CASE WHEN b = 1 THEN key END) AS k1,
-        |    max(CASE WHEN b = 2 THEN key END) AS k2,
-        |    max(CASE WHEN b = 3 THEN key END) AS k3,
-        |    max(CASE WHEN b = 4 THEN key END) AS k4,
-        |    max(CASE WHEN b = 5 THEN key END) AS k5,
-        |    max(CASE WHEN b = 6 THEN key END) AS k6,
-        |    max(CASE WHEN b = 7 THEN key END) AS k7
-        |  FROM bands GROUP BY vec_id)
-        |SELECT s.vec_id, s.blk, s.k0, s.k1, s.k2, s.k3, s.k4, s.k5, s.k6, s.k7,
-        |  q.qv, dot_product(q.qv, q.qv) AS nrm2
-        |FROM sig s JOIN qarr q ON s.vec_id = q.vec_id""".stripMargin)
+        |  FROM corpus)
+        |SELECT vec_id, vec_id % (SELECT m FROM m) AS blk,
+        |$keyCols,
+        |  qv, dot_product(qv, qv) AS nrm2
+        |FROM qarr""".stripMargin)
       .graftCheckpoint()).createOrReplaceTempView("cos_sig")
     s.sql(
       """WITH cosed AS (

@@ -366,4 +366,28 @@ class CorpusOpsSpec extends SparkSuite {
       assert(milli == 1000L * a(5) / a(0), s"$key: unhealthy rate")
     }
   }
+
+  test("h_cosine_calibration: driver-side plane constants equal the SQL md5 sign rule") {
+    // Round 20 folded the 32×64 hyperplane sign matrix to driver-computed
+    // constant array literals (MessageDigest md5, high nibble of byte 0).
+    // The DuckDB twin still derives the SAME signs declaratively via
+    // `substring(md5(concat(p, '|', i)), 1, 1) < '8'` — this pins the two
+    // derivations to each other, the invariant bit-identical band keys
+    // rest on. (The oracle hash-compare would catch a drift too, but only
+    // as an opaque mismatch; this names the broken rule directly.)
+    val sqlSigns = spark.sql(
+      """SELECT p, i,
+        |  CASE WHEN substring(md5(concat(CAST(p AS STRING), '|', CAST(i AS STRING))), 1, 1) < '8'
+        |       THEN 1L ELSE -1L END AS sgn
+        |FROM (SELECT explode(sequence(0, 31)) AS p)
+        |LATERAL VIEW explode(sequence(0, 63)) t AS i""".stripMargin)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (p <- 0 to 31; i <- 0 to 63) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))
+      val scalaSign = if (((md(0) >> 4) & 0xf) < 8) 1L else -1L
+      assert(scalaSign == sqlSigns((p, i)),
+        s"plane sign ($p, $i): driver md5 says $scalaSign, SQL md5 says ${sqlSigns((p, i))}")
+    }
+  }
 }
