@@ -330,37 +330,35 @@ object ProfileOps {
     * the early warning that a banded join is about to go quadratic on a
     * hot bucket (the signal that triggers adding planes or salting).
     *
-    * Scale shape: projection is the (vectors×planes×dims) explode
-    * collapsed map-side into the (vec, plane) aggregate — identical to the
-    * calibration op — then (bucket) counts (≤ 256 rows) and a ≤ 64-row
-    * class rollup. The corpus crosses one exchange, key-partitioned. */
+    * Scale shape (round 20): the 8×64 sign matrix is input-independent
+    * (md5 of the (plane, dim) pair), so it folds to 8 constant
+    * `array<double>` literals and the bucket id is 8 scan-local codegen
+    * `dot_product`s per vector — the (vectors×planes×dims) explode, the
+    * 512-row plane join and the (vec, plane) aggregate disappear (the
+    * [[CorpusOps.hCosineCalibration]] fold; quantized values are
+    * integer-valued doubles ≪ 2⁵³ so the sign bits are bit-identical,
+    * and CorpusOpsSpec pins the driver-md5 ≡ SQL-md5 sign rule). Then
+    * (bucket) counts (≤ 256 rows) and a ≤ 64-row class rollup; the
+    * corpus crosses one exchange, key-partitioned. */
   def hLshBalance(s: SparkSession, dir: String): DataFrame = {
     embeds(s, dir)
+    def planeLit(p: Int): String = (0 to 63).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))
+      if (((md(0) >> 4) & 0xf) < 8) "1D" else "-1D"
+    }.mkString("array(", ",", ")")
+    val bkt = (0 to 7).map { p =>
+      s"(CASE WHEN dot_product(q, ${planeLit(p)}) > 0D THEN ${1L << p}L ELSE 0L END)"
+    }.mkString("(", " +\n      ", ")")
     s.sql(
-      """WITH qv AS (
+      s"""WITH qv AS (
         |  SELECT vec_id,
         |    transform(embedding, x ->
-        |      CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |      CAST(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS DOUBLE)) AS q
         |  FROM embeddings),
-        |quant AS (
-        |  SELECT vec_id, i, element_at(q, i + 1) AS xi
-        |  FROM qv LATERAL VIEW explode(sequence(0, size(q) - 1)) t AS i),
-        |planes AS (
-        |  SELECT p, i,
-        |    CASE WHEN substring(md5(concat(CAST(p AS STRING), '|',
-        |                                   CAST(i AS STRING))), 1, 1) < '8'
-        |         THEN 1L ELSE -1L END AS sgn
-        |  FROM (SELECT explode(sequence(0, 7)) AS p)
-        |  LATERAL VIEW explode(sequence(0, 63)) t AS i),
-        |proj AS (
-        |  SELECT q.vec_id, pl.p, CAST(sum(q.xi * pl.sgn) AS BIGINT) AS d
-        |  FROM quant q JOIN planes pl ON q.i = pl.i
-        |  GROUP BY q.vec_id, pl.p),
         |buckets AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN d > 0
-        |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END) AS BIGINT) AS bkt
-        |  FROM proj GROUP BY vec_id),
+        |  SELECT vec_id, $bkt AS bkt
+        |  FROM qv),
         |pops AS (SELECT bkt, count(*) AS c FROM buckets GROUP BY bkt)
         |SELECT CAST(length(bin(c)) AS BIGINT) AS pop_bits,
         |  count(*) AS n_buckets,

@@ -545,13 +545,18 @@ class PlanAuditSpec extends SparkSuite {
       s"the |labels|-row median table must broadcast onto the flag scan:\n$plan")
   }
 
-  test("h_lsh_balance: plane projection broadcasts; no pairwise work") {
+  test("h_lsh_balance: plane projection is scan-local constant dot products; no join, no explode") {
     val plan = ProfileOps.hLshBalance(spark, SparkSpec.sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the 512-row plane table must broadcast onto the dim explode:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
-      s"bucket census must never join the corpus to itself:\n$plan")
+    // round 20: the 8x64 sign matrix folded to constant plane literals —
+    // the bucket id is 8 codegen dot_products in the scan projection, so
+    // NO join of any kind and no dim explode may appear
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"bucket census must not join anything (planes are constants):\n$plan")
+    assert(!plan.linesIterator.exists(_.trim.startsWith("Generate")),
+      s"the dim explode must be gone (projection is per-row):\n$plan")
+    assert(plan.contains("dot_product"),
+      s"expected constant-plane dot products in the scan projection:\n$plan")
   }
 
   test("g_top_paths: rn <= 4 plans as WindowGroupLimit; top-20 is TakeOrdered over the census") {
